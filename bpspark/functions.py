@@ -1,0 +1,264 @@
+"""Scalar function families (SURVEY.md §2.3 ``fn_*``).
+
+One registered op per family; each exercises several functions in a single
+projection. All JVM-side built-ins (whole-stage codegen) — no Python in the
+hot path. Oracle SQL uses the DuckDB spellings where names differ; aliases
+match column-for-column.
+
+Cross-engine determinism notes:
+- ROUND on doubles: both engines round-half-away on the values produced
+  here; avoid manufactured .5 boundaries.
+- day-of-week codes differ between engines → not exercised.
+- Spark ``split`` keeps trailing empty strings (limit=-1) and DuckDB
+  ``string_split`` does too → element access matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.registry import op
+
+
+@op(
+    "fn_string",
+    sql="""
+    SELECT c_custkey,
+           c_name || '/' || c_mktsegment AS name_seg,
+           substring(c_name, 10, 5) AS name_mid,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           trim('  ' || c_mktsegment || ' ') AS seg_trimmed,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
+           string_split(c_name, '#')[1] AS name_prefix,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           regexp_replace(c_name, '[0-9]+', 'N') AS name_masked
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    """String family: concat, substring, case, trim, length, lpad, split,
+    regexp_extract (R2 filename-key extraction), regexp_replace (R5 basename
+    projection)."""
+    c = table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_padded"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+        F.regexp_extract(F.col("c_name"), r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace(F.col("c_name"), r"[0-9]+", "N").alias("name_masked"),
+    )
+
+
+@op(
+    "fn_date",
+    sql="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time family (R13 enrichment uses current_timestamp — excluded
+    from the oracle-checked projection for determinism, SURVEY §7.4.6).
+    DATE-typed outputs are emitted as ISO strings: Spark's DateType arrives
+    in pandas as datetime.date while DuckDB's becomes datetime64 — the
+    string form is representation-independent for the hash compare."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias("days_to_2002"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("plus_30d"),
+        F.to_date("o_orderdate").cast("string").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@op(
+    "fn_math",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amount,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
+           l_orderkey % 7 AS key_mod,
+           CAST(sign(l_quantity - 25.0) AS INTEGER) AS qty_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Math family. pmod == % here because operands are non-negative."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        # round at 4dp: the product of two exact-2dp decimals IS a 4dp
+        # decimal, so no cross-engine .5-boundary exists at this precision
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amount"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod"),
+        F.signum(F.col("l_quantity") - 25.0).cast("int").alias("qty_sign"),
+    )
+
+
+@op(
+    "fn_conditional",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+                WHEN o_totalprice >= 100000.0 THEN 'mid'
+                ELSE 'low' END AS price_tier,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           GREATEST(o_totalprice, 50000.0) AS price_floor50k,
+           LEAST(o_totalprice, 400000.0) AS price_cap400k
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce/nullif (R6 required-field
+    handling), greatest/least."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000.0, "high")
+        .when(F.col("o_totalprice") >= 100000.0, "mid")
+        .otherwise("low")
+        .alias("price_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias("status_filled"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor50k"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap400k"),
+    )
+
+
+@op(
+    "fn_map",
+    sql="""
+    SELECT doc_id,
+           lang AS m_lang,
+           source AS m_src,
+           2 AS m_size,
+           TRUE AS has_lang,
+           ['lang', 'src'] AS m_keys
+    FROM documents
+    """,
+)
+def fn_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map family over the reference's dynamic-metadata type (R4 parse →
+    map<string,string>, R12 projection): str_to_map, element_at, map size,
+    map_contains_key, sorted map_keys. The map is built from a k=v string
+    exactly like a parsed properties record; the oracle checks the
+    round-trip against the plain columns."""
+    d = table(spark, sf, "documents")
+    kv = F.concat(F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source"))
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return d.select(
+        "doc_id",
+        F.element_at(m, F.lit("lang")).alias("m_lang"),
+        F.element_at(m, F.lit("src")).alias("m_src"),
+        F.size(m).alias("m_size"),
+        F.map_contains_key(m, F.lit("lang")).alias("has_lang"),
+        F.array_sort(F.map_keys(m)).alias("m_keys"),
+    )
+
+
+@op(
+    "fn_array",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_val,
+           embedding[1:3] AS head3,
+           list_min(embedding) AS vec_min,
+           list_max(embedding) AS vec_max,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           list_contains(embedding, 0.0) AS has_zero
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Array family (R3 explode-shape data, NS embeddings): size, indexing,
+    slice, min/max, transform+aggregate lambda (sequential double fold —
+    matches DuckDB's list_sum order), contains."""
+    e = table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    vec_sum = F.aggregate(
+        F.transform(emb, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.array_min(emb).alias("vec_min"),
+        F.array_max(emb).alias("vec_max"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@op(
+    "fn_json",
+    sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON family over events.props (a JSON object string): path extraction
+    as string, typed cast via from_json, and missing-key null semantics."""
+    e = table(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@op(
+    "fn_explode_unnest",
+    sql="""
+    SELECT vec_id, UNNEST(embedding) AS component
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def fn_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """R3 core shape: explode an array column to one row per element (the
+    ZIP-entry unnest). Generator runs inside codegen — no shuffle."""
+    e = table(spark, sf, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.explode("embedding").alias("component"))
+    )

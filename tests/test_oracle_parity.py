@@ -1,0 +1,31 @@
+"""Every oracle-backed op must match DuckDB on sf0.001 — the local replica
+of the driver's t2 gate (row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+import bpspark
+from tests.conftest import SF_SMALL
+from tests.oracle_compare import compare_frames
+
+OPS = bpspark.all_ops()
+ORACLE_OPS = sorted(name for name, o in OPS.items() if o.sql is not None)
+ROWS_ONLY_OPS = sorted(name for name, o in OPS.items() if o.sql is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_OPS)
+def test_oracle_parity(spark, duck_small, name):
+    o = OPS[name]
+    spark_pdf = o.fn(spark, SF_SMALL).toPandas()
+    duck_pdf = duck_small.sql(o.sql).df()
+    problems = compare_frames(spark_pdf, duck_pdf, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_rows_only_runs(spark, name):
+    """Rows-only ops must at least execute and return a stable schema."""
+    df = OPS[name].fn(spark, SF_SMALL)
+    assert df.columns  # has a schema
+    assert df.count() >= 0
