@@ -1,1 +1,258 @@
-"""Placeholder — filled in by build plan step (SURVEY.md §7.2)."""
+"""The composed ingestion pipeline — reference operators R1→R17 as one
+declarative DataFrame graph (SURVEY §3.4 path 2).
+
+Reference flow (MetadataIngestionServiceImpl.java:95-123):
+  1. isNewIsbn gate — three existence checks (:99, :181-210)   → anti-joins
+  2. upload raw ZIP (:100)                                     → bronze sink
+  3. extractBookAndChapterMetadata (:104, :131-162)            → parse_zip_entries
+  4. book-record presence check (:107-110)                     → anti-join → quarantine
+  5. genre validation (:112-116, :170-173)                     → semi-join (broadcast dim)
+  6. startBestPubWorkflowInstance (:119, :219-248)             → control-table rows
+
+Ordering mirrors the reference's cheap-predicate-first stance (§4.1): the
+ledger anti-joins run BEFORE parsing, so already-seen ZIPs are never
+unzipped. At 100 TB: arrivals×ledger joins shuffle on the business key
+(or broadcast when the ledger side is small); parse parallelism = #files;
+everything downstream is hash-partitioned by isbn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark import errors
+from bpspark.config import IngestionConfig
+from bpspark.fixtures import default_dir
+from bpspark.registry import op
+from bpspark.sources import parse_zip_entries, scan_drop_folder
+
+# R12: the five projected book-record keys + ISBN (canonical key names per
+# FIXTURES.md; the reference's literal constants live in the external model
+# artifact — MetadataIngestionServiceImpl.java:231-236)
+BOOK_KEYS = ("Title", "Genre", "Authors", "NrOfChapters", "NrOfPages")
+
+
+@dataclass
+class Ledgers:
+    """The three idempotency ledgers (R8/R9/R10) + the genre dimension (R7)."""
+    valid_genres: DataFrame
+    ingested_zips: DataFrame
+    workflows: DataFrame
+    completed_books: DataFrame
+
+    @staticmethod
+    def load(spark: SparkSession, ledger_dir: str) -> "Ledgers":
+        rd = spark.read
+        return Ledgers(
+            valid_genres=rd.parquet(f"{ledger_dir}/valid_genres.parquet"),
+            ingested_zips=rd.parquet(f"{ledger_dir}/ingested_zips.parquet"),
+            workflows=rd.parquet(f"{ledger_dir}/workflows.parquet"),
+            completed_books=rd.parquet(f"{ledger_dir}/completed_books.parquet"),
+        )
+
+
+@dataclass
+class IngestResult:
+    arrivals: DataFrame        # every ZIP seen this batch
+    new_arrivals: DataFrame    # after the three idempotency anti-joins
+    entries: DataFrame         # parsed (isbn, entry, props) rows
+    workflows_new: DataFrame   # R14 control rows for accepted books
+    silver_chapters: DataFrame
+    quarantine: DataFrame      # (path, error_code, error_msg)
+
+
+def ingest_batch(spark: SparkSession, drop_dir: str, ledgers: Ledgers,
+                 config: IngestionConfig | None = None) -> IngestResult:
+    """One batch of the R1→R14 pipeline as a single DataFrame graph."""
+    config = config or IngestionConfig()
+    arrivals = scan_drop_folder(spark, drop_dir)
+
+    # --- R8/R9/R10: idempotency gate, cheapest predicates first -----------
+    new_arrivals = (
+        arrivals
+        .join(ledgers.ingested_zips.select("zip_name"), "zip_name", "left_anti")   # R8
+        .join(ledgers.workflows.select("isbn"), "isbn", "left_anti")               # R9
+        .join(ledgers.completed_books.select("isbn"), "isbn", "left_anti")         # R10
+    )
+
+    # --- R3/R4/R5: parse only the genuinely-new ZIPs -----------------------
+    parsed = parse_zip_entries(new_arrivals)
+    q_extract = parsed.filter(F.col("error_code").isNotNull()).select(
+        "path", "error_code", "error_msg"
+    )
+    entries = parsed.filter(F.col("error_code").isNull())
+
+    # --- R6: required book record ({isbn}.txt → entry == isbn) -------------
+    books = entries.filter(F.col("entry") == F.col("isbn"))
+    zips_seen = entries.select("path", "isbn").distinct()
+    q_missing = (
+        zips_seen.join(books.select("isbn"), "isbn", "left_anti")
+        .select(
+            "path",
+            F.lit(errors.MISSING_BOOK_METADATA).alias("error_code"),
+            F.lit("no book record entry named {isbn}.txt in ZIP").alias("error_msg"),
+        )
+    )
+
+    # --- R7: genre must exist in the dimension (broadcast semi-join) -------
+    books_g = books.withColumn("book_genre", F.element_at("props", F.lit("Genre")))
+    genre_dim = F.broadcast(ledgers.valid_genres.select(F.col("genre_name").alias("book_genre")))
+    valid_books = books_g.join(genre_dim, "book_genre", "left_semi")
+    q_genre = (
+        books_g.join(genre_dim, "book_genre", "left_anti")
+        .select(
+            "path",
+            F.lit(errors.INVALID_GENRE).alias("error_code"),
+            F.concat(F.lit("genre not in dimension: "), F.coalesce("book_genre", F.lit("<missing>"))).alias("error_msg"),
+        )
+    )
+
+    # --- R12 typed projection + R13 enrichment -----------------------------
+    projected = valid_books.select(
+        "path",
+        "isbn",
+        F.element_at("props", F.lit("Title")).alias("book_title"),
+        F.col("book_genre"),
+        F.element_at("props", F.lit("Authors")).alias("book_authors"),
+        F.element_at("props", F.lit("NrOfChapters")).cast("int").alias("nr_of_chapters"),
+        F.element_at("props", F.lit("NrOfPages")).cast("int").alias("nr_of_pages"),
+        F.current_timestamp().alias("publishing_date"),          # R13 :222,:237
+        F.lit(False).alias("content_found"),                     # R13 :239
+        F.lit(False).alias("content_error_found"),               # :240
+        F.lit(False).alias("metadata_chapter_matching_ok"),      # :241
+        F.lit(False).alias("chapter_folder_hierarchy_exists"),   # :242
+        F.lit(config.interrupt_t1_timer).alias("interrupt_t1_timer"),            # :243
+        F.lit(config.wait2_check_content_timer).alias("wait_2_check_content_timer"),  # :244
+    )
+
+    # --- R14: one control row per ISBN with the full metadata map ----------
+    all_meta = entries.groupBy("isbn").agg(
+        # deterministic entry order (collect_list order is not); structs with
+        # map fields aren't orderable by sort_array → comparator on entry name
+        F.array_sort(
+            F.collect_list(F.struct("entry", "props")),
+            lambda l, r: F.when(l.entry < r.entry, -1).when(l.entry > r.entry, 1).otherwise(0),
+        ).alias("all_metadata")
+    )
+    workflows_new = (
+        projected.join(all_meta, "isbn")
+        .withColumn("workflow_id", F.concat(F.lit("wf-"), F.col("isbn")))
+        .drop("path")
+    )
+
+    # --- chapters silver table ---------------------------------------------
+    accepted = valid_books.select("isbn")
+    silver_chapters = (
+        entries.filter(F.col("entry").rlike(r"^chapter-[0-9]+$"))
+        .join(accepted, "isbn", "left_semi")
+        .select(
+            "isbn",
+            F.element_at("props", F.lit("ChapterNumber")).cast("int").alias("chapter_number"),
+            F.element_at("props", F.lit("ChapterTitle")).alias("chapter_title"),
+            F.element_at("props", F.lit("ChapterAuthor")).alias("chapter_author"),
+        )
+    )
+
+    quarantine = q_extract.unionByName(q_missing).unionByName(q_genre)
+    return IngestResult(
+        arrivals=arrivals,
+        new_arrivals=new_arrivals,
+        entries=entries,
+        workflows_new=workflows_new,
+        silver_chapters=silver_chapters,
+        quarantine=quarantine,
+    )
+
+
+def sink_control_table(workflows_new: DataFrame, control_dir: str) -> None:
+    """R14/R17 sink: append control rows idempotently on plain parquet —
+    anti-join on isbn against the existing table before the append, so a
+    replayed batch adds zero rows (exactly-once without ACID, SURVEY §4.3)."""
+    import glob
+    import os
+
+    spark = workflows_new.sparkSession
+    if os.path.isdir(control_dir) and glob.glob(os.path.join(control_dir, "*.parquet")):
+        existing = spark.read.parquet(control_dir).select("isbn")
+        to_write = workflows_new.join(existing, "isbn", "left_anti")
+    else:  # first write — nothing to replay-protect against
+        to_write = workflows_new
+    to_write.write.mode("append").parquet(control_dir)
+
+
+# ---------------------------------------------------------------------------
+# registered ops (rows-only: binary fixtures)
+# ---------------------------------------------------------------------------
+
+def _fixture_ledgers(spark: SparkSession) -> tuple[str, Ledgers]:
+    d = default_dir()
+    return d, Ledgers.load(spark, d)
+
+
+@op("pipeline_ingest_batch", sql=None)
+def pipeline_ingest_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Full R1→R14 batch over the fixture drop folder: accepted control rows
+    (deterministic columns only — publishing_date is now())."""
+    d, ledgers = _fixture_ledgers(spark)
+    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    return res.workflows_new.select(
+        "workflow_id", "isbn", "book_title", "book_genre", "book_authors",
+        "nr_of_chapters", "nr_of_pages", "interrupt_t1_timer",
+        "wait_2_check_content_timer",
+    ).orderBy("isbn")
+
+
+@op("pipeline_quarantine", sql=None)
+def pipeline_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """R15 error channel: one row per rejected fixture ZIP."""
+    d, ledgers = _fixture_ledgers(spark)
+    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    return res.quarantine.select("path", "error_code").orderBy("path")
+
+
+@op("pipeline_chapters", sql=None)
+def pipeline_chapters(spark: SparkSession, sf: str) -> DataFrame:
+    """Silver chapters exploded from accepted ZIPs (R3 explode + R12 typing)."""
+    d, ledgers = _fixture_ledgers(spark)
+    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    return res.silver_chapters.orderBy("isbn", "chapter_number")
+
+
+@op("pipeline_idempotent_rerun", sql=None)
+def pipeline_idempotent_rerun(spark: SparkSession, sf: str) -> DataFrame:
+    """R8-R10 invariant: re-running ingestion with the first run's outputs in
+    the ledgers yields zero new workflow rows. Returns one row with both
+    counts so the check is self-evident."""
+    d, ledgers = _fixture_ledgers(spark)
+    first = ingest_batch(spark, f"{d}/drop", ledgers)
+    first_isbns = first.workflows_new.select("isbn")
+    ledgers2 = Ledgers(
+        valid_genres=ledgers.valid_genres,
+        ingested_zips=ledgers.ingested_zips,
+        workflows=ledgers.workflows.select("isbn").unionByName(first_isbns),
+        completed_books=ledgers.completed_books,
+    )
+    rerun = ingest_batch(spark, f"{d}/drop", ledgers2)
+    n_first = first.workflows_new.count()
+    n_rerun = rerun.workflows_new.count()
+    return spark.createDataFrame(
+        [(n_first, n_rerun, n_rerun == 0)],
+        "first_run_rows bigint, rerun_rows bigint, idempotent boolean",
+    )
+
+
+@op("sink_control_table_op", sql=None)
+def sink_control_table_op(spark: SparkSession, sf: str) -> DataFrame:
+    """R14/R17: idempotent control-table sink — write twice, read once;
+    the second append contributes nothing."""
+    import tempfile
+
+    d, ledgers = _fixture_ledgers(spark)
+    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    control = tempfile.mkdtemp(prefix="bpspark_control_") + "/workflows"
+    sink_control_table(res.workflows_new, control)
+    sink_control_table(res.workflows_new, control)  # replay must be a no-op
+    return spark.read.parquet(control).select("workflow_id", "isbn").orderBy("isbn")

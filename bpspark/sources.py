@@ -1,1 +1,117 @@
-"""Placeholder — filled in by build plan step (SURVEY.md §7.2)."""
+"""Sources: parquet scan, binary drop-folder scan, properties-ZIP ingestion
+(reference R1/R2/R3/R4/R5 as Spark sources — SURVEY §2.3 "Sources/sinks").
+
+The reference's input model is a polled filesystem directory of
+``{ISBN}.zip`` files (ingestion-context.xml:12-15, cadence
+alfresco-global.properties:7-9). Batch form here; the streaming form
+(Trigger.ProcessingTime 10s, R16 single-flight via checkpoint) lives in
+:mod:`bpspark.streaming`.
+
+Scale: ``binaryFile`` yields one row per file (no splitting), so
+parallelism = #files — ideal for many small metadata ZIPs. The parse UDF
+runs per Arrow batch inside ``mapInPandas``: Python touches only the ZIP
+bytes; everything before/after stays JVM-columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    MapType, StringType, StructField, StructType,
+)
+
+from bpspark import errors
+from bpspark.fixtures import default_dir
+from bpspark.parse import extract_isbn_from_path, parse_metadata_zip
+from bpspark.registry import op
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("isbn", StringType(), True),
+        StructField("entry", StringType(), True),
+        StructField("props", MapType(StringType(), StringType()), True),
+        StructField("error_code", StringType(), True),
+        StructField("error_msg", StringType(), True),
+    ]
+)
+
+
+def scan_drop_folder(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """R1 batch form: one row per ZIP — (path, modificationTime, length,
+    content) — with the ISBN business key extracted from the file name (R2,
+    MetadataIngestionExecuter.java:56-62)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(drop_dir)
+        .withColumn("zip_name", F.element_at(F.split(F.col("path"), "/"), -1))
+        .withColumn("isbn", F.regexp_extract(F.col("zip_name"), r"([0-9]{13})\.zip$", 1))
+    )
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: ZIP bytes → one row per entry, or one error row
+    (R15 per-file error channel, MetadataIngestionExecuter.java:62-73)."""
+    for pdf in batches:
+        rows: list[dict] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            isbn = extract_isbn_from_path(path)
+            try:
+                for entry, props in parse_metadata_zip(bytes(content)):
+                    rows.append(
+                        {"path": path, "isbn": isbn, "entry": entry, "props": props,
+                         "error_code": None, "error_msg": None}
+                    )
+            except Exception as exc:  # noqa: BLE001 — quarantine, never abort the batch
+                rows.append(
+                    {"path": path, "isbn": isbn, "entry": None, "props": None,
+                     "error_code": errors.EXTRACT_ZIP, "error_msg": str(exc)[:500]}
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+
+def parse_zip_entries(arrivals: DataFrame) -> DataFrame:
+    """R3+R4+R5 fused: explode each ZIP into (isbn, entry, props) rows.
+    Input needs (path, content) columns; output is PARSED_SCHEMA."""
+    return arrivals.select("path", "content").mapInPandas(_parse_batches, PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# registered ops (rows-only: binary fixtures, not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@op("scan_binary_zip", sql=None)
+def scan_binary_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per drop-folder file: path/key/length/mtime (R1, R11)."""
+    drop = f"{default_dir()}/drop"
+    return scan_drop_folder(spark, drop).select(
+        "zip_name", "isbn", "length", "modificationTime"
+    )
+
+
+@op("ingest_properties_zip", sql=None)
+def ingest_properties_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """ZIP bytes → exploded (isbn, entry, props) rows (R3-R5). Fixture-hash
+    semantics are asserted in tests/test_ingestion.py (java-Properties
+    parity cases from FIXTURES.md §B1)."""
+    drop = f"{default_dir()}/drop"
+    parsed = parse_zip_entries(scan_drop_folder(spark, drop))
+    return parsed.filter(F.col("error_code").isNull()).select("isbn", "entry", "props")
+
+
+@op("sink_append_parquet", sql=None)
+def sink_append_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """R11 bronze sink: append raw arrivals (path, length, ingest batch id),
+    then read back. Parquet append partitioned by ingest date at scale."""
+    import tempfile
+
+    drop = f"{default_dir()}/drop"
+    bronze = tempfile.mkdtemp(prefix="bpspark_bronze_")
+    raw = scan_drop_folder(spark, drop).select("zip_name", "isbn", "length")
+    raw.write.mode("append").parquet(bronze)
+    return spark.read.parquet(bronze)
