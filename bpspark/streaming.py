@@ -1,1 +1,318 @@
-"""Placeholder — filled in by build plan step (SURVEY.md §7.2)."""
+"""Streaming operators (SURVEY §2.3 ``stream_*``).
+
+The reference's "streaming" is a 10-second cron poll of a drop folder with
+cluster-exclusive single-flight (R1 + R16; cadence
+alfresco-global.properties:7-9, lock jobs/MetadataIngestionJob.java:31-38).
+Structured Streaming replaces both: the file source's checkpointed offsets
+give exactly-once-per-file, and one-active-query-per-checkpoint replaces
+the job lock (SURVEY §3.4.3).
+
+Two op families:
+- windowed aggregations (tumbling/sliding/session): pure event-time logic,
+  identical in batch and stream — registered with a *batch-equivalent*
+  DuckDB oracle (the driver can fully check them), and proven
+  batch≡stream in tests/test_streaming.py.
+- genuinely stateful ops (watermark late-drop, streaming dedup,
+  stream-static join, the drop-folder source): run as real streaming
+  queries into a memory sink → rows-only checks.
+
+Scale: windowed aggs shuffle on (window, key) with partial aggregation;
+watermarks bound state size — without them a 100 TB stream's state grows
+forever. Session windows use Spark's native session_window operator
+(merging state store), not a per-key collect.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.registry import op
+
+EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+BINFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
+
+
+_STAGED_EVENTS: dict[str, str] = {}
+
+
+def events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """events as a file-source stream (ts arrives as raw nanos → µs).
+
+    The file source needs a *directory*; the testdata table is a single
+    parquet file, so it is staged (once per sf) into a temp dir."""
+    if sf not in _STAGED_EVENTS:
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="bpspark_events_src_")
+        shutil.copy(f"{sf}/events.parquet", f"{d}/events.parquet")
+        _STAGED_EVENTS[sf] = d
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_STAGED_EVENTS[sf])
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion (AvailableNow) into a memory
+    sink; return the sink as a DataFrame. Test/driver harness only — real
+    deployments write to a table sink with the same checkpoint semantics."""
+    name = f"bpspark_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bpspark_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# event-time windows — batch twin registered (oracle-checkable), stream twin
+# proven equivalent in tests
+# ---------------------------------------------------------------------------
+
+def tumbling_count_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@op(
+    "stream_tumbling_count",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY window_start
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed 1h event-time windows over events.ts (R1 cadence generalized).
+    Same plan runs on readStream + watermark; batch twin is the oracle."""
+    return tumbling_count_plan(table(spark, sf, "events"))
+
+
+def sliding_agg_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@op(
+    "stream_sliding_agg",
+    sql="""
+    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws,
+               value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+    )
+    GROUP BY ws
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """1h windows sliding every 30min — each event lands in exactly two
+    windows (starts: its 30m bucket and the one before)."""
+    return sliding_agg_plan(table(spark, sf, "events"))
+
+
+def session_window_plan(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@op(
+    "stream_session_window",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM gaps
+    )
+    SELECT user_id,
+           date_trunc('microseconds', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30min) per user via native session_window.
+    Oracle emulates with lag/cumsum — a new session starts when the gap is
+    >= the timeout (Spark sessions span [start, last_ts + gap))."""
+    return session_window_plan(table(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# genuinely stateful streaming — rows-only
+# ---------------------------------------------------------------------------
+
+@op("stream_watermark_late", sql=None)
+def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling count across two checkpointed runs of the same
+    query: run 1 ingests the on-time events and advances the watermark to
+    max(ts) - 1h; run 2 delivers the same events shifted 10 days earlier —
+    entirely behind the watermark — and must emit zero additional rows.
+    This is the bounded-state guarantee that matters at 100 TB: without the
+    watermark, window state (and the late replay) would grow forever.
+
+    Returns one summary row so the invariant is self-evident."""
+    import glob as _glob
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="bpspark_wm_")
+    src = f"{stage}/src"
+    os.makedirs(src)
+    ckpt = f"{stage}/ckpt"
+    ev = table(spark, sf, "events")
+    on_time = ev.filter(F.col("event_id") % 2 == 0)
+    late = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 10 DAYS")
+    )
+
+    emitted: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def add_file(df: DataFrame, name: str) -> None:
+        tmp = f"{stage}/{name}_tmp"
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], f"{src}/{name}.parquet")
+
+    add_file(on_time, "b1")
+    run_once()
+    rows_after_b1 = sum(r.n_events for r in emitted)
+    add_file(late, "b2")
+    run_once()
+    rows_after_b2 = sum(r.n_events for r in emitted)
+    return spark.createDataFrame(
+        [(rows_after_b1, rows_after_b2, rows_after_b2 == rows_after_b1)],
+        "rows_after_batch1 bigint, rows_after_batch2 bigint, late_rows_dropped boolean",
+    )
+
+
+@op("stream_dedup_state", sql=None)
+def stream_dedup_state(spark: SparkSession, sf: str) -> DataFrame:
+    """R8-R10 streaming form: exactly-once per ISBN across micro-batches via
+    watermarked dropDuplicates (state-store backed). Two drop dirs deliver
+    the same ISBN twice; one row survives."""
+    from bpspark.fixtures import default_dir
+
+    fx = default_dir()
+    stage = tempfile.mkdtemp(prefix="bpspark_dedup_")
+    import shutil
+
+    for sub in ("a", "b"):
+        os.makedirs(f"{stage}/{sub}")
+        shutil.copy(f"{fx}/drop/9780000000001.zip", f"{stage}/{sub}/9780000000001.zip")
+    shutil.copy(f"{fx}/drop/9780000000002.zip", f"{stage}/a/9780000000002.zip")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINFILE_SCHEMA)
+        .option("pathGlobFilter", "*.zip")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{stage}/*")
+        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .withWatermark("modificationTime", "1 hour")
+        .dropDuplicates(["isbn"])
+        .select("isbn", "length")
+    )
+    return run_to_memory(stream)
+
+
+@op("stream_static_join", sql=None)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join (R7 streaming form): streaming arrivals parsed and
+    validated against the static genre dimension per micro-batch."""
+    from bpspark.fixtures import default_dir
+    from bpspark.sources import parse_zip_entries
+
+    fx = default_dir()
+    genres = spark.read.parquet(f"{fx}/valid_genres.parquet").select(
+        F.col("genre_name").alias("book_genre")
+    )
+    arrivals = (
+        spark.readStream.format("binaryFile")
+        .schema(BINFILE_SCHEMA)
+        .option("pathGlobFilter", "*.zip")
+        .load(f"{fx}/drop")
+    )
+    parsed = parse_zip_entries(arrivals)
+    books = (
+        parsed.filter(F.col("error_code").isNull() & (F.col("entry") == F.col("isbn")))
+        .withColumn("book_genre", F.element_at("props", F.lit("Genre")))
+        .join(F.broadcast(genres), "book_genre", "left_semi")
+        .select("isbn", "book_genre")
+    )
+    return run_to_memory(books)
+
+
+@op("stream_drop_folder", sql=None)
+def stream_drop_folder(spark: SparkSession, sf: str) -> DataFrame:
+    """R1+R16 as Structured Streaming: the drop folder consumed with
+    checkpointed exactly-once-per-file offsets. Production trigger is
+    ProcessingTime(poll_interval) (IngestionConfig, 10s like the reference
+    cron); AvailableNow here so the op terminates."""
+    from bpspark.fixtures import default_dir
+
+    fx = default_dir()
+    arrivals = (
+        spark.readStream.format("binaryFile")
+        .schema(BINFILE_SCHEMA)
+        .option("pathGlobFilter", "*.zip")
+        .load(f"{fx}/drop")
+        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .select("isbn", "length", "modificationTime")
+    )
+    return run_to_memory(arrivals)

@@ -1,0 +1,63 @@
+"""Batch≡stream equivalence (SURVEY §5.2.3) + stateful streaming behavior.
+
+Every windowed op's streaming twin (readStream + AvailableNow) must produce
+exactly the batch plan's rows; the stateful ops' semantics are asserted
+directly (late rows dropped, duplicates collapsed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.streaming import (
+    events_stream,
+    run_to_memory,
+    session_window_plan,
+    sliding_agg_plan,
+    tumbling_count_plan,
+)
+from tests.conftest import SF_SMALL
+from tests.oracle_compare import compare_frames
+
+
+def _batch_vs_stream(spark, plan_fn, output_mode="complete"):
+    batch = plan_fn(table(spark, SF_SMALL, "events")).toPandas()
+    stream = run_to_memory(
+        plan_fn(events_stream(spark, SF_SMALL)), output_mode=output_mode
+    ).toPandas()
+    return compare_frames(stream, batch, plan_fn.__name__)
+
+
+def test_tumbling_batch_equals_stream(spark):
+    assert not _batch_vs_stream(spark, tumbling_count_plan)
+
+
+def test_sliding_batch_equals_stream(spark):
+    assert not _batch_vs_stream(spark, sliding_agg_plan)
+
+
+def test_session_batch_equals_stream(spark):
+    assert not _batch_vs_stream(spark, session_window_plan)
+
+
+def test_watermark_drops_late_rows(spark):
+    from bpspark.registry import all_ops
+
+    res = all_ops()["stream_watermark_late"].fn(spark, SF_SMALL).toPandas()
+    row = res.iloc[0]
+    # run 1 emits the closed windows of the on-time half; the 10-day-late
+    # replay in run 2 is behind the watermark and contributes nothing
+    assert bool(row.late_rows_dropped)
+    assert row.rows_after_batch1 > 0
+    # emitted (append-mode) rows are only the windows closed by the final
+    # watermark: everything except the last hour's
+    ev = table(spark, SF_SMALL, "events")
+    n_on_time = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert row.rows_after_batch1 <= n_on_time
+
+
+def test_stream_dedup_collapses_isbn(spark):
+    from bpspark.registry import all_ops
+
+    res = all_ops()["stream_dedup_state"].fn(spark, SF_SMALL).toPandas()
+    assert sorted(res["isbn"]) == ["9780000000001", "9780000000002"]
