@@ -1,1 +1,610 @@
-"""Placeholder — filled in by build plan step (SURVEY.md §7.2)."""
+"""LLM-data-pipeline operators (SURVEY §2.3 extensions; north star in
+BASELINE.json): deduplication, similarity search, text analysis,
+multimodal column plumbing — over the ``documents`` and ``embeddings``
+testdata tables.
+
+Scale stance (the whole point of these ops at 100 TB):
+- NO all-pairs crossJoin anywhere: near-dup and ANN ops prune candidates
+  with LSH banding / IVF bucketing first; only bucket-mates are compared.
+- shingling/minhash/simhash are pure JVM expressions (higher-order
+  functions over arrays) — Python appears only where vectorized-batch
+  semantics genuinely need it (simhash bit accumulation, fake multimodal
+  decode), always via Arrow-batched pandas UDFs.
+- every similarity comparison is written so partial work distributes:
+  hash-partition by band/bucket, aggregate per group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bpspark.io import table
+from bpspark.registry import op
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@op(
+    "dedup_exact_hash",
+    sql="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact text dedup by content hash: one keeper per hash group. The
+    shuffle carries only (hash, doc_id) — at 100 TB the document bodies
+    never move, and map-side partial aggregation collapses local copies."""
+    d = table(spark, sf, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# shared near-dup corpus: testdata has no duplicates, so ops that *detect*
+# near-duplicates plant them deterministically — every doc_id < 25 gets a
+# lightly-perturbed twin at doc_id + 1_000_000 (one word appended).
+def _docs_with_planted_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    twins = (
+        d.filter(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+        )
+    )
+    return d.unionByName(twins)
+
+
+def _word_shingles(text_col, n: int = 3):
+    """n-word shingles as an array column (JVM higher-order fns only)."""
+    words = F.split(text_col, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+
+
+N_HASHES = 64
+N_BANDS = 16  # r = 4 rows/band → LSH threshold (1/16)^(1/4) ≈ 0.5 jaccard
+
+
+def _seeded_rehash(seed: int):
+    # NOTE: must be a single-parameter lambda — F.transform treats a second
+    # lambda parameter as the element *index*, which would silently replace
+    # the seed (every "hash function" becomes the same one).
+    return lambda h: F.xxhash64(h, F.lit(seed))
+
+
+def _minhash_signature_from_base(base_col):
+    """64 minhashes over pre-hashed shingles (longs): 64 cheap integer
+    passes. Callers materialize the string→long hash once in a separate
+    projection so it is not recomputed per seed."""
+    return F.array(
+        *[
+            F.array_min(F.transform(base_col, _seeded_rehash(seed)))
+            for seed in range(N_HASHES)
+        ]
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH banding: shingle → 64 minhashes → 16 banded bucket keys →
+    self-join *within buckets only*. Shuffle keys are (band, bucket-hash);
+    no all-pairs comparison ever materializes."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(_word_shingles(F.col("text")), lambda s: F.xxhash64(s)).alias("base"),
+    ).filter(F.size("base") > 0)
+    sig = hashed.select("doc_id", _minhash_signature_from_base(F.col("base")).alias("sig"))
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]) for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@op("dedup_near_minhash", sql=None)  # property-verified in tests (SURVEY §5.2.4)
+def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH over 3-word shingles."""
+    return minhash_candidate_pairs(_docs_with_planted_neardups(spark, sf)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@op("dedup_ngram_jaccard", sql=None)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of the LSH candidates: explode
+    candidate docs' shingle sets, count intersection/union per pair. Only
+    candidate pairs pay the set comparison — the LSH prune keeps this
+    linear-ish at scale."""
+    docs = _docs_with_planted_neardups(spark, sf)
+    cands = minhash_candidate_pairs(docs)
+    sh = docs.select(
+        "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
+    )
+    a = sh.alias("sa").withColumnRenamed("doc_id", "doc_a")
+    b = sh.alias("sb").withColumnRenamed("doc_id", "doc_b")
+    joined = (
+        cands.join(a, "doc_a").join(b.withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh", "sh_b"))
+    union = F.size(F.array_union("sh", "sh_b"))
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit SimHash per doc: sum ±1 per bit over token hashes (vectorized
+    numpy inside an Arrow batch)."""
+    import numpy as np
+
+    for pdf in batches:
+        out_ids, out_hashes = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            tokens = text.split()
+            if not tokens:
+                out_ids.append(doc_id)
+                out_hashes.append(0)
+                continue
+            hs = np.array(
+                [hash(t) & 0xFFFFFFFFFFFFFFFF for t in set(tokens)], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for i, v in enumerate(acc):
+                if v > 0:
+                    sim |= np.uint64(1) << np.uint64(i)
+            out_ids.append(doc_id)
+            out_hashes.append(int(np.int64(sim)))  # store as signed long
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+
+@op("dedup_simhash", sql=None)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per doc (PYTHONHASHSEED pinned via
+    Spark's worker env), candidates = equal 16-bit band, verified with
+    hamming distance <= 3 via bit_count(xor) — all JVM-side after the
+    signature. Note: `hash()` is seeded per-JVM-session consistently because
+    Spark sets PYTHONHASHSEED for workers; signatures are session-stable."""
+    docs = _docs_with_planted_neardups(spark, sf)
+    sig = docs.mapInPandas(_simhash_batches, "doc_id long, simhash long")
+    # 8 bands × 8 bits: by pigeonhole every pair with hamming <= 7 shares at
+    # least one untouched band → guaranteed candidate generation at the <=7
+    # verification threshold. (At larger corpus scales widen bands to cut
+    # candidate volume and lower the threshold accordingly.)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(8)])
+        ).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 7)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+TOPK_SQL = """
+WITH q AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings WHERE vec_id < 10
+), c AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (q.norm * c.norm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (q.norm * c.norm) DESC,
+                        c.vec_id
+           ) AS rn
+    FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 8) AS cosine
+FROM scored WHERE rn <= 5
+"""
+
+
+@op("sim_cosine_topk", sql=TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-vector query set against the full
+    corpus — the *baseline* ANN path. The query side broadcasts (it is tiny
+    by construction); the corpus streams through unshuffled, and the top-k
+    is a per-query window. Dot products are sequential double folds —
+    bit-identical with the DuckDB oracle, so ranking is deterministic.
+    For corpus×corpus scale use sim_cosine_ivf."""
+    e = _with_norm(table(spark, sf, "embeddings"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+@op("sim_cosine_ivf", sql=None)  # approximate — recall vs brute force in tests
+def sim_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: ~n/97 deterministic centroids; every vector is
+    assigned to its nearest centroid (broadcast centroid table); queries
+    probe only their own cluster. This is the 100 TB shape: the corpus is
+    hash-partitioned by cluster_id, and a query touches one partition's
+    worth of candidates instead of the whole corpus."""
+    e = _with_norm(table(spark, sf, "embeddings"))
+    cents = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    sim_to_cent = (_dot(F.col("embedding"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")))
+    ranked = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "norm", "cent_id", sim_to_cent.alias("csim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "norm", "cent_id")
+    # nprobe=2: queries search their two nearest clusters (standard IVF
+    # recall/latency dial; corpus vectors still live in exactly one cluster)
+    q = ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "cent_id",
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+@op(
+    "dedup_embedding_cosine",
+    sql="""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (a.norm * b.norm), 8) AS cosine
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the bucketing
+    stand-in: at scale the blocking key is an LSH bucket / IVF cluster, so
+    the pairwise compare is per-block, never corpus×corpus)."""
+    e = _with_norm(table(spark, sf, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                 F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    cos = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@op(
+    "text_stats",
+    sql="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc token/char statistics — pure codegen expressions."""
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@op(
+    "text_quality_filter",
+    sql="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE length(text) BETWEEN 100 AND 2000
+      AND len(string_split(text, ' ')) >= 20
+      AND CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) > 0.9
+      AND len(regexp_extract_all(text, '\\bthe\\b')) >= 1
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality gates: length bounds, token floor, charset ratio,
+    stopword presence — the C4-style filter family as one predicate
+    pipeline that pushes into the scan."""
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double") / F.length("text")
+    )
+    return d.filter(
+        F.length("text").between(100, 2000)
+        & (F.size(toks) >= 20)
+        & (alpha_ratio > 0.9)
+        & (F.regexp_count("text", F.lit(r"\bthe\b")) >= 1)
+    ).select("doc_id", "lang", "n_chars")
+
+
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to)\b",
+    "es": r"\b(el|la|de|los)\b",
+    "de": r"\b(der|die|das|und)\b",
+    "fr": r"\b(le|la|les|et)\b",
+}
+
+
+@op(
+    "text_langid",
+    sql="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\b(the|and|of|to)\\b')) AS score_en,
+           len(regexp_extract_all(text, '\\b(el|la|de|los)\\b')) AS score_es,
+           len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) AS score_de,
+           len(regexp_extract_all(text, '\\b(le|la|les|et)\\b')) AS score_fr,
+           CASE GREATEST(
+                    len(regexp_extract_all(text, '\\b(the|and|of|to)\\b')),
+                    len(regexp_extract_all(text, '\\b(el|la|de|los)\\b')),
+                    len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')),
+                    len(regexp_extract_all(text, '\\b(le|la|les|et)\\b')))
+                WHEN len(regexp_extract_all(text, '\\b(the|and|of|to)\\b')) THEN 'en'
+                WHEN len(regexp_extract_all(text, '\\b(el|la|de|los)\\b')) THEN 'es'
+                WHEN len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language ID: per-language match counts + argmax with
+    a fixed priority order for ties (en > es > de > fr)."""
+    d = table(spark, sf, "documents")
+    scores = {
+        lang: F.regexp_count("text", F.lit(pat)).alias(f"score_{lang}")
+        for lang, pat in LANG_MARKERS.items()
+    }
+    sc = d.select("doc_id", "text", *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = (
+        F.when(F.col("score_en") == best, "en")
+        .when(F.col("score_es") == best, "es")
+        .when(F.col("score_de") == best, "de")
+        .otherwise("fr")
+    )
+    return sc.select(
+        "doc_id", "score_en", "score_es", "score_de", "score_fr",
+        pred.alias("predicted_lang"),
+    )
+
+
+@op(
+    "text_token_count_bpe",
+    sql="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_chunks
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting with a tokenizer-style regex (word / number /
+    punctuation classes + bounded subword chunks)."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("n_bpe_ish_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{1,4}")).alias("n_subword_chunks"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS fingerprint,
+           substring(md5(regexp_replace(text, '[^a-z0-9]', '', 'g')), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization fingerprint (whitespace/punct-insensitive md5) — the
+    cheap pre-filter for exact-dup detection across formatting variants;
+    prefix doubles as a shard/bucket key."""
+    d = table(spark, sf, "documents")
+    norm = F.regexp_replace("text", "[^a-z0-9]", "")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 8).alias("shard_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+MM_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "feature_mean double, feature_vec array<float>"
+)
+
+
+def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode (SURVEY/driver contract: image/audio libs absent in this
+    container). Deterministic fake: 'pixels' are the payload bytes; width/
+    height derive from length; features are byte-histogram moments. The
+    Spark-side plumbing — binary column in, typed struct + vector out,
+    Arrow batching, partition parallelism — is the real thing; swap this
+    body for PIL/librosa in production."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "media_type", "n_bytes", "width", "height",
+                                "feature_mean", "feature_vec")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(data)
+            width = max(int(n**0.5), 1)
+            height = max(n // width, 1)
+            hist = np.bincount(data % 16, minlength=16).astype(np.float32)
+            out["doc_id"].append(doc_id)
+            out["media_type"].append("image/fake")
+            out["n_bytes"].append(n)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["feature_mean"].append(float(data.mean()) if n else 0.0)
+            out["feature_vec"].append((hist / max(hist.sum(), 1)).tolist())
+        yield pd.DataFrame(out)
+
+
+@op("multimodal_columns", sql=None)
+def multimodal_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """One frame carrying text + binary payload + embedding vector + typed
+    metadata struct — the multimodal row model. Binary payloads are the
+    utf-8 document bytes (deterministic stand-in for image blobs)."""
+    d = table(spark, sf, "documents")
+    e = table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return (
+        d.join(e, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.encode("text", "utf-8").alias("payload"),
+            F.struct(
+                F.col("lang").alias("language"),
+                F.col("source").alias("origin"),
+                F.length("text").alias("content_length"),
+            ).alias("meta"),
+            "embedding",
+        )
+    )
+
+
+@op("multimodal_decode_stub", sql=None)
+def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode / feature-extract over the binary column via mapInPandas
+    (Arrow-batched). Decode body is a deterministic STUB (no image libs in
+    the container) — schema, batching, and partition parallelism are real."""
+    d = table(spark, sf, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_fake_decode_batches, MM_FEATURE_SCHEMA).orderBy("doc_id")
