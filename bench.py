@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock over the headline set (the comparable headline
+number tracked in BASELINE.md). Each query executes to completion with a
+count() (no driver-side result materialization cost in the measurement).
+
+Usage: python bench.py [--all] [--sf-dir DIR] [--repeat N]
+  --all: bench every registered op, not just the headline set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family, weighted toward the
+# shapes that dominate real pipelines (scan+agg, big join, window, dedup,
+# similarity, text, ingestion parse).
+HEADLINE = [
+    "agg_group_sums",        # TPC-H Q1 shape: scan + pushed filter + hash agg
+    "join_shuffle_inner",    # large-large shuffle join
+    "join_broadcast_dim",    # broadcast star join
+    "join_asof_latest_prior",# as-of emulation (join + window)
+    "win_row_number_topk",   # window top-k per group
+    "agg_count_distinct",    # two-stage distinct aggregate
+    "set_union_distinct",    # set op + dedup
+    "fn_string",             # scalar-function projection throughput
+    "stream_tumbling_count", # event-time windowed aggregation (batch twin)
+    "dedup_exact_hash",      # content-hash dedup
+    "dedup_near_minhash",    # MinHash-LSH banding
+    "sim_cosine_topk",       # brute-force cosine top-k
+    "text_quality_filter",   # regex-heavy quality gates
+    "ingest_properties_zip", # ZIP -> properties parse (pandas-UDF path)
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeat", type=int, default=2)  # best-of-2: first run pays JVM JIT
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    from bpspark.session import build
+    import bpspark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build(app_name="bpspark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = bpspark.all_ops()
+    names = sorted(ops) if args.all else [n for n in HEADLINE if n in ops]
+
+    # warm the JVM + file-listing caches once with the flagship query
+    ops["agg_group_sums"].fn(spark, args.sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            ops[name].fn(spark, args.sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

