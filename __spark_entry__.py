@@ -9,11 +9,18 @@ register themselves in ``bpspark.registry`` (SURVEY.md §2.3 op ids).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import bpspark
+# the driver may import this module with any cwd — make the repo importable
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import bpspark  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

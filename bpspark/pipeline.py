@@ -244,7 +244,7 @@ def pipeline_idempotent_rerun(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("sink_control_table_op", sql=None)
+@op("sink_control_table", sql=None)
 def sink_control_table_op(spark: SparkSession, sf: str) -> DataFrame:
     """R14/R17: idempotent control-table sink — write twice, read once;
     the second append contributes nothing."""

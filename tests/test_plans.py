@@ -1,0 +1,85 @@
+"""Physical-plan assertions (SURVEY §4.2 "verify, don't build"): the
+optimizations we rely on at 100 TB must actually appear in the plans —
+filter pushdown into parquet scans, column pruning, broadcast joins for
+dims, partial aggregation, window-group-limit for top-k."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bpspark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def plan_of(spark, name: str) -> str:
+    df = OPS[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "agg_group_sums")
+    # the shipdate filter must reach the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must read only the 6 needed columns of 11
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    assert "l_quantity" in rs and "l_returnflag" in rs
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q_nation_revenue")
+    # customer, nation, region all broadcast → exactly 3 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only shuffle join is orders×lineitem
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_semi_anti_joins_chosen(spark):
+    semi = plan_of(spark, "join_semi_validate")
+    assert "LeftSemi" in semi
+    anti = plan_of(spark, "join_anti_dedup")
+    assert "LeftAnti" in anti
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_partial_limit(spark):
+    plan = plan_of(spark, "win_row_number_topk")
+    # Spark inserts WindowGroupLimit so only ~k rows per group shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_theta_range_join_not_cartesian(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_limit_does_not_global_sort(spark):
+    plan = plan_of(spark, "limit_n")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_union_all_no_shuffle(spark):
+    plan = plan_of(spark, "set_union_all")
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("name", ["fn_string", "fn_math", "fn_conditional"])
+def test_scalar_families_stay_in_codegen(spark, name):
+    plan = plan_of(spark, name)
+    assert "[codegen id :" in plan  # whole-stage codegen span present
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
