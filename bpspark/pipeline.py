@@ -67,8 +67,14 @@ class IngestResult:
 def ingest_batch(spark: SparkSession, drop_dir: str, ledgers: Ledgers,
                  config: IngestionConfig | None = None) -> IngestResult:
     """One batch of the R1→R14 pipeline as a single DataFrame graph."""
+    return ingest_from_arrivals(spark, scan_drop_folder(spark, drop_dir), ledgers, config)
+
+
+def ingest_from_arrivals(spark: SparkSession, arrivals: DataFrame, ledgers: Ledgers,
+                         config: IngestionConfig | None = None) -> IngestResult:
+    """R2→R14 over an arrivals frame — shared by the batch entry point and
+    the streaming foreachBatch path (each micro-batch is one arrivals set)."""
     config = config or IngestionConfig()
-    arrivals = scan_drop_folder(spark, drop_dir)
 
     # --- R8/R9/R10: idempotency gate, cheapest predicates first -----------
     new_arrivals = (

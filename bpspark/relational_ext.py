@@ -1,0 +1,284 @@
+"""Extended relational surface beyond SURVEY §2.3's minimum: pivot, full
+outer join, argmax aggregates, ordered string aggregation, exact
+percentiles, stable variance/stddev, calendar generation, bitwise and
+hash/encoding function families, deterministic sampling, and raw-SQL
+end-to-end execution. All declarative; oracle-checked where cross-engine
+math permits."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.registry import op
+
+
+@op(
+    "agg_pivot",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS value_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: status categories to columns. Explicit value list → a single
+    aggregate pass (no extra distinct-values job at scale)."""
+    o = table(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("value"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("status_f"),
+        F.coalesce("O_n", F.lit(0)).alias("status_o"),
+        F.coalesce("P_n", F.lit(0)).alias("status_p"),
+        F.coalesce("F_value", F.lit(0.0)).alias("value_f"),
+    )
+
+
+@op(
+    "join_full_outer",
+    sql="""
+    SELECT c_custkey, o_orderkey
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer: unmatched rows from both sides survive with nulls."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select("c_custkey", "o_orderkey")
+
+
+@op(
+    "agg_min_by_max_by",
+    sql="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by/min_by). o_totalprice values are
+    distinct-per-group at 2dp in this data, so the arg is deterministic;
+    for tie-prone data pair the value with a unique key first."""
+    o = table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@op(
+    "agg_string_concat_ordered",
+    sql="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: collect → sort → join makes the
+    concatenation order deterministic (bare collect_list order is not)."""
+    n = table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv")
+    )
+
+
+@op(
+    "agg_percentile_exact",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles. Both engines use linear interpolation
+    over the sorted values → identical doubles. At 100 TB exact percentile
+    = full sort per group; prefer approx_percentile (sketch-based,
+    mergeable) unless exactness is contractual."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@op(
+    "agg_stddev_stable",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (ROUND(SUM(l_discount * l_discount), 4)
+            - ROUND(SUM(l_discount), 2) * ROUND(SUM(l_discount), 2) / COUNT(*))
+           / (COUNT(*) - 1) AS variance_stable
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_stable(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance via stabilized moments: ROUND(Σx,2) / ROUND(Σx²,4) snap the
+    exact-decimal sums to cross-engine-identical doubles; the remaining
+    arithmetic is IEEE-deterministic. Works because l_discount is a small-
+    magnitude exact-2dp column — the sums stay far inside double precision.
+    (Moment math on large-magnitude columns like o_totalprice exceeds the
+    53-bit mantissa and can NEVER be made cross-engine exact; native
+    stddev/var also differ in the last bits from accumulation order.)"""
+    li = table(spark, sf, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.round(F.sum("l_discount"), 2)
+    sxx = F.round(F.sum(F.col("l_discount") * F.col("l_discount")), 4)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        ((sxx - sx * sx / n) / (n - F.lit(1))).alias("variance_stable"),
+    )
+
+
+@op(
+    "gen_calendar_dim",
+    sql="""
+    SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day, CAST(year(d) AS INT) AS y,
+           CAST(month(d) AS INT) AS m
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                        INTERVAL 1 DAY)) AS d)
+    """,
+)
+def gen_calendar_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated calendar dimension: sequence + explode (the standard
+    date-spine pattern for gap-filling joins)."""
+    days = F.sequence(
+        F.lit("1995-01-01").cast("date"), F.lit("1995-03-31").cast("date")
+    )
+    return spark.range(1).select(F.explode(days).alias("d")).select(
+        F.col("d").cast("string").alias("day"),
+        F.year("d").alias("y"),
+        F.month("d").alias("m"),
+    )
+
+
+@op(
+    "fn_bitwise",
+    sql="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shifted_left,
+           o_orderkey >> 3 AS shifted_right
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise family — exact integer semantics, fully oracle-checkable."""
+    o = table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_left"),
+        F.shiftright(k, 3).alias("shifted_right"),
+    )
+
+
+@op(
+    "fn_hash_encode",
+    sql="""
+    SELECT doc_id,
+           md5(source) AS src_md5,
+           sha256(source) AS src_sha256,
+           base64(CAST(source AS BLOB)) AS src_b64,
+           CAST(CAST(from_base64(base64(CAST(source AS BLOB))) AS BLOB) AS VARCHAR) AS b64_roundtrip
+    FROM documents
+    """,
+)
+def fn_hash_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash + encoding family: md5/sha256/base64 with a round-trip proof."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("source").alias("src_md5"),
+        F.sha2("source", 256).alias("src_sha256"),
+        F.base64(F.encode("source", "utf-8")).alias("src_b64"),
+        F.decode(F.unbase64(F.base64(F.encode("source", "utf-8"))), "utf-8").alias("b64_roundtrip"),
+    )
+
+
+@op(
+    "fn_date_arith",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3_months,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           (2002 - CAST(year(o_orderdate) AS INT)) * 12 + (1 - CAST(month(o_orderdate) AS INT)) AS month_boundaries_to_2002,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar arithmetic: add_months, last_day, month-boundary distance
+    (explicit year/month arithmetic — engines disagree on day-sensitive
+    month diffs like months_between vs date_diff('month')), quarter, ISO
+    week (both engines use ISO-8601 week numbering)."""
+    o = table(spark, sf, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("string").alias("plus_3_months"),
+        F.last_day(d).cast("string").alias("month_end"),
+        ((F.lit(2002) - F.year(d)) * 12 + (F.lit(1) - F.month(d))).alias("month_boundaries_to_2002"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+@op("sample_deterministic", sql=None)  # sampling is engine-specific by nature
+def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded Bernoulli sample — reproducible within Spark (seed pins the
+    per-partition RNG); registered rows-only because no cross-engine oracle
+    can share Spark's sampler. At 100 TB, sampling is the first step of
+    stats collection and skew probing."""
+    li = table(spark, sf, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+SQL_E2E = """
+WITH seg_orders AS (
+    SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM seg_orders
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM ranked WHERE rn <= 2
+"""
+
+
+@op("sql_end_to_end", sql=SQL_E2E)
+def sql_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL surface itself: the SAME SQL text runs on Spark (temp views +
+    spark.sql) and on the DuckDB oracle — CTEs, join, window, top-k per
+    group. Demonstrates that a reference user can bring raw ANSI SQL."""
+    for t in ("orders", "customer"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_E2E)

@@ -298,6 +298,65 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(books)
 
 
+@op("stream_ingest_pipeline", sql=None)
+def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's whole loop in streaming form (R1→R17, SURVEY §3.4.2):
+    drop-folder stream → per-micro-batch R1→R14 pipeline (idempotency
+    anti-joins, parse, validation, typed projection) → idempotent control
+    sink. Checkpointed offsets = R16 single-flight; the second run (same
+    checkpoint, no new files) processes nothing — exactly-once end to end.
+    Returns the control table after two runs + a replay."""
+    import shutil
+
+    from bpspark.fixtures import default_dir
+    from bpspark.pipeline import Ledgers, ingest_from_arrivals, sink_control_table
+
+    fx = default_dir()
+    stage = tempfile.mkdtemp(prefix="bpspark_stream_ingest_")
+    drop = f"{stage}/drop"
+    os.makedirs(drop)
+    control = f"{stage}/control"
+    ckpt = f"{stage}/ckpt"
+    # first wave: 5 ZIPs; second wave: 3 more (one shared ISBN → anti-join)
+    names = sorted(os.listdir(f"{fx}/drop"))[:8]
+    for n in names[:5]:
+        shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
+
+    ledgers = Ledgers.load(spark, fx)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # run the R1→R14 graph over this micro-batch's arrivals only
+        arrivals = batch_df.withColumn(
+            "zip_name", F.element_at(F.split(F.col("path"), "/"), -1)
+        ).withColumn("isbn", F.regexp_extract(F.col("zip_name"), r"([0-9]{13})\.zip$", 1))
+        res = ingest_from_arrivals(spark, arrivals, ledgers)
+        sink_control_table(res.workflows_new, control)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(BINFILE_SCHEMA)
+            .option("pathGlobFilter", "*.zip")
+            .load(drop)
+        )
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    for n in names[5:]:
+        shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
+    run_once()
+    run_once()  # replay with no new files — must be a no-op
+    return spark.read.parquet(control).select("workflow_id", "isbn").orderBy("isbn")
+
+
 @op("stream_drop_folder", sql=None)
 def stream_drop_folder(spark: SparkSession, sf: str) -> DataFrame:
     """R1+R16 as Structured Streaming: the drop folder consumed with

@@ -61,3 +61,14 @@ def test_stream_dedup_collapses_isbn(spark):
 
     res = all_ops()["stream_dedup_state"].fn(spark, SF_SMALL).toPandas()
     assert sorted(res["isbn"]) == ["9780000000001", "9780000000002"]
+
+
+def test_stream_ingest_pipeline_exactly_once(spark):
+    """Two file waves + an empty replay through the checkpointed R1→R14
+    pipeline: every ZIP ingested exactly once, replay adds nothing."""
+    from bpspark.registry import all_ops
+
+    res = all_ops()["stream_ingest_pipeline"].fn(spark, SF_SMALL).toPandas()
+    assert len(res) == 8
+    assert res["isbn"].is_unique
+    assert (res["workflow_id"] == "wf-" + res["isbn"]).all()
