@@ -234,6 +234,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.array(*[F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(8)])
         ).alias("band", "chunk"),
     )
+    # Pair emission via codegen'd self-join on (band, chunk). On corpora
+    # where same-band buckets grow large (this synthetic same-vocabulary
+    # corpus is the worst case), the interpreted in-bucket combination
+    # emission benches SLOWER than the join even though the join recomputes
+    # the signature job for both sides — the join stays in whole-stage
+    # codegen. (Contrast minhash_candidate_pairs, whose buckets are tiny:
+    # there the grouped emission wins.)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -630,3 +637,58 @@ def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_fake_decode_batches, MM_FEATURE_SCHEMA).orderBy("doc_id")
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: nearest-neighbor downsample of the fake byte 'image' to
+    a fixed 8×8 thumbnail (real body: PIL Image.resize). Deterministic."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, thumbs = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n = len(data)
+            side = max(int(n**0.5), 1)
+            img = data[: side * side].reshape(side, side)
+            idx = (np.linspace(0, side - 1, 8)).astype(int)
+            thumb = img[np.ix_(idx, idx)].astype(np.float32) / 255.0
+            ids.append(doc_id)
+            thumbs.append(thumb.ravel().tolist())
+        yield pd.DataFrame({"doc_id": ids, "thumb_8x8": thumbs})
+
+
+@op("multimodal_resize_stub", sql=None)
+def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize shape over binary payloads: fixed-size thumbnail vector
+    per row via mapInPandas (STUB body — no image libs in this container;
+    the schema/batching/partitioning is the production shape)."""
+    d = table(spark, sf, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(
+        _resize_batches, "doc_id long, thumb_8x8 array<float>"
+    ).orderBy("doc_id")
+
+
+@op("multimodal_frame_sample", sql=None)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling shape: treat each payload as a 'video' of
+    64-byte frames and emit every 2nd frame as its own row (posexplode of
+    fixed-stride slices — the explode/unnest R3 pattern on binary media),
+    carrying the frame bytes. Real body: pyav/ffmpeg keyframe extraction;
+    plumbing is real."""
+    FRAME = 64
+    d = table(spark, sf, "documents")
+    n_frames = F.floor(F.length("text") / FRAME).cast("int")
+    frame_ids = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(2))
+    return (
+        d.select("doc_id", F.encode("text", "utf-8").alias("payload"), frame_ids.alias("fids"))
+        .select("doc_id", "payload", F.posexplode("fids").alias("pos", "frame_no"))
+        .select(
+            "doc_id",
+            "frame_no",
+            (F.col("frame_no") * FRAME).alias("byte_offset"),
+            F.substring(F.col("payload"), F.col("frame_no") * FRAME + 1, FRAME).alias("frame_bytes"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )

@@ -259,6 +259,42 @@ def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
 
 
+@op(
+    "join_skew_salted",
+    sql="""
+    SELECT e.event_id, o.o_orderkey
+    FROM (SELECT event_id, user_id % 3 AS hot_key FROM events) e
+    JOIN (SELECT o_orderkey, o_custkey % 3 AS hot_key FROM orders) o
+      ON e.hot_key = o.hot_key
+    WHERE e.event_id % 50 = 0 AND o.o_orderkey % 50 = 0
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join for skewed keys: only 3 distinct join keys exist (the
+    pathological case — a vanilla shuffle join lands everything on 3
+    reducers). Each left row gets a random-free deterministic salt
+    (row-hash % SALT), the right side is replicated SALT× with an exploded
+    salt column, and the join key becomes (hot_key, salt) — fanning each
+    hot key across SALT reducers. Results are identical to the unsalted
+    join (the oracle proves it); only the partitioning changes. AQE's
+    skew-join split is the automatic cousin; explicit salting is the tool
+    when a single key exceeds what one task can ever hold."""
+    SALT = 8
+    e = (
+        table(spark, sf, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id", (F.col("user_id") % 3).alias("hot_key"))
+        .withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)))
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", (F.col("o_custkey") % 3).alias("hot_key"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+    )
+    return e.join(o, ["hot_key", "salt"]).select("event_id", "o_orderkey")
+
+
 SQL_E2E = """
 WITH seg_orders AS (
     SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
