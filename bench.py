@@ -73,6 +73,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # ingestion throughput (BASELINE.md contract): ~10k properties records
+    # through scan_binary_zip -> mapInPandas parse -> exploded entries
+    ingest_rps = _ingest_throughput(spark)
+
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -80,8 +84,39 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_records_per_s": ingest_rps,
     }
     print(json.dumps(out))
+
+
+def _ingest_throughput(spark) -> int:
+    """Parse-rate of the ZIP→properties pipeline over a 1000-ZIP staged
+    drop folder (~10k records), records/second."""
+    import io as _io
+    import random
+    import zipfile
+    import tempfile
+
+    from bpspark.sources import parse_zip_entries, scan_drop_folder
+
+    stage = tempfile.mkdtemp(prefix="bpspark_ingest_bench_")
+    rng = random.Random(7)
+    for i in range(1000):
+        isbn = f"9781{i:09d}"
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr(f"{isbn}.txt", f"Title=Book {i}\nGenre=Fiction\nAuthors=A{i}\nNrOfChapters=8\nNrOfPages={100+i%500}\n")
+            for c in range(1, 1 + rng.randint(5, 12)):
+                zf.writestr(f"chapter-{c}.txt", f"ChapterNumber={c}\nChapterTitle=Ch {c}\nChapterAuthor=A{i}\n")
+        with open(f"{stage}/{isbn}.zip", "wb") as fh:
+            fh.write(buf.getvalue())
+
+    parsed = parse_zip_entries(scan_drop_folder(spark, stage))
+    n = parsed.count()  # warm
+    t0 = time.perf_counter()
+    parsed.count()
+    dt = time.perf_counter() - t0
+    return int(n / dt)
 
 
 if __name__ == "__main__":

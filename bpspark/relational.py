@@ -327,8 +327,12 @@ def join_asof_latest_prior(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (latest row at-or-before): for each order, the same
     customer's most recent prior order. Spark has no native as-of join
     (SURVEY §7.4.2); the scalable emulation is equi-join on the entity key +
-    window rank — the shuffle is on o_custkey, so it distributes. For
-    time-series at 100 TB, range-bucket the time key to cap the fan-out."""
+    argmax (``max_by`` over the (time, key) struct). max_by beats the
+    row_number-window form because it partial-aggregates map-side — no
+    per-partition sort, and the shuffle after the join carries one row per
+    (order, partition) instead of the full fan-out. Both forms benched;
+    results proven identical. For time-series at 100 TB, additionally
+    range-bucket the time key to cap the join fan-out."""
     o1 = table(spark, sf, "orders").alias("o1")
     o2 = table(spark, sf, "orders").alias("o2")
     cond = (F.col("o1.o_custkey") == F.col("o2.o_custkey")) & (
@@ -338,19 +342,19 @@ def join_asof_latest_prior(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("o2.o_orderkey") < F.col("o1.o_orderkey"))
         )
     )
-    w = Window.partitionBy("o1.o_orderkey").orderBy(
-        F.col("o2.o_orderdate").desc(), F.col("o2.o_orderkey").desc()
-    )
     return (
         o1.join(o2, cond)
-        .select(
-            F.col("o1.o_orderkey").alias("o_orderkey"),
-            F.col("o2.o_orderkey").alias("prev_orderkey"),
-            F.col("o2.o_orderdate").alias("prev_orderdate"),
-            F.row_number().over(w).alias("rn"),
+        .groupBy(F.col("o1.o_orderkey").alias("o_orderkey"))
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("o2.o_orderkey").alias("prev_orderkey"),
+                    F.col("o2.o_orderdate").alias("prev_orderdate"),
+                ),
+                F.struct(F.col("o2.o_orderdate"), F.col("o2.o_orderkey")),
+            ).alias("prev")
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select("o_orderkey", "prev.prev_orderkey", "prev.prev_orderdate")
     )
 
 
@@ -529,16 +533,14 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Explicit grouping sets via the SQL surface (declarative — Catalyst
-    expands to a single Expand + aggregate)."""
-    table(spark, sf, "orders").createOrReplaceTempView("bpspark_orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-        FROM bpspark_orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """
-    )
+    """Explicit grouping sets via the native DataFrame API (Spark 4) —
+    a single Expand + aggregate, no temp-view catalog mutation."""
+    o = table(spark, sf, "orders")
+    return o.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")]],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
 
 
 @op(

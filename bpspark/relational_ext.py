@@ -249,6 +249,80 @@ def fn_date_arith(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@op(
+    "win_percent_rank_cume",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(c_custkey, 3) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-rank windows: percent_rank = (rank-1)/(n-1) and cume_dist
+    are exact integer ratios → bit-identical cross-engine; nth_value over
+    an explicit full frame."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 3).over(wf).alias("third_poorest"),
+    )
+
+
+@op(
+    "fn_regex_extract_all",
+    sql="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS words,
+           len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
+           regexp_extract_all(p_type, '[A-Z]+')[1] AS first_upper_token
+    FROM part
+    """,
+)
+def fn_regex_extract_all(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract_all: all matches as an array + derived projections."""
+    p = table(spark, sf, "part")
+    # group index 0 = whole match (Spark defaults to group 1 and errors on
+    # group-free patterns; DuckDB defaults to the whole match)
+    words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0).getItem(0).alias("first_upper_token"),
+    )
+
+
+@op(
+    "agg_collect_arrays",
+    sql="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nation_names,
+           list_sort(list(DISTINCT n_nationkey)) AS nation_keys
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-building aggregates: sorted collect_list / collect_set —
+    explicit sorting makes the array contents deterministic."""
+    n = table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nation_names"),
+        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+    )
+
+
 @op("sample_deterministic", sql=None)  # sampling is engine-specific by nature
 def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     """Seeded Bernoulli sample — reproducible within Spark (seed pins the
