@@ -164,7 +164,7 @@ def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
            source AS m_src,
            2 AS m_size,
            TRUE AS has_lang,
-           ['lang', 'src'] AS m_keys
+           'lang,src' AS m_keys_csv
     FROM documents
     """,
 )
@@ -183,7 +183,7 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(m, F.lit("src")).alias("m_src"),
         F.size(m).alias("m_size"),
         F.map_contains_key(m, F.lit("lang")).alias("has_lang"),
-        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys_csv"),
     )
 
 
@@ -193,7 +193,7 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1] AS first_val,
-           embedding[1:3] AS head3,
+           ROUND(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 4) AS head3_sum,
            list_min(embedding) AS vec_min,
            list_max(embedding) AS vec_max,
            ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
@@ -204,22 +204,25 @@ def fn_map(spark: SparkSession, sf: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf: str) -> DataFrame:
     """Array family (R3 explode-shape data, NS embeddings): size, indexing,
     slice, min/max, transform+aggregate lambda (sequential double fold —
-    matches DuckDB's list_sum order), contains."""
+    matches DuckDB's list_sum order), contains. The slice is digested to a
+    scalar sum: float-array cells would make the driver's value-hash depend
+    on engine float-formatting; scalars compare exactly."""
     e = table(spark, sf, "embeddings")
     emb = F.col("embedding")
-    vec_sum = F.aggregate(
-        F.transform(emb, lambda x: x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+
+    def fold_sum(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: x.cast("double")), F.lit(0.0), lambda acc, x: acc + x
+        )
+
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
-        F.slice(emb, 1, 3).alias("head3"),
+        F.round(fold_sum(F.slice(emb, 1, 3)), 4).alias("head3_sum"),
         F.array_min(emb).alias("vec_min"),
         F.array_max(emb).alias("vec_max"),
-        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(fold_sum(emb), 4).alias("vec_sum"),
         F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),
     )
 

@@ -284,21 +284,23 @@ def win_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     "fn_regex_extract_all",
     sql="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words_joined,
            len(regexp_extract_all(p_name, '[a-z]+')) AS n_words,
            regexp_extract_all(p_type, '[A-Z]+')[1] AS first_upper_token
     FROM part
     """,
 )
 def fn_regex_extract_all(spark: SparkSession, sf: str) -> DataFrame:
-    """regexp_extract_all: all matches as an array + derived projections."""
+    """regexp_extract_all: all matches as an array + derived projections
+    (array emitted as a joined string so the oracle compare is
+    representation-independent)."""
     p = table(spark, sf, "part")
     # group index 0 = whole match (Spark defaults to group 1 and errors on
     # group-free patterns; DuckDB defaults to the whole match)
     words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, "|").alias("words_joined"),
         F.size(words).alias("n_words"),
         F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0).getItem(0).alias("first_upper_token"),
     )
@@ -308,18 +310,19 @@ def fn_regex_extract_all(spark: SparkSession, sf: str) -> DataFrame:
     "agg_collect_arrays",
     sql="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nation_names,
-           list_sort(list(DISTINCT n_nationkey)) AS nation_keys
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nation_names_csv,
+           array_to_string(list_sort(list(DISTINCT n_nationkey)), ',') AS nation_keys_csv
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_arrays(spark: SparkSession, sf: str) -> DataFrame:
-    """Array-building aggregates: sorted collect_list / collect_set —
-    explicit sorting makes the array contents deterministic."""
+    """Array-building aggregates: sorted collect_list / collect_set,
+    emitted as joined strings (deterministic contents AND
+    representation-independent for the driver's value hash)."""
     n = table(spark, sf, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nation_names"),
-        F.array_sort(F.collect_set("n_nationkey")).alias("nation_keys"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_names_csv"),
+        F.array_join(F.array_sort(F.collect_set("n_nationkey")).cast("array<string>"), ",").alias("nation_keys_csv"),
     )
 
 

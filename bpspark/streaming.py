@@ -298,6 +298,84 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(books)
 
 
+@op("stream_stateful_counter", sql=None)
+def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY north star: "applyInPandasWithState for custom stateful
+    operators"): a per-user running event counter + running value sum whose
+    state persists across micro-batches in the state store.
+
+    Two micro-batches (file adds between checkpointed AvailableNow runs)
+    prove state persistence: the final counts equal the full-data batch
+    aggregate. State is keyed by user_id and GC'd via ProcessingTimeTimeout
+    in production; NoTimeout here since the fixture stream is finite."""
+    import shutil
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = tempfile.mkdtemp(prefix="bpspark_state_")
+    src = f"{stage}/src"
+    os.makedirs(src)
+    ckpt = f"{stage}/ckpt"
+    ev = table(spark, sf, "events").select("user_id", "event_id", "value")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    collected: dict[int, tuple[int, float]] = {}
+
+    def count_events(key, pdfs, state: GroupState):
+        import pandas as pd  # runs in the Python worker
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            collected[r.user_id] = (r.n_events, r.total_value)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, value double")
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                count_events,
+                outputStructType="user_id long, n_events long, total_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import glob as _glob
+
+    def add_file(df: DataFrame, name: str) -> None:
+        tmp = f"{stage}/{name}_tmp"
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], f"{src}/{name}.parquet")
+
+    add_file(half1, "b1")
+    run_once()
+    add_file(half2, "b2")
+    run_once()
+    return spark.createDataFrame(
+        [(uid, n, tv) for uid, (n, tv) in sorted(collected.items())],
+        "user_id long, n_events long, total_value double",
+    )
+
+
 @op("stream_ingest_pipeline", sql=None)
 def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's whole loop in streaming form (R1→R17, SURVEY §3.4.2):

@@ -63,6 +63,24 @@ def test_stream_dedup_collapses_isbn(spark):
     assert sorted(res["isbn"]) == ["9780000000001", "9780000000002"]
 
 
+def test_stateful_counter_matches_batch(spark):
+    """applyInPandasWithState across two micro-batches must converge to the
+    plain batch aggregate (state persisted through the checkpoint)."""
+    from bpspark.registry import all_ops
+
+    res = all_ops()["stream_stateful_counter"].fn(spark, SF_SMALL).toPandas()
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+    )
+    assert not compare_frames(res, batch, "stateful_counter")
+
+
 def test_stream_ingest_pipeline_exactly_once(spark):
     """Two file waves + an empty replay through the checkpointed R1→R14
     pipeline: every ZIP ingested exactly once, replay adds nothing."""
