@@ -190,8 +190,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """64-bit SimHash per doc: sum ±1 per bit over token hashes (vectorized
-    numpy inside an Arrow batch)."""
+    numpy inside an Arrow batch). Token hashing uses blake2b, not Python's
+    built-in hash() — the builtin is PYTHONHASHSEED-salted, which would make
+    signatures environment-dependent."""
+    import hashlib
+
     import numpy as np
+
+    def h64(t: str) -> int:
+        return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
 
     for pdf in batches:
         out_ids, out_hashes = [], []
@@ -201,9 +208,7 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out_ids.append(doc_id)
                 out_hashes.append(0)
                 continue
-            hs = np.array(
-                [hash(t) & 0xFFFFFFFFFFFFFFFF for t in set(tokens)], dtype=np.uint64
-            )
+            hs = np.array([h64(t) for t in set(tokens)], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
             acc = (2 * bits - 1).sum(axis=0)
             sim = np.uint64(0)
@@ -217,11 +222,10 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @op("dedup_simhash", sql=None)
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature per doc (PYTHONHASHSEED pinned via
-    Spark's worker env), candidates = equal 16-bit band, verified with
-    hamming distance <= 3 via bit_count(xor) — all JVM-side after the
-    signature. Note: `hash()` is seeded per-JVM-session consistently because
-    Spark sets PYTHONHASHSEED for workers; signatures are session-stable."""
+    """SimHash near-dup: 64-bit blake2b-based signature per doc
+    (environment-independent — no PYTHONHASHSEED sensitivity), candidates =
+    equal 8-bit band, verified with hamming <= 7 via bit_count(xor) — all
+    JVM-side after the signature."""
     docs = _docs_with_planted_neardups(spark, sf)
     sig = docs.mapInPandas(_simhash_batches, "doc_id long, simhash long")
     # 8 bands × 8 bits: by pigeonhole every pair with hamming <= 7 shares at
