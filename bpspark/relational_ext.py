@@ -250,6 +250,171 @@ def fn_date_arith(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @op(
+    "set_intersect_all",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag intersection (multiplicity = min of the two sides)."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@op(
+    "set_except_all",
+    sql="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag difference (multiplicity-preserving)."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@op(
+    "join_right_outer",
+    sql="""
+    SELECT o_orderkey, c_custkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join (kept for API completeness; planners canonicalize
+    to a left join with sides swapped)."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("o_orderkey", "c_custkey")
+
+
+@op(
+    "reshape_unpivot",
+    sql="""
+    SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    )
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot / melt: wide columns → (metric, value) long form — the
+    standard reshape before per-metric aggregation; a generator expression,
+    no shuffle."""
+    c = table(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nationkey")
+    )
+    return c.unpivot(
+        "c_custkey", ["c_acctbal", "c_nationkey"], "metric", "value"
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "c_acctbal", "acctbal").otherwise("nationkey"),
+    )
+
+
+@op(
+    "fn_string_extra",
+    sql="""
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           replace(p_name, 'widget', 'gadget') AS renamed,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat('ab', 3) AS repeated,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'widget') AS INT) AS widget_pos,
+           left(p_name, 4) AS head4,
+           right(p_name, 3) AS tail3
+    FROM part
+    """,
+)
+def fn_string_extra(spark: SparkSession, sf: str) -> DataFrame:
+    """Second string family: split_part, replace, translate, repeat,
+    reverse, position (1-based, 0 when absent), left/right."""
+    p = table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.replace("p_name", F.lit("widget"), F.lit("gadget")).alias("renamed"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.left("p_name", F.lit(4)).alias("head4"),
+        F.right("p_name", F.lit(3)).alias("tail3"),
+    )
+
+
+@op(
+    "fn_try_cast",
+    sql="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS chars_roundtrip,
+           TRY_CAST('not a date' AS DATE) IS NULL AS bad_date_is_null
+    FROM documents
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """Safe casting: invalid casts yield NULL instead of failing the job —
+    the R15 error-channel philosophy at expression level (a malformed cell
+    must never kill a 100 TB scan)."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.try_to_number("lang", F.lit("999")).cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+        F.lit("not a date").try_cast("date").isNull().alias("bad_date_is_null"),
+    )
+
+
+@op(
+    "win_mixed_frame",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+           ), 2) AS windowed_sum,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+           ) AS frame_size
+    FROM orders
+    """,
+)
+def win_mixed_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded mixed frame (2 preceding .. 1 following) — sliding-context
+    aggregation over row frames."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 1)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("windowed_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_size"),
+    )
+
+
+@op("agg_approx_percentile", sql=None)  # sketch-based → rows-only
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (mergeable sketch — the 100 TB path where
+    exact percentile's full sort per group is prohibitive)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("approx_p99"),
+    )
+
+
+@op(
     "win_percent_rank_cume",
     sql="""
     SELECT c_custkey, c_mktsegment,
