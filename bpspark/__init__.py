@@ -24,6 +24,7 @@ def load_all() -> None:
     """Import every operator module so registrations are visible."""
     import bpspark.relational  # noqa: F401
     import bpspark.relational_ext  # noqa: F401
+    import bpspark.layout  # noqa: F401
     import bpspark.analytics  # noqa: F401
     import bpspark.functions  # noqa: F401
     import bpspark.sources  # noqa: F401

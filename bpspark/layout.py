@@ -1,0 +1,122 @@
+"""Physical table layout operators — the bronze/silver storage posture
+(SURVEY §4.4) made concrete and testable:
+
+- partitioned writes + partition-pruned reads (the reference's
+  ``{year}/{isbn}`` completed-books layout, MetadataIngestionServiceImpl
+  .java:200-203, as a parquet partition scheme)
+- bucketed tables co-located on the join key → shuffle-free fact joins
+
+At 100 TB these two are the difference between touching 100 TB and
+touching 100 GB: partition pruning bounds the scan, bucketing deletes the
+per-query shuffle."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.registry import op
+
+_SILVER_DIR: dict[str, str] = {}
+
+
+def silver_orders_path(spark: SparkSession, sf: str) -> str:
+    """Write orders once per (process, sf) as a year-partitioned silver
+    table; later reads prune partitions."""
+    if sf not in _SILVER_DIR:
+        d = tempfile.mkdtemp(prefix="bpspark_silver_")
+        (
+            table(spark, sf, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.partitionBy("order_year")
+            .parquet(d, mode="overwrite")
+        )
+        _SILVER_DIR[sf] = d
+    return _SILVER_DIR[sf]
+
+
+@op(
+    "sink_partitioned_silver",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY year(o_orderdate)
+    """,
+)
+def sink_partitioned_silver(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trip through the partitioned silver layout: write orders
+    partitioned by year, read back ONLY two partitions (the scan's
+    PartitionFilters prune the rest — asserted in tests/test_plans.py),
+    aggregate. The oracle recomputes from the raw table, proving the
+    partitioned round-trip is lossless."""
+    d = silver_orders_path(spark, sf)
+    silver = spark.read.parquet(d)
+    return (
+        silver.filter(F.col("order_year").isin(1996, 1997))
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Create bucketed copies of orders/lineitem in the session catalog
+    (8 buckets on the join key, sorted within buckets). Table names carry a
+    process-unique suffix: the in-memory catalog forgets tables between
+    processes but their managed locations under spark-warehouse/ persist,
+    so reusing a name raises LOCATION_ALREADY_EXISTS."""
+    if sf not in _BUCKETED:
+        import uuid
+
+        tag = uuid.uuid4().hex[:10]
+        to, tl = f"bp_orders_b_{tag}", f"bp_lineitem_b_{tag}"
+        table(spark, sf, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).format("parquet").mode("overwrite").saveAsTable(to)
+        table(spark, sf, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).format("parquet").mode("overwrite").saveAsTable(tl)
+        _BUCKETED[sf] = (to, tl)
+    return _BUCKETED[sf]
+
+
+@op(
+    "join_bucketed_colocated",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB fact-join answer: both tables bucketed 8-way on the join
+    key → the sort-merge join reads co-located buckets with NO exchange on
+    either side (asserted in tests/test_plans.py). The oracle recomputes
+    from the raw tables, proving bucketing changes layout, not results."""
+    to, tl = _ensure_bucketed_tables(spark, sf)
+    # merge hint: at toy scale the optimizer would broadcast the small side
+    # (also fine, but then bucketing proves nothing); at 100 TB neither fact
+    # side fits a broadcast and sort-merge is what the planner picks anyway
+    o = spark.table(to).hint("merge")
+    li = spark.table(tl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

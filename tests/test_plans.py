@@ -78,6 +78,27 @@ def test_union_all_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_partitioned_silver_prunes(spark):
+    """Reading 2 years from the year-partitioned silver table must show
+    partition pruning at the scan."""
+    plan = plan_of(spark, "sink_partitioned_silver")
+    assert "PartitionFilters" in plan
+    assert "order_year IN (1996,1997)" in plan.replace(" ", "").replace("#", " #") or \
+           "order_year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Both sides bucketed on the join key → the join itself needs no
+    Exchange; the only exchange allowed is the post-aggregation one."""
+    plan = plan_of(spark, "join_bucketed_colocated")
+    join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # bucketed scans: no Exchange between the scans and the join
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan  # bucket pruning info proves bucketed scan
+
+
 @pytest.mark.parametrize("name", ["fn_string", "fn_math", "fn_conditional"])
 def test_scalar_families_stay_in_codegen(spark, name):
     plan = plan_of(spark, name)
