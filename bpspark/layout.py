@@ -81,12 +81,16 @@ def _ensure_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
 
         tag = uuid.uuid4().hex[:10]
         to, tl = f"bp_orders_b_{tag}", f"bp_lineitem_b_{tag}"
+        base = tempfile.mkdtemp(prefix="bpspark_bucketed_")
+        # explicit paths → external tables in a guaranteed-writable tmp dir
+        # (the default managed location lives under the *caller's* cwd in
+        # spark-warehouse/, which may not be writable for the driver)
         table(spark, sf, "orders").write.bucketBy(8, "o_orderkey").sortBy(
             "o_orderkey"
-        ).format("parquet").mode("overwrite").saveAsTable(to)
+        ).format("parquet").option("path", f"{base}/{to}").saveAsTable(to)
         table(spark, sf, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
             "l_orderkey"
-        ).format("parquet").mode("overwrite").saveAsTable(tl)
+        ).format("parquet").option("path", f"{base}/{tl}").saveAsTable(tl)
         _BUCKETED[sf] = (to, tl)
     return _BUCKETED[sf]
 
