@@ -195,3 +195,60 @@ def q_order_fulfillment_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("pipeline_value"),
         F.count(F.when(F.col("shipped_lines") == F.col("total_lines"), 1)).alias("fully_shipped"),
     )
+
+
+@op(
+    "agg_corr_regr",
+    sql="""
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+               AS corr_xy,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS regr_slope_yx,
+           (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+               AS regr_intercept_yx
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               ROUND(SUM(l_discount), 2) AS sx,
+               ROUND(SUM(l_tax), 2) AS sy,
+               ROUND(SUM(l_discount * l_discount), 4) AS sxx,
+               ROUND(SUM(l_tax * l_tax), 4) AS syy,
+               ROUND(SUM(l_discount * l_tax), 4) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation + simple linear regression (corr / regr_slope /
+    regr_intercept family) via stabilized moments, per group.
+
+    Native corr()/regr_*() differ across engines in the last ulps
+    (accumulation order), so the cross-engine-exact form snaps the exact-2dp
+    moment sums with ROUND (the agg_stddev_stable trick: l_discount and
+    l_tax are small-magnitude exact-decimal columns, so Σx, Σx², Σxy are
+    exactly representable after rounding) and then evaluates the SAME
+    IEEE-deterministic expression tree in both engines. One shuffle,
+    partial-aggregated map-side — the moments are plain SUMs, so this holds
+    at 100 TB exactly like any groupBy-sum."""
+    li = table(spark, sf, "lineitem")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("l_discount"), 2).alias("sx"),
+        F.round(F.sum("l_tax"), 2).alias("sy"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_discount")), 4).alias("sxx"),
+        F.round(F.sum(F.col("l_tax") * F.col("l_tax")), 4).alias("syy"),
+        F.round(F.sum(F.col("l_discount") * F.col("l_tax")), 4).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    slope = cov_n / var_x
+    return moments.select(
+        "l_returnflag",
+        "n",
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_xy"),
+        slope.alias("regr_slope_yx"),
+        ((sy - slope * sx) / n).alias("regr_intercept_yx"),
+    )

@@ -265,3 +265,38 @@ def fn_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("vec_id") < 50)
         .select("vec_id", F.explode("embedding").alias("component"))
     )
+
+
+@op(
+    "fn_arrays_zip",
+    sql="""
+    SELECT vec_id, unnest(range(4)) AS pos,
+           CAST(unnest(embedding[1:4]) AS DOUBLE) AS x,
+           CAST(unnest(embedding[5:8]) AS DOUBLE) AS y
+    FROM embeddings
+    """,
+)
+def fn_arrays_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional zip of two array columns into array<struct> and flatten:
+    arrays_zip + posexplode (DuckDB oracle: parallel unnest, which zips by
+    position). The struct-field path (z.x / z.y) exercises nested-type
+    projection; float->double widening is exact so values hash identically.
+    Stays entirely in codegen'd JVM expressions — at 100 TB this is a
+    narrow map-side transform, no shuffle."""
+    emb = table(spark, sf, "embeddings")
+    z = emb.select(
+        "vec_id",
+        F.arrays_zip(
+            F.slice("embedding", 1, 4).alias("x"),
+            F.slice("embedding", 5, 4).alias("y"),
+        ).alias("z"),
+    )
+    return z.select(
+        "vec_id",
+        F.posexplode("z").alias("pos", "s"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("s.x").cast("double").alias("x"),
+        F.col("s.y").cast("double").alias("y"),
+    )

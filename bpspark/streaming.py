@@ -453,3 +453,52 @@ def stream_drop_folder(spark: SparkSession, sf: str) -> DataFrame:
         .select("isbn", "length", "modificationTime")
     )
     return run_to_memory(arrivals)
+
+
+@op(
+    "stream_interval_join",
+    sql="""
+    SELECT e1.event_id AS a_event_id, e2.event_id AS b_event_id, e1.user_id
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id % 2 = 0
+     AND e2.event_id % 2 = 1
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition: for
+    each even-id event, the odd-id events of the same user within the next
+    5 minutes. Both sides carry a 1h watermark and the join condition bounds
+    event time in both directions, so Spark's symmetric hash join can evict
+    state — the form that holds up on an unbounded 100 TB/day stream.
+    Replayed here via file source + AvailableNow; the complete replay makes
+    the batch theta join the exact oracle."""
+    stage = tempfile.mkdtemp(prefix="bpspark_ssj_")
+    src = f"{stage}/src"
+    table(spark, sf, "events").select("event_id", "ts", "user_id").write.parquet(src)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    left, right = side(0, "a"), side(1, "b")
+    joined = left.join(
+        right,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("a_event_id", "b_event_id", F.col("a_user_id").alias("user_id"))
+    return run_to_memory(joined)
