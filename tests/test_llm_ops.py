@@ -37,6 +37,10 @@ def test_simhash_finds_planted_neardups(spark):
     hits = sum((i, i + 1_000_000) in found for i in range(25))
     # one appended word flips few bits; most planted twins must collide
     assert hits >= 20, f"only {hits}/25 planted twins found by simhash"
+    # the jaccard re-rank must keep output near-dup-sized, not
+    # hamming-screen-sized (the screen alone passes ~22k pairs here)
+    assert len(rows) < 500, f"{len(rows)} pairs — re-rank not pruning"
+    assert all(r.jaccard >= 0.5 and r.hamming <= 7 for r in rows)
 
 
 def test_ivf_recall_vs_brute_force(spark):
