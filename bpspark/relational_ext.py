@@ -560,3 +560,85 @@ def sql_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
     for t in ("orders", "customer"):
         table(spark, sf, t).createOrReplaceTempView(t)
     return spark.sql(SQL_E2E)
+
+
+@op(
+    "agg_mode",
+    sql="""
+    SELECT l_returnflag, q AS mode_quantity, cnt AS mode_count FROM (
+        SELECT l_returnflag, q, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, q ASC) AS rn
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag, q)
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical mode with a deterministic tie-break (highest count, then
+    smallest value — native mode() tie-breaks are engine-arbitrary, so
+    cross-engine parity needs the explicit argmax form). Spark plan: two
+    hash aggregations (count per (group, value), then max_by over a
+    (count, -value) struct) — both partial-aggregate map-side, no window
+    sort anywhere. At 100 TB this is two narrow shuffles on keys that
+    shrink at each step; the window-based form would sort every group."""
+    li = table(spark, sf, "lineitem")
+    cnt = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cnt.groupBy("l_returnflag").agg(
+        F.max_by(F.col("q"), F.struct(F.col("cnt"), (-F.col("q")).alias("nq"))).alias(
+            "mode_quantity"
+        ),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@op(
+    "join_range_bucketed",
+    sql="""
+    SELECT e1.event_id AS a_event_id, e2.event_id AS b_event_id, e1.user_id
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of join_theta_range: quantize event time into
+    buckets the size of the join window (5 min), explode the left side to
+    (bucket, bucket+1), and equi-join on (user_id, bucket) before applying
+    the exact range residual. Identical output to the plain theta join
+    (the window spans at most two buckets), but the hash join key now
+    includes time — per-user histories no longer fan out quadratically
+    within the join, which is the difference between hours and minutes on
+    dense keys. Each (e1, e2) pair matches exactly once because e2 carries
+    one bucket and the exploded pair {b, b+1} is distinct."""
+    bucket_us = 300 * 1_000_000  # 5 minutes in microseconds
+    ev = table(spark, sf, "events").select("event_id", "ts", "user_id")
+    e1 = ev.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+        "user_id",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / bucket_us),
+                F.floor(F.unix_micros("ts") / bucket_us) + 1,
+            )
+        ).alias("bucket"),
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("user_id").alias("b_user_id"),
+        F.floor(F.unix_micros("ts") / bucket_us).alias("bucket"),
+    )
+    return e1.join(
+        e2,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (e1.bucket == e2.bucket)
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("a_event_id", "b_event_id", "user_id")
