@@ -728,3 +728,65 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+@op(
+    "text_normalize_clean",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-pipeline text normalization: lowercase, strip non-
+    alphanumerics, collapse whitespace. The regex classes used ([^a-z0-9 ]
+    and ' +') mean the same thing in Java regex and RE2, so the oracle is
+    exact. Narrow map-side transform — codegen'd, no shuffle."""
+    d = table(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", clean.alias("clean_text"))
+
+
+@op(
+    "dedup_exact_normalized",
+    sql="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS content_key,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY content_key
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup after normalization — catches copies that differ only in
+    case/punctuation/whitespace (the dominant exact-dup mode in web text).
+    Hash-groupBy on md5(clean): one shuffle on a uniform 128-bit key, so no
+    skew regardless of content distribution; min(doc_id) elects a
+    deterministic canonical survivor. Emits the full content_key →
+    canonical assignment (the artifact a rewrite join consumes), not just
+    the >1 groups."""
+    d = table(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(clean).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

@@ -642,3 +642,24 @@ def join_range_bucketed(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("a_event_id", "b_event_id", "user_id")
+
+
+@op(
+    "agg_bool_and_or",
+    sql="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)            AS all_over_1000,
+           bool_or(o_orderpriority = '1-URGENT')    AS any_urgent,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregates (every/any — SQL bool_and/bool_or): exact,
+    order-independent, partial-aggregate map-side like any algebraic agg."""
+    o = table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1000"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
