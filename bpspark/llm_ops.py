@@ -790,3 +790,62 @@ def dedup_exact_normalized(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+@op(
+    "text_pii_redact",
+    sql="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text || ' contact user' || doc_id || '@example.com',
+                              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{4,}', '[NUM]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing for training data: regex redaction of emails and long
+    digit runs. A deterministic synthetic email is appended per doc (the
+    corpus has none) so the redaction path is actually exercised. The
+    character classes mean the same thing in Java regex and RE2 → exact
+    oracle. Narrow map-side transform, no shuffle, codegen'd."""
+    d = table(spark, sf, "documents")
+    augmented = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(augmented, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+        r"[0-9]{4,}",
+        "[NUM]",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+@op(
+    "text_ngram_freq",
+    sql="""
+    SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+    ) GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level n-gram frequency (top-20 bigrams, deterministic
+    tie-break). Spark side builds bigrams with the shingle helper (JVM
+    higher-order fns, no per-doc Python), then one hash aggregation on the
+    bigram string; top-k via TakeOrderedAndProject — no global sort. At
+    100 TB the groupBy key space is the vocabulary², but partial
+    aggregation collapses it map-side and the final shuffle carries only
+    distinct bigrams."""
+    d = table(spark, sf, "documents")
+    bigrams = d.select(
+        F.explode(_word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

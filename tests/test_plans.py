@@ -104,3 +104,26 @@ def test_scalar_families_stay_in_codegen(spark, name):
     plan = plan_of(spark, name)
     assert "[codegen id :" in plan  # whole-stage codegen span present
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_corr_regr_single_shuffle_partial_agg(spark):
+    plan = plan_of(spark, "agg_corr_regr")
+    # moments are plain SUMs: partial + final hash agg, exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("+- Exchange") == 1
+    # only the 3 needed lineitem columns are read
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in rs and "l_discount" in rs and "l_tax" in rs
+
+
+def test_mode_avoids_window_sort(spark):
+    plan = plan_of(spark, "agg_mode")
+    assert "Window" not in plan  # argmax form, not row_number
+    assert plan.count("HashAggregate") >= 4  # partial+final × two stages
+
+
+def test_range_joins_never_cartesian(spark):
+    for name in ("join_theta_range", "join_range_bucketed"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
