@@ -849,3 +849,168 @@ def text_ngram_freq(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@op(
+    "dedup_cluster_cc",
+    sql="""
+    WITH RECURSIVE
+    base_edges AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst
+        FROM documents
+        WHERE doc_id % 10 < 3
+          AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ),
+    edges AS (
+        SELECT src, dst FROM base_edges
+        UNION SELECT dst, src FROM base_edges
+        UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over a dedup pair graph — the step that turns
+    pairwise near-dup hits into KEEP/DROP clusters (every dedup pipeline
+    needs it; pairs alone don't dedup anything). Distributed min-label
+    propagation: each iteration joins labels across edges and takes the
+    per-node min, until a fixpoint — the DataFrame analogue of
+    large-star/small-star; iterations needed = component diameter, and
+    each one is an ordinary shuffle join, so 100 TB of edges works like
+    any other join. Labels are localCheckpoint()ed per iteration to
+    truncate the growing lineage (on a cluster: checkpoint to durable
+    storage). The edge set here is a deterministic doc_id chain graph
+    (i→i+1 where i%10<3, components of ≤4 nodes) so the DuckDB
+    recursive-CTE oracle can build the same graph; in production the
+    input is any pair list (minhash/simhash/embedding output)."""
+    docs = table(spark, sf, "documents").select("doc_id")
+    base = (
+        docs.filter(F.col("doc_id") % 10 < 3)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+N_PLANES = 8  # 256 LSH buckets; multi-probe widens recall
+
+
+def _plane_weights(p: int, dim: int = 64) -> list[float]:
+    """Deterministic ±1 hyperplane from blake2b bits — no RNG, so the
+    bucketing is stable across runs/engines/partitionings."""
+    import hashlib
+
+    digest = hashlib.blake2b(f"bpspark-lsh-{p}".encode(), digest_size=dim // 8).digest()
+    bits = "".join(f"{byte:08b}" for byte in digest)
+    return [1.0 if bits[d] == "1" else -1.0 for d in range(dim)]
+
+
+def _embeddings_with_planted_twins(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus + 25 planted near-identical twins (vec_id+1M, small fixed
+    ±0.03 perturbation → cosine ≈ 0.95) — the embedding analogue of
+    _docs_with_planted_neardups: the raw synthetic corpus has NO
+    high-cosine pairs (verified: dedup_embedding_cosine finds zero), so
+    approximate methods need planted positives to measure recall against."""
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    noise = _plane_weights(99)  # deterministic ±1 vector
+    twins = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(0.03 * w) for w in noise]),
+            lambda x, n: (x.cast("double") + n).cast("float"),
+        ).alias("embedding"),
+    )
+    return e.unionByName(twins)
+
+
+@op("sim_cosine_lsh", sql=None)  # approximate — planted-twin recall in tests
+def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the third scale path next to brute force
+    and IVF): each vector gets an 8-bit signature — the sign pattern of its
+    projections onto 8 deterministic ±1 hyperplanes — and the corpus is
+    hash-partitioned by that bucket. Queries multi-probe their own bucket
+    plus all 8 single-bit flips (cosine-close vectors differ in few sign
+    bits), so each query touches ~9/256 of the corpus instead of all of
+    it. Projections are JVM higher-order folds over literal weight arrays
+    — no Python, no shuffle until the bucket join. Sign-LSH concentrates
+    HIGH-cosine neighbors (planted twins at ~0.95 are found reliably);
+    on isotropic data with no real neighbors (this corpus's top-5 sit
+    near cosine 0.3) no sublinear method can do well — which is exactly
+    why the recall test uses planted positives."""
+    e = _with_norm(_embeddings_with_planted_twins(spark, sf))
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(w) for w in _plane_weights(p)]),
+                lambda x, wgt: x.cast("double") * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in range(N_PLANES)
+    ]
+    bucket = sum(
+        (F.when(proj[p] > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)),
+        start=F.lit(0),
+    )
+    sig = e.select("vec_id", "embedding", "norm", bucket.alias("bucket"))
+    probes = sig.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        sig.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+        .distinct()  # a neighbor can match on several probed buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )

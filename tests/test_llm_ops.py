@@ -84,3 +84,14 @@ def test_exact_dedup_identity_on_dupfree_corpus(spark):
     """f∘f = f: on a duplicate-free corpus every hash group has one member."""
     res = OPS["dedup_exact_hash"].fn(spark, SF_SMALL)
     assert res.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_lsh_finds_planted_twin_embeddings(spark):
+    rows = OPS["sim_cosine_lsh"].fn(spark, SF_SMALL).collect()
+    found = {(r.query_id, r.neighbor_id) for r in rows}
+    hits = sum((q, q + 1_000_000) in found for q in range(25))
+    # sign-LSH with hamming<=1 multi-probe: ~0.95-cosine twins land in the
+    # probed buckets for nearly all queries (op is fully deterministic;
+    # measured 24/25 at this scale)
+    assert hits >= 20, f"only {hits}/25 planted twins found by LSH"
+    assert all(r.query_id < 25 for r in rows)  # only the 25 query vectors
