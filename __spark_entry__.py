@@ -33,9 +33,23 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _with_worker_imports(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bpspark.ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "op")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.3."""
-    return bpspark.queries()
+    """One entry per implemented operator from SURVEY.md §2.3. Each callable
+    first ships the bpspark package to executor Python workers (addPyFile)
+    so UDF-bearing ops work regardless of the driver's cwd."""
+    return {name: _with_worker_imports(fn) for name, fn in bpspark.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -32,3 +32,30 @@ def load_all() -> None:
     import bpspark.streaming  # noqa: F401
     import bpspark.llm_ops  # noqa: F401
     import bpspark.udfs  # noqa: F401
+
+
+def ensure_worker_imports(spark) -> None:
+    """Make ``bpspark`` importable on executor Python workers.
+
+    Ops that ship Python to executors (pandas UDFs, mapInPandas,
+    foreachBatch) are cloudpickled BY REFERENCE for module-level
+    functions, so the worker process must be able to ``import bpspark``.
+    When the driver runs from the repo cwd that works by accident; from
+    any other cwd it does not. Shipping the package via ``addPyFile``
+    (a zip on every executor's PYTHONPATH) makes worker imports
+    cwd-independent — the same mechanism used for real multi-node
+    clusters, where the package must travel to executors anyway."""
+    sc = spark.sparkContext
+    if getattr(sc, "_bpspark_pyfile_added", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg = pathlib.Path(__file__).parent
+    zpath = pathlib.Path(tempfile.mkdtemp(prefix="bpspark_pyfile_")) / "bpspark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg.rglob("*.py")):
+            z.write(f, f"bpspark/{f.relative_to(pkg)}")
+    sc.addPyFile(str(zpath))
+    sc._bpspark_pyfile_added = True
