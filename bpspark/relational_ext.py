@@ -663,3 +663,37 @@ def agg_bool_and_or(spark: SparkSession, sf: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@op(
+    "win_time_range_interval",
+    sql="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           MAX(value) OVER w AS max_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-time-window aggregates (events per user in the preceding
+    hour): RANGE frame over epoch microseconds — the rolling-feature shape
+    every time-series/feature pipeline needs. Partitioned by user, so at
+    100 TB each window sort is per-user-local after one shuffle; only
+    exact aggregates (count/max) are used because windowed float SUMs
+    accumulate in engine-specific order."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.max("value").over(w).alias("max_last_hour"),
+    )
