@@ -30,6 +30,7 @@ def load_all() -> None:
     import bpspark.sources  # noqa: F401
     import bpspark.pipeline  # noqa: F401
     import bpspark.streaming  # noqa: F401
+    import bpspark.timeseries  # noqa: F401
     import bpspark.llm_ops  # noqa: F401
     import bpspark.udfs  # noqa: F401
 

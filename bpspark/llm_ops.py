@@ -1014,3 +1014,55 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET_TOKENS = 1024
+
+
+def _pack_greedy_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    out: list[tuple] = []
+    src = pdf["source"].iloc[0]
+    pack_id, n_docs, tok, first_id = 0, 0, 0, None
+    for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+        if n_docs > 0 and tok + n_tok > _PACK_BUDGET_TOKENS:
+            out.append((src, pack_id, n_docs, tok, first_id, prev_id))
+            pack_id, n_docs, tok, first_id = pack_id + 1, 0, 0, None
+        if first_id is None:
+            first_id = doc_id
+        n_docs += 1
+        tok += n_tok
+        prev_id = doc_id
+    if n_docs:
+        out.append((src, pack_id, n_docs, tok, first_id, prev_id))
+    return pd.DataFrame(
+        out,
+        columns=["source", "pack_id", "n_docs", "pack_tokens", "first_doc_id", "last_doc_id"],
+    )
+
+
+@op("doc_pack_greedy")
+def doc_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy context-window packing: concatenate consecutive documents
+    (doc_id order within each source) until adding the next would exceed
+    the 1024-token budget, then start a new pack — the sequence-packing
+    step of a training-data pipeline. Token counts are computed JVM-side
+    (split + size in the scan stage); Python does only the inherently
+    sequential cut placement, one Arrow batch per source group. Packing is
+    embarrassingly parallel across groups: at 100 TB you subdivide to
+    (source, shard) keys and pack per shard — the greedy cut needs only
+    in-order iteration within its own group, never global state. An
+    oversized single document becomes its own pack (budget can only be
+    exceeded by a one-doc pack), so no document is ever dropped."""
+    d = table(spark, sf, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return d.groupBy("source").applyInPandas(
+        _pack_greedy_group,
+        "source string, pack_id long, n_docs long, pack_tokens long, "
+        "first_doc_id long, last_doc_id long",
+    )

@@ -666,6 +666,59 @@ def agg_bool_and_or(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @op(
+    "win_ntile_bucketize",
+    sql="""
+    WITH t AS (
+      SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM t GROUP BY bucket
+    """,
+)
+def win_ntile_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile bucketization via NTILE with a deterministic tie-break
+    (feature discretization / quantile binning). NOTE the scale caveat:
+    an unpartitioned NTILE collapses to a single-partition sort — fine as
+    the exact-semantics demo, but at 100 TB the right plan is
+    approxQuantile boundaries broadcast into a width-bucket expression
+    (see agg_histogram_fixed for the scan-local shape)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf, "orders")
+    t = o.select(
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+        "o_totalprice",
+    )
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@op(
+    "agg_histogram_fixed",
+    sql="""
+    SELECT CAST(FLOOR((l_extendedprice - 900.0) / 5000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (data profiling): bucket = floor((x-lo)/w)
+    computed inside the scan stage — no sort, no window, fully scan-local
+    partial aggregation, the 100 TB-safe way to bucketize. The identical
+    IEEE double expression runs on both engines, so floor() agrees
+    bit-for-bit."""
+    li = table(spark, sf, "lineitem")
+    bucket = F.floor((F.col("l_extendedprice") - F.lit(900.0)) / F.lit(5000.0))
+    return li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
     "win_time_range_interval",
     sql="""
     SELECT event_id, user_id,

@@ -1,0 +1,129 @@
+"""Time-series operators over the ``events`` table: batch sessionization
+(gap-based session assignment) and calendar gap-filling with
+last-observation-carried-forward. Both are pure window/sequence
+compositions — no Python on the hot path — and both shuffle exactly once
+on ``user_id``, so at 100 TB each user's timeline is processed locally
+after a single exchange.
+
+Reference parity: the reference pipeline (SURVEY §2.1 R9/R12) groups
+per-entity records by time to pick the latest metadata revision; these ops
+generalize that per-entity time ordering to sessions and daily panels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bpspark.io import table
+from bpspark.registry import op
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@op(
+    "sessionize_batch",
+    sql="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: a 30-minute inactivity gap starts a new
+    session (lag → gap flag → running sum = session id). The window and
+    the final groupBy share the ``user_id`` hash partitioning, so Catalyst
+    reuses one exchange; all times are integer microseconds (exact
+    cross-engine math, ties broken by event_id)."""
+    ev = table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.when(
+        F.lag("ts_us").over(order).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(order) > _SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(gap).over(running))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@op(
+    "ts_gapfill_locf",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, day, day_value FROM (
+        SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               value AS day_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(CAST(u.d AS DATE) AS VARCHAR) AS day
+      FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT s.user_id, s.day,
+           LAST_VALUE(daily.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill with LOCF: build each user's daily spine
+    (sequence of days between their first and last event), left-join the
+    observed last-value-of-day (max_by on (ts, event_id) — a picked input
+    value, never float arithmetic), and carry the last non-null forward.
+    The spine explode is per-user (~rows × days/user, bounded), and spine,
+    daily agg, join, and window all hash on user_id — one shuffle total.
+    Days travel as ISO strings to keep the oracle date-type-free."""
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    daily = ev.groupBy("user_id", F.col("d").alias("day_d")).agg(
+        F.max_by("value", F.struct("ts_us", "event_id")).alias("day_value")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day_d"))
+    )
+    joined = spine.join(daily, ["user_id", "day_d"], "left")
+    locf = (
+        Window.partitionBy("user_id")
+        .orderBy("day_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("day_d").cast("string").alias("day"),
+        F.last("day_value", ignorenulls=True).over(locf).alias("filled_value"),
+    )

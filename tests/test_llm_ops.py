@@ -95,3 +95,28 @@ def test_lsh_finds_planted_twin_embeddings(spark):
     # measured 24/25 at this scale)
     assert hits >= 20, f"only {hits}/25 planted twins found by LSH"
     assert all(r.query_id < 25 for r in rows)  # only the 25 query vectors
+
+
+def test_doc_pack_greedy_invariants(spark):
+    from bpspark.llm_ops import _PACK_BUDGET_TOKENS
+
+    packs = OPS["doc_pack_greedy"].fn(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs_total = docs.count()
+    # every document lands in exactly one pack
+    assert sum(p.n_docs for p in packs) == n_docs_total
+    by_src: dict = {}
+    for p in packs:
+        # budget respected unless a single oversized doc forms the pack
+        assert p.n_docs == 1 or p.pack_tokens <= _PACK_BUDGET_TOKENS, p
+        assert p.first_doc_id <= p.last_doc_id
+        by_src.setdefault(p.source, []).append(p)
+    for src, ps in by_src.items():
+        ps.sort(key=lambda p: p.pack_id)
+        # pack ids dense from 0; packs contiguous & ordered in doc_id space
+        assert [p.pack_id for p in ps] == list(range(len(ps)))
+        for a, b in zip(ps, ps[1:]):
+            assert a.last_doc_id < b.first_doc_id
+    # deterministic: second run produces the identical pack set
+    again = OPS["doc_pack_greedy"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))

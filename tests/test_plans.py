@@ -127,3 +127,34 @@ def test_range_joins_never_cartesian(spark):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_single_shuffle_partial_agg(spark):
+    plan = plan_of(spark, "agg_histogram_fixed")
+    # bucket expression folds into the scan stage: partial agg before the
+    # one hash exchange, final after — no sort, no window
+    assert plan.count("HashAggregate") >= 2
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1  # the single partial→final shuffle
+    assert "Window" not in tree and "Sort" not in tree
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "struct<l_extendedprice:double>" in rs  # single-column scan
+
+
+def test_sessionize_window_and_agg_share_user_partitioning(spark):
+    plan = plan_of(spark, "sessionize_batch")
+    # both lag/sum windows run under ONE user_id exchange; the final
+    # groupBy(user_id, session_id) is the only other shuffle
+    assert plan.count("hashpartitioning(user_id") >= 1
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") <= 2
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "props" not in rs and "event_type" not in rs  # pruned
+
+
+def test_gapfill_prunes_and_joins_on_user_day(spark):
+    plan = plan_of(spark, "ts_gapfill_locf")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" not in line and "event_type" not in line
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
