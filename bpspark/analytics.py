@@ -252,3 +252,288 @@ def agg_corr_regr(spark: SparkSession, sf: str) -> DataFrame:
         slope.alias("regr_slope_yx"),
         ((sy - slope * sx) / n).alias("regr_intercept_yx"),
     )
+
+
+@op(
+    "q_order_priority_exists",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_order_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a half-year window that have at least one
+    late-shipping lineitem, counted by priority. The EXISTS decorrelates to
+    a LEFT SEMI join on the order key with the ship-after-order predicate as
+    a join condition — one shuffle on the key, no duplicate inflation, and
+    Catalyst keeps the date filter pushed into the orders scan."""
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@op(
+    "q_customer_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, with a
+    non-key join predicate on the outer side (priority exclusion — the
+    classic "comments NOT LIKE" slot). LEFT OUTER keeps zero-order
+    customers as c_count=0. Two aggregations: the first shuffles on
+    c_custkey, the second on the (tiny-cardinality) count — the second
+    shuffle is negligible at any scale."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@op(
+    "q_promo_revenue_share",
+    sql="""
+    SELECT ROUND(100.0 * promo_rev / total_rev, 4) AS promo_share_pct,
+           promo_rev, total_rev
+    FROM (
+        SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS promo_rev,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+    )
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one quarter. part is the
+    broadcast dim; the conditional aggregate is a single map-side-partial
+    pass over the date-pruned lineitem scan. Both engines round the two
+    sums first, then evaluate the identical IEEE division (determinism rule:
+    never round a ratio of unrounded float sums)."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+    )
+    return sums.select(
+        F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 4).alias("promo_share_pct"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+@op(
+    "q_small_quantity_revenue",
+    sql="""
+    WITH part_avg AS (
+        SELECT l_partkey AS pa_partkey,
+               SUM(l_quantity) / COUNT(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice), 2) AS below_avg_rev,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN part_avg ON l_partkey = pa_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
+    the per-part average — the correlated scalar subquery decorrelated into
+    an aggregate + self-join on l_partkey. l_quantity is integer-valued, so
+    SUM/COUNT is exact and the 0.5× threshold compare is bit-identical in
+    both engines. Both the fact and the per-part aggregate shuffle on
+    l_partkey, so AQE can plan the join without a third exchange."""
+    li = table(spark, sf, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pa_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("below_avg_rev"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@op(
+    "q_large_volume_customers",
+    sql="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to orders+customer, top-50 by price. The HAVING filter runs
+    map-side-partial first, so the surviving key set is tiny (~0.1% of
+    orders) and broadcasts into both subsequent joins — at 100 TB this is
+    one lineitem shuffle plus two broadcast probes, no orders/customer
+    shuffle. qty sums are integer-valued doubles → exact."""
+    li = table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@op(
+    "q_dormant_high_balance",
+    sql="""
+    WITH avg_bal AS (
+        SELECT ROUND(SUM(c_acctbal), 2) / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_dormant_high_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no orders,
+    grouped by segment. The scalar subquery (global average balance) is a
+    broadcast single-row cross join; NOT EXISTS is a LEFT ANTI join on
+    o_custkey. Average uses the round-sum-then-divide form so the threshold
+    double is bit-identical across engines; the anti join shuffles
+    customer+orders keys once each (orders projected to the key column
+    only, so the shuffle payload is minimal)."""
+    c = table(spark, sf, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("ab"))
+    )
+    o_keys = table(spark, sf, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@op(
+    "q_yoy_revenue_growth",
+    sql="""
+    SELECT order_year, revenue,
+           ROUND(100.0 * (revenue - prev_revenue) / prev_revenue, 4) AS yoy_growth_pct
+    FROM (
+        SELECT order_year, revenue,
+               LAG(revenue) OVER (ORDER BY order_year) AS prev_revenue
+        FROM (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY 1
+        )
+    )
+    ORDER BY order_year
+    """,
+)
+def q_yoy_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year revenue growth: per-year aggregate, then LAG over the
+    (tiny) year series and a post-round ratio. The expensive part is one
+    map-side-partial sum over orders; the window runs on a handful of rows,
+    so the single-partition window sort is irrelevant at any scale."""
+    o = table(spark, sf, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("order_year")
+    return (
+        yearly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .select(
+            "order_year",
+            "revenue",
+            F.round(100.0 * (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 4).alias("yoy_growth_pct"),
+        )
+        .orderBy("order_year")
+    )
