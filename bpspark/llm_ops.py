@@ -1066,3 +1066,109 @@ def doc_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
         "source string, pack_id long, n_docs long, pack_tokens long, "
         "first_doc_id long, last_doc_id long",
     )
+
+
+@op(
+    "doc_split_chunks",
+    sql="""
+    SELECT doc_id,
+           CAST(gs / 150 AS BIGINT)  AS chunk_idx,
+           CAST(gs AS BIGINT)        AS chunk_start,
+           substring(text, gs + 1, 200) AS chunk_text,
+           length(substring(text, gs + 1, 200)) AS chunk_len
+    FROM documents, unnest(generate_series(0, length(text) - 1, 150)) AS t(gs)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_split_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size character chunking with overlap (size 200, stride 150 →
+    50-char overlap) — the context-window splitter every training pipeline
+    runs before tokenization. Expressed as sequence→posexplode→substring:
+    pure codegen, no Python, no shuffle (the explode is pipeline-local and
+    the output inherits the scan's partitioning). At 100 TB this is a
+    map-only pass whose output is ~1.3× the input bytes."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(150))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("gs"))
+        .select(
+            "doc_id",
+            (F.col("gs") / 150).cast("long").alias("chunk_idx"),
+            F.col("gs").cast("long").alias("chunk_start"),
+            F.col("text").substr(F.col("gs") + 1, F.lit(200)).alias("chunk_text"),
+            F.length(F.col("text").substr(F.col("gs") + 1, F.lit(200))).alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@op(
+    "embedding_l2_normalize",
+    sql="""
+    WITH n AS (
+        SELECT vec_id,
+               embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+           CAST(embedding[i] AS DOUBLE) / l2_norm AS unit_val
+    FROM n, unnest(generate_series(1, len(embedding))) AS t(i)
+    ORDER BY vec_id, idx
+    """,
+)
+def embedding_l2_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2-normalize embeddings (the prep step before cosine ANN), emitted in
+    long (vec_id, idx, unit_val) form so the oracle hash avoids array-typed
+    cells. The norm is a sequential double fold — Spark `aggregate` and
+    DuckDB `list_sum(list_transform(...))` are bit-identical (verified in
+    round 1 over 1600 vector pairs). Map-only: no shuffle, scales linearly;
+    the posexplode is how you'd feed a columnar ANN index builder."""
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e.withColumn("l2_norm", F.sqrt(sq))
+        .select("vec_id", F.posexplode("embedding").alias("idx", "x"), "l2_norm")
+        .select(
+            "vec_id",
+            F.col("idx").cast("int").alias("idx"),
+            (F.col("x").cast("double") / F.col("l2_norm")).alias("unit_val"),
+        )
+        .orderBy("vec_id", "idx")
+    )
+
+
+@op(
+    "embedding_centroid_per_label",
+    sql="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS idx,
+           ROUND(SUM(CAST(embedding[i] AS DOUBLE)), 6) / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, idx
+    ORDER BY label, idx
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding (k-means-style centroid / class prototype),
+    long-form output. posexplode → groupBy(label, idx) is one shuffle whose
+    key space is labels×dim — tiny and perfectly balanced regardless of
+    input size, with full map-side partial aggregation. Float determinism:
+    round-sum-then-divide (sums of ~unit-scale doubles are stable far below
+    the 1e-6 rounding grain; the division of identical doubles is IEEE
+    bit-identical cross-engine)."""
+    e = table(spark, sf, "embeddings").select("label", "embedding")
+    return (
+        e.select("label", F.posexplode("embedding").alias("idx", "x"))
+        .groupBy("label", F.col("idx").cast("int").alias("idx"))
+        .agg(
+            (F.round(F.sum(F.col("x").cast("double")), 6) / F.count(F.lit(1))).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "idx")
+    )

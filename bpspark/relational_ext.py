@@ -750,3 +750,24 @@ def win_time_range_interval(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.max("value").over(w).alias("max_last_hour"),
     )
+
+
+@op("sample_stratified", sql=None)  # sampling is engine-specific by nature
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified (per-key) sample via ``sampleBy`` — downsample dominant
+    strata while keeping rare ones intact, the standard class-rebalancing
+    step for training-data curation. Seeded and reproducible within Spark;
+    rows-only because no cross-engine oracle shares Spark's sampler.
+    Map-only at any scale (per-row Bernoulli keyed by the stratum column;
+    no shuffle)."""
+    c = table(spark, sf, "customer")
+    fractions = {
+        "BUILDING": 0.2,
+        "AUTOMOBILE": 0.5,
+        "MACHINERY": 1.0,
+        "HOUSEHOLD": 0.05,
+        # FURNITURE intentionally absent -> dropped entirely
+    }
+    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
