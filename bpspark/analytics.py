@@ -537,3 +537,451 @@ def q_yoy_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@op(
+    "q_nation_trade_volume",
+    sql="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue, COUNT(*) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Both nation dims broadcast (double-aliased); the only shuffles
+    are lineitem×orders on orderkey and the final tiny group-by. The
+    disjunctive nation pair predicate lands AFTER the broadcast joins but
+    BEFORE the fact-fact shuffle of the aggregate, so at 100 TB the agg
+    input is already pair-filtered."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf, "orders")
+    s = table(spark, sf, "supplier")
+    c = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@op(
+    "q_market_share",
+    sql="""
+    SELECT o_year,
+           ROUND(nation_rev / total_rev, 6) AS mkt_share,
+           nation_rev, total_rev
+    FROM (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS nation_rev,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+    )
+    ORDER BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's STANDARD-
+    part revenue per year — conditional vs unconditional sum in a single
+    aggregate pass (no self-join, no second scan). Every dim broadcast;
+    the fact side shuffles once on orderkey. Float determinism: both sums
+    rounded to 2dp first, then the share is a division of identical
+    doubles (bit-identical cross-engine) rounded at 6dp."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yearly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)), 2
+            ).alias("nation_rev"),
+            F.round(F.sum(vol), 2).alias("total_rev"),
+        )
+    )
+    return yearly.select(
+        "o_year",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        "nation_rev",
+        "total_rev",
+    ).orderBy("o_year")
+
+
+@op(
+    "q_product_profit",
+    sql="""
+    SELECT nation, o_year, sum_revenue, sum_cost,
+           sum_revenue - sum_cost AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+               ROUND(SUM(0.1 * p_retailprice * l_quantity), 2) AS sum_cost
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY 1, 2
+    )
+    ORDER BY nation, o_year
+    """,
+)
+def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year. The
+    reference schema has no partsupp, so supply cost is proxied as
+    0.1×p_retailprice×l_quantity — same plan shape (part filter, 4 dims,
+    fact×fact on orderkey, two-key agg). part is filtered to 1/6 before
+    its join; supplier+nation broadcast. Float determinism: revenue and
+    cost are summed and rounded SEPARATELY (each a positive same-scale
+    sum, stable far below the 2dp grain); profit is then a difference of
+    bit-identical doubles — summing the signed amount directly put the
+    total exactly on a .xx5 boundary and flipped the last cent between
+    engines."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("sum_revenue"),
+            F.round(F.sum(cost), 2).alias("sum_cost"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            "sum_revenue",
+            "sum_cost",
+            (F.col("sum_revenue") - F.col("sum_cost")).alias("sum_profit"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@op(
+    "q_returned_items",
+    sql="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The returnflag filter prunes lineitem at the scan (pushed
+    down); orders date-filtered before the join; nation broadcast. Customer
+    join shuffles on custkey only after the fact side is pre-aggregatable.
+    Deterministic top-k: tie-break on c_custkey."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@op(
+    "q_priority_shipping_mix",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_priority_shipping_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→returnflag, schema has no l_shipmode):
+    per-flag counts of high- vs low-priority order lines shipped in a
+    year — join + conditional COUNT in one agg pass. Fact×fact shuffle on
+    orderkey; 3-row output."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@op(
+    "q_top_supplier",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The scalar
+    MAX subquery becomes a 1-row broadcast cross join against the per-
+    supplier aggregate — no collect, no second scan of lineitem (the agg
+    is reused for both sides). Equality on 2dp-rounded doubles is safe
+    cross-engine (both engines round the same decimal)."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@op(
+    "q_disjunctive_predicates",
+    sql="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicates (brand×size×
+    quantity triples). The part side is pre-filtered to the 3-brand union
+    (Catalyst derives `p_brand IN (...)` as a pushed-down common factor)
+    and broadcast; per-branch residuals evaluate post-join in codegen.
+    Single agg row out — no shuffle beyond the broadcast-join map side."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@op(
+    "q_waiting_orders",
+    sql="""
+    WITH ol AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    agg AS (
+        SELECT l_orderkey AS a_orderkey,
+               MAX(l_shipdate) AS max_ship,
+               COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM ol GROUP BY l_orderkey
+    ),
+    lastline AS (
+        SELECT ol.l_orderkey, ol.l_suppkey, agg.n_supp
+        FROM ol JOIN agg ON ol.l_orderkey = agg.a_orderkey
+                        AND ol.l_shipdate = agg.max_ship
+    ),
+    atmax AS (
+        SELECT l_orderkey AS m_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_at_max
+        FROM lastline GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+    FROM lastline
+    JOIN atmax ON l_orderkey = m_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp >= 2 AND n_at_max = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (no l_commitdate/l_receiptdate in schema): blame the
+    supplier whose line shipped LAST in a finished multi-supplier order,
+    excluding ties. The classic correlated EXISTS / NOT EXISTS pair is
+    decorrelated into two hash aggregates + re-joins on orderkey — every
+    join in the plan shares the orderkey partitioning, so at scale this is
+    one shuffle reused across four operators, not four shuffles. supplier
+    is broadcast at the end."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    agg = ol.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    lastline = ol.join(
+        agg,
+        (ol.l_orderkey == agg.a_orderkey) & (ol.l_shipdate == F.col("max_ship")),
+    ).select("l_orderkey", "l_suppkey", "n_supp")
+    atmax = lastline.groupBy(F.col("l_orderkey").alias("m_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_at_max")
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        lastline.join(atmax, lastline.l_orderkey == atmax.m_orderkey)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
