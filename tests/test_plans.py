@@ -158,3 +158,48 @@ def test_gapfill_prunes_and_joins_on_user_day(spark):
         if "ReadSchema" in line:
             assert "props" not in line and "event_type" not in line
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tier3_q7_broadcasts_dims_one_fact_shuffle_join(spark):
+    plan = plan_of(spark, "q_nation_trade_volume")
+    # supplier, customer, nation×2 broadcast; only lineitem×orders shuffles
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tier3_q8_single_agg_pass(spark):
+    plan = plan_of(spark, "q_market_share")
+    # conditional + total sums in ONE aggregate (no self-join / double scan):
+    # 8 table scans, each listed twice in formatted output (tree + node list)
+    assert plan.lower().count("scan parquet") <= 16
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tier3_q10_pushes_returnflag_to_scan(spark):
+    plan = plan_of(spark, "q_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tier3_q15_no_second_lineitem_scan_for_max(spark):
+    plan = plan_of(spark, "q_top_supplier")
+    # scalar-max side must reuse the aggregate, not rescan lineitem:
+    # lineitem appears at most twice in the formatted node list (AQE may
+    # re-list the reused exchange's scan)
+    assert plan.lower().count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tier3_q19_brand_in_pushed_to_part_scan(spark):
+    plan = plan_of(spark, "q_disjunctive_predicates")
+    # Catalyst pushes the whole brand×size disjunction into the part scan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tier3_q21_reuses_orderkey_partitioning(spark):
+    plan = plan_of(spark, "q_waiting_orders")
+    assert "CartesianProduct" not in plan
+    # all joins/aggs key on orderkey; the final supplier join broadcasts
+    assert plan.count("BroadcastHashJoin") >= 1
