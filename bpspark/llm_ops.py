@@ -1172,3 +1172,52 @@ def embedding_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label", "idx")
     )
+
+
+@op(
+    "embedding_quantize_int8",
+    sql="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v_min,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v_max
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+           CAST(least(floor((CAST(embedding[i] AS DOUBLE) - v_min)
+                            / (v_max - v_min) * 256.0), 255.0) AS INTEGER) AS code,
+           v_min, v_max
+    FROM b, unnest(generate_series(1, len(embedding))) AS t(i)
+    ORDER BY vec_id, idx
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector scalar quantization to 8-bit codes (the memory-compression
+    step before a 100 TB ANN index: 4 bytes/dim → 1). Min/max are array
+    folds (codegen, map-only); codes are floor((x-min)/(max-min)*256)
+    clamped to 255 — floor of bit-identical doubles is bit-identical
+    cross-engine, unlike round (no decimal-repr HALF_UP hazard). Long-form
+    output to keep the oracle hash scalar-typed."""
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min(as_double).alias("v_min"),
+        F.array_max(as_double).alias("v_max"),
+    )
+    code = F.least(
+        F.floor((F.col("x").cast("double") - F.col("v_min")) / (F.col("v_max") - F.col("v_min")) * 256.0),
+        F.lit(255.0),
+    ).cast("int")
+    return (
+        b.select("vec_id", F.posexplode("embedding").alias("idx", "x"), "v_min", "v_max")
+        .select(
+            "vec_id",
+            F.col("idx").cast("int").alias("idx"),
+            code.alias("code"),
+            "v_min",
+            "v_max",
+        )
+        .orderBy("vec_id", "idx")
+    )

@@ -771,3 +771,48 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     return c.sampleBy("c_mktsegment", fractions, seed=42).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+
+
+@op(
+    "agg_weighted_avg",
+    sql="""
+    SELECT c_mktsegment,
+           ROUND(SUM(o_totalprice * c_acctbal), 2) AS wsum,
+           ROUND(SUM(c_acctbal), 2) AS wtot,
+           ROUND(SUM(o_totalprice * c_acctbal), 2)
+             / ROUND(SUM(c_acctbal), 2) AS weighted_avg_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted average (account-balance-weighted order price per segment) —
+    SUM(w·x)/SUM(w) with both sums rounded BEFORE the division so the
+    quotient is a division of bit-identical doubles (never ROUND(AVG)).
+    One shuffle on custkey for the join, partial aggs on both sides of the
+    5-row segment rollup."""
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * F.col("c_acctbal")), 2).alias("wsum"),
+            F.round(F.sum("c_acctbal"), 2).alias("wtot"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            "wsum",
+            "wtot",
+            (F.col("wsum") / F.col("wtot")).alias("weighted_avg_price"),
+            "n_orders",
+        )
+        .orderBy("c_mktsegment")
+    )
