@@ -300,3 +300,37 @@ def fn_arrays_zip(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s.x").cast("double").alias("x"),
         F.col("s.y").cast("double").alias("y"),
     )
+
+
+@op(
+    "fn_array_hof",
+    sql="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 0.5)) > 0 AS has_big,
+           len(list_filter(embedding, x -> NOT (abs(x) < 10))) = 0 AS all_small,
+           ROUND(list_sum(list_transform(
+               list_filter(embedding, x -> x > 0),
+               x -> CAST(x AS DOUBLE))), 6) AS sum_pos
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions — filter / exists / forall / aggregate
+    lambdas over the embedding column, all JVM-side codegen (no Python).
+    DuckDB expresses exists/forall via list_filter lengths. sum_pos is a
+    sequential left fold in both engines (same order ⇒ bit-identical),
+    rounded at 6dp. Map-only at any scale."""
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    pos = F.filter("embedding", lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.size(pos).alias("n_pos"),
+        F.exists("embedding", lambda x: F.abs(x) > 0.5).alias("has_big"),
+        F.forall("embedding", lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(
+            F.aggregate(pos, F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")),
+            6,
+        ).alias("sum_pos"),
+    ).orderBy("vec_id")

@@ -1221,3 +1221,66 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id", "idx")
     )
+
+
+@op(
+    "text_tfidf_topterms",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE length(term) > 2
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document. Tokenize (split
+    on non-letters, codegen regex — identical classes in Java and DuckDB's
+    RE2), hash-agg to (doc,term) tf, re-agg to df, join back, score
+    tf·ln(N/df), WindowGroupLimit top-k. The df table is tiny (vocab-sized)
+    and broadcast; N is a 1-row broadcast cross join, not a collect. At
+    100 TB the only big shuffle is the (doc,term) aggregate, which
+    map-side-combines to near-vocab size per partition. ln() agrees to the
+    ULP across libm/JDK on the few distinct N/df rationals; the 6dp
+    rounding grain is 10^6× coarser."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") > 2)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

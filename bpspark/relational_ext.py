@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bpspark.io import table
 from bpspark.registry import op
@@ -816,3 +817,43 @@ def agg_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@op(
+    "win_first_last_ignore_nulls",
+    sql="""
+    SELECT event_id, user_id,
+           first_value(v IGNORE NULLS) OVER w AS first_nonnull,
+           last_value(v IGNORE NULLS)  OVER w AS last_nonnull,
+           last_value(v IGNORE NULLS) OVER wp AS prev_nonnull
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value >= 10 THEN value END AS v
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY event_id
+    """,
+)
+def win_first_last_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """IGNORE NULLS window navigation (first/last/lag over a sparse
+    measure) — the LOCF primitive exposed as its own op. Values < 10 are
+    nulled to create sparsity deterministically. One shuffle on user_id;
+    the running frame needs no full-partition materialization. Total
+    order (ts, event_id) makes the result deterministic."""
+    e = table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", F.when(F.col("value") >= 10, F.col("value")).alias("v")
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("v", ignorenulls=True).over(w).alias("first_nonnull"),
+        F.last("v", ignorenulls=True).over(w).alias("last_nonnull"),
+        F.last("v", ignorenulls=True).over(wp).alias("prev_nonnull"),
+    ).orderBy("event_id")
