@@ -1020,3 +1020,198 @@ def q_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@op(
+    "q_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, avg_price,
+               MIN(avg_price) OVER (PARTITION BY l_partkey) AS min_price
+        FROM cost
+    )
+    SELECT p_partkey, p_brand, s_name, s_acctbal,
+           avg_price AS supply_cost
+    FROM best
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE avg_price = min_price
+      AND p_size = 15
+      AND p_type LIKE '%BRASS'
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in schema — supply cost is derived as
+    each (part, supplier) pair's average lineitem price): for BRASS parts
+    of one size, find the supplier(s) attaining the per-part minimum cost.
+    The reference's correlated MIN subquery becomes a window MIN over the
+    grouped cost table — one shuffle on l_partkey serves both the group-by
+    and the window, and part/supplier are broadcast dims. avg uses the
+    ROUND(SUM,2)/COUNT form so the double is bit-identical cross-engine,
+    making the equality filter against the window MIN deterministic."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("%BRASS")
+    )
+    s = table(spark, sf, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_price", F.min("avg_price").over(w)).filter(
+        F.col("avg_price") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal",
+            F.col("avg_price").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@op(
+    "q_important_parts",
+    sql="""
+    WITH val AS (
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value -> shipped value per part from one
+    nation's suppliers): parts whose value exceeds a fraction of the total
+    — the scalar-subquery threshold becomes a 1-row broadcast cross join.
+    The per-part agg shuffles once; the global SUM reuses the SAME rounded
+    part_value numbers (sum of exact-2dp values, boundary-free), so the
+    threshold double is bit-identical cross-engine. nation/supplier are
+    broadcast before the fact scan joins them."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "GERMANY")
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("part_value"))
+    )
+    total = val.agg((F.sum("part_value") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@op(
+    "q_parts_supplier_counts",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM POLISHED%'
+      AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q_parts_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (complaints filter -> negative account balance):
+    distinct supplier count per (brand, type, size) over a filtered part
+    set, excluding a blacklist of suppliers. NOT IN becomes a broadcast
+    LEFT ANTI join (safe here: s_suppkey is never NULL, so NOT IN and
+    anti-join agree). part is broadcast; the countDistinct shuffles on
+    the 3-column group key with partial dedup map-side."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM POLISHED%")
+        & F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+    )
+    bad = table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@op(
+    "q_dominant_suppliers",
+    sql="""
+    WITH per_ps AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'forest%' OR p_type LIKE 'ECONOMY%'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    per_p AS (
+        SELECT l_partkey, l_suppkey, supp_qty,
+               SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per_ps
+    )
+    SELECT DISTINCT s_suppkey, s_name, s_acctbal
+    FROM per_p
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_qty > 0.5 * part_qty
+    ORDER BY s_name
+    """,
+)
+def q_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty > half-demand -> supplier ships more than
+    half a part's total quantity): suppliers dominating any filtered part.
+    The nested IN-subqueries become one grouped fact pass + a window SUM
+    on the same l_partkey partitioning (no second shuffle), then a
+    broadcast join to supplier and DISTINCT projection. l_quantity is
+    integral so the 0.5 * SUM comparison is exact in both engines."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(
+        F.col("p_name").like("forest%") | F.col("p_type").like("ECONOMY%")
+    )
+    s = table(spark, sf, "supplier")
+    per_ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    per_p = per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+    return (
+        per_p.filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(s), per_p.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_name")
+    )
