@@ -1284,3 +1284,159 @@ def text_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@op(
+    "text_readability",
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+'))            AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))    AS n_syll,
+           206.835
+             - 1.015 * (len(regexp_extract_all(text, '\S+'))
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       / greatest(len(regexp_extract_all(text, '\S+')), 1))
+             AS flesch
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease with a vowel-group syllable
+    heuristic) — a per-document quality signal for corpus filtering, like
+    the reference's metadata validation gate (R8) but statistical. Pure
+    JVM regexp counting (no Python), fully pushdown-friendly: one narrow
+    projection per doc, no shuffle. The score arithmetic is integer
+    divisions in an identical expression tree both engines, so the double
+    is bit-identical."""
+    d = table(spark, sf, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syll = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syll / F.greatest(words, F.lit(1)))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syll.alias("n_syll"),
+        flesch.alias("flesch"),
+    ).orderBy("doc_id")
+
+
+@op(
+    "text_vocab_stats",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_types,
+           COUNT(DISTINCT tok) / COUNT(*) AS type_token_ratio
+    FROM (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary statistics per language: token count, distinct
+    types, type/token ratio. The tokenizer is the same JVM regexp as
+    text_token_count_bpe's fallback path; explode feeds a codegen
+    hash-aggregate with map-side partial dedup, so the shuffle carries
+    (lang, token) partials, not raw tokens — the layout that survives a
+    100 TB corpus. TTR is an int/int division, bit-identical cross-engine."""
+    d = table(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+            (F.countDistinct("tok") / F.count(F.lit(1))).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _kmeans_assign_batches(centroids):
+    """Arrow-batched assignment step: argmin squared-distance to the
+    broadcast centroid matrix, vectorized in numpy (the scale path — the
+    centroid matrix is O(k·dim), tiny; the data streams through)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × dim
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
+            d2 = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * X @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                    "dist2": d2.min(axis=1),
+                }
+            )
+
+    return assign
+
+
+@op("ml_kmeans_lloyd")
+def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column (k=8, 4 iterations,
+    deterministic init = the k lowest vec_ids). The iterative-algorithm
+    pattern on Spark: per iteration, ONE distributed pass assigns points
+    (mapInPandas + numpy, Arrow-batched) and one groupBy recomputes
+    centroids; only the k×dim centroid matrix ever visits the driver.
+    posexplode → groupBy(cluster, pos) keeps the mean per-dimension
+    distributed instead of averaging arrays driver-side. Rows-only (an
+    iterative fixpoint isn't one SQL statement); tests pin determinism
+    and cluster-count invariants."""
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    k = 8
+    init = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r["embedding"]) for r in init]
+    assigned = None
+    for _ in range(4):
+        assigned = emb.mapInPandas(
+            _kmeans_assign_batches(centroids),
+            "vec_id long, cluster int, dist2 double",
+        )
+        means = (
+            assigned.join(emb, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        by_cluster = {r["cluster"]: list(r["centroid"]) for r in means}
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("dist2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -857,3 +857,139 @@ def win_first_last_ignore_nulls(spark: SparkSession, sf: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("last_nonnull"),
         F.last("v", ignorenulls=True).over(wp).alias("prev_nonnull"),
     ).orderBy("event_id")
+
+
+@op(
+    "win_nth_value",
+    sql="""
+    SELECT event_id, user_id, value,
+           nth_value(value, 3) OVER w AS third_value,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY event_id
+    """,
+)
+def win_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value navigation over a whole-partition frame: the 3rd value and
+    2nd event_type per user in (ts, event_id) order — deterministic because
+    the ORDER BY key is unique. One shuffle on user_id; the frame is
+    unbounded so Spark materializes each partition once (fine: per-user
+    event counts are bounded; a 100 TB run partitions by user hash)."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.nth_value("value", 3).over(w).alias("third_value"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    ).orderBy("event_id")
+
+
+@op(
+    "agg_skew_kurt",
+    sql="""
+    SELECT l_returnflag, n,
+           (s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu)
+               / (m2 * sqrt(m2)) AS skewness_pop,
+           (s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+                - 3.0 * mu * mu * mu * mu)
+               / (m2 * m2) - 3.0 AS excess_kurtosis_pop
+    FROM (
+        SELECT l_returnflag, n, s1, s2, s3, s4, mu,
+               s2 / n - mu * mu AS m2
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS s1,
+                   CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS s2,
+                   CAST(SUM(l_quantity * l_quantity * l_quantity) AS DOUBLE) AS s3,
+                   CAST(SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS DOUBLE) AS s4,
+                   CAST(SUM(l_quantity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+            FROM lineitem GROUP BY l_returnflag
+        )
+    )
+    ORDER BY l_returnflag
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group via integer power
+    sums. Native skewness()/kurtosis() accumulate floats in partition
+    order (non-deterministic cross-engine), so this uses the
+    agg_corr_regr trick one moment higher: l_quantity is integral, so
+    Σx..Σx⁴ are EXACT bigint sums (≤ 50⁴·|rows| ≪ 2⁵³), order-independent
+    and partial-aggregatable map-side; the central-moment arithmetic is
+    then the same IEEE expression tree in both engines (sqrt only — no
+    libm pow, which differs in the last ulp across implementations)."""
+    li = table(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+        (F.sum(q).cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"),
+    )
+    n, s2, s3, s4, mu = (F.col(c) for c in ["n", "s2", "s3", "s4", "mu"])
+    m2 = s2 / n - mu * mu
+    stepped = sums.withColumn("m2", m2)
+    m2c = F.col("m2")
+    skew = (s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu) / (
+        m2c * F.sqrt(m2c)
+    )
+    kurt = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    ) / (m2c * m2c) - F.lit(3.0)
+    return stepped.select(
+        "l_returnflag",
+        "n",
+        skew.alias("skewness_pop"),
+        kurt.alias("excess_kurtosis_pop"),
+    ).orderBy("l_returnflag")
+
+
+@op(
+    "join_fuzzy_levenshtein",
+    sql="""
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           levenshtein(a.p_brand, b.p_brand) AS edit_dist
+    FROM (SELECT DISTINCT p_brand FROM part) a
+    JOIN (SELECT DISTINCT p_brand FROM part) b
+      ON a.p_brand < b.p_brand
+    WHERE levenshtein(a.p_brand, b.p_brand) <= 2
+    ORDER BY brand_a, brand_b
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join on edit distance — the dedup-adjacent shape for
+    dirty dimension values. DISTINCT first collapses the fact-scale column
+    to its value domain (the only thing that crosses the network), then a
+    broadcast theta-join compares value pairs; `<` halves the matrix and
+    drops self-pairs. At 100 TB the domain stays small even when the scan
+    doesn't — classic aggregate-before-join. Both engines implement
+    classic Wagner-Fischer edit distance, so the predicate agrees."""
+    brands_a = table(spark, sf, "part").select("p_brand").distinct()
+    brands_b = brands_a.withColumnRenamed("p_brand", "p_brand_b")
+    return (
+        brands_a.join(
+            F.broadcast(brands_b),
+            (F.col("p_brand") < F.col("p_brand_b"))
+            & (F.levenshtein("p_brand", "p_brand_b") <= 2),
+        )
+        .select(
+            F.col("p_brand").alias("brand_a"),
+            F.col("p_brand_b").alias("brand_b"),
+            F.levenshtein("p_brand", "p_brand_b").alias("edit_dist"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
