@@ -334,3 +334,41 @@ def fn_array_hof(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("sum_pos"),
     ).orderBy("vec_id")
+
+
+@op(
+    "fn_map_transform",
+    sql="""
+    SELECT doc_id,
+           upper(lang) AS up_lang,
+           1 AS n_kept,
+           'lang=' || lang || ';src=' || source AS entries_csv  -- sorted entry order: lang < src
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_map_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Map higher-order functions over the dynamic-metadata type:
+    transform_values (uppercase every value), map_filter (keep one key),
+    and a deterministic map→string serialization via sorted map_entries.
+    The oracle checks each result against the plain source columns the
+    map was built from (same round-trip strategy as fn_map). All JVM
+    expressions — map HOFs are interpreted (CodegenFallback) but stay
+    off the hot path: this is metadata-projection work, not fact-scan
+    work."""
+    d = table(spark, sf, "documents")
+    kv = F.concat(F.lit("lang="), F.col("lang"), F.lit(",src="), F.col("source"))
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    upper_m = F.transform_values(m, lambda k, v: F.upper(v))
+    kept = F.map_filter(m, lambda k, v: k == F.lit("lang"))
+    entries = F.array_sort(F.map_entries(m))
+    entries_csv = F.array_join(
+        F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+        ";",
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(upper_m, F.lit("lang")).alias("up_lang"),
+        F.size(kept).alias("n_kept"),
+        entries_csv.alias("entries_csv"),
+    ).orderBy("doc_id")

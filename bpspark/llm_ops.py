@@ -1440,3 +1440,43 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@op(
+    "dedup_token_sorted",
+    sql="""
+    SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   list_sort(regexp_extract_all(lower(text), '[a-z0-9]+')),
+                   ' ')) AS fp
+        FROM documents
+    )
+    GROUP BY fp
+    ORDER BY keeper_doc_id
+    """,
+)
+def dedup_token_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-sort fingerprint dedup: tokenize, sort alphabetically, hash —
+    collapses reorderings/shuffled near-copies that exact-hash dedup
+    misses (the record-linkage \"token sort ratio\" trick, exact version).
+    Pure JVM expressions feed a map-side-partial groupBy on the 32-byte
+    fingerprint, identical in shape (and 100 TB posture) to
+    dedup_exact_hash."""
+    d = table(spark, sf, "documents")
+    fp = F.sha2(
+        F.array_join(
+            F.array_sort(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ),
+            " ",
+        ),
+        256,
+    )
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )

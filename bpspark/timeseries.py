@@ -127,3 +127,59 @@ def ts_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("day_d").cast("string").alias("day"),
         F.last("day_value", ignorenulls=True).over(locf).alias("filled_value"),
     )
+
+
+@op(
+    "ts_ohlc_hourly",
+    sql="""
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY user_id, bucket
+    ORDER BY user_id, bucket
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style OHLC rollup: per (user, hour) open/high/low/close.
+    The first/last values are pinned by row_number over the unique
+    (ts, event_id) order — deterministic where bare first()/last() and
+    composite arg_min are not (DuckDB lacks struct arg_min). Both window
+    passes and the final aggregate share one hash partitioning on
+    (user_id, hour), so the whole rollup is a single shuffle; at 100 TB
+    this is the continuous-aggregate shape run incrementally per
+    time-slice."""
+    ev = table(spark, sf, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            bucket.alias("bucket"),
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "bucket")
+    )

@@ -120,3 +120,18 @@ def test_doc_pack_greedy_invariants(spark):
     # deterministic: second run produces the identical pack set
     again = OPS["doc_pack_greedy"].fn(spark, SF_SMALL).collect()
     assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Every point is assigned exactly once, cluster ids stay in [0, k),
+    and inertia is non-negative — the Lloyd-loop contract."""
+    import bpspark
+    from tests.conftest import SF_SMALL
+    from bpspark.io import table
+
+    out = bpspark.all_ops()["ml_kmeans_lloyd"].fn(spark, SF_SMALL).collect()
+    n_total = table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_points for r in out) == n_total
+    assert all(0 <= r.cluster < 8 for r in out)
+    assert all(r.inertia >= 0.0 for r in out)
+    assert len({r.cluster for r in out}) == len(out)
