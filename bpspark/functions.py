@@ -372,3 +372,36 @@ def fn_map_transform(spark: SparkSession, sf: str) -> DataFrame:
         F.size(kept).alias("n_kept"),
         entries_csv.alias("entries_csv"),
     ).orderBy("doc_id")
+
+
+@op(
+    "fn_url_parse",
+    sql="""
+    SELECT doc_id,
+           source || '.example.com'                    AS url_host,
+           '/' || lang || '/doc/' || doc_id            AS url_path,
+           lang                                        AS url_ref,
+           'https'                                     AS url_proto
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """URL component extraction (parse_url HOST/PATH/QUERY/PROTOCOL) — the
+    web-corpus normalization primitive (crawl dedup keys on host+path).
+    The URL is synthesized from the row's own columns, so the oracle
+    checks the parse round-trip against the plain inputs (fn_map
+    strategy). parse_url is a JVM expression; no Python."""
+    d = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id"),
+        F.lit("?ref="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("url_ref"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
+    ).orderBy("doc_id")

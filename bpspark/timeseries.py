@@ -183,3 +183,49 @@ def ts_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@op(
+    "ts_scd2_intervals",
+    sql="""
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+               IS NULL) AS is_current
+    FROM (
+        SELECT user_id, event_type, ts AS valid_from, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def ts_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into validity intervals of its event_type attribute —
+    change-point detection (lag) then interval close (lead over the
+    surviving change rows). Both windows and the filter share one
+    user_id partitioning: a single shuffle builds the whole dimension,
+    which is how you'd snapshot 100 TB of mutation logs into an SCD2
+    table. (ts, event_id) ordering is unique, so interval bounds are
+    deterministic."""
+    ev = table(spark, sf, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id",
+            F.lag("event_type").over(w1).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id").drop("event_id")

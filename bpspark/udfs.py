@@ -182,3 +182,51 @@ def udtf_map_in_pandas(spark: SparkSession, sf: str) -> DataFrame:
         _enrich_batches,
         "c_custkey long, name_len int, key_parity string, seg_code string",
     )
+
+
+@op(
+    "udtf_python_native",
+    sql="""
+    SELECT doc_id,
+           CAST(idx - 1 AS INT) AS sent_idx,
+           sent
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '[.!?]+\\s*')) AS sent,
+               generate_subscripts(regexp_split_to_array(text, '[.!?]+\\s*'), 1) AS idx
+        FROM documents
+    )
+    WHERE sent <> ''
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf: str) -> DataFrame:
+    """The PySpark 4 native Python UDTF API (@udtf, one-row-in/N-rows-out
+    with LATERAL-join semantics): sentence segmentation, one output row
+    per sentence with its ordinal. This is the row-generator counterpart
+    to mapInPandas — the API a user reaches for when each input row
+    explodes into a variable number of typed rows. Arrow-batched; the
+    split regex is shared verbatim with the DuckDB oracle (both engines'
+    regex dialects agree on this pattern)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sent string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):
+            for i, s in enumerate(re.split(r"[.!?]+\s*", text)):
+                if s != "":
+                    yield doc_id, i, s
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sent
+        FROM _udtf_docs,
+        LATERAL sentence_split(doc_id, text) AS s
+        """
+    )
+    return out.orderBy("doc_id", "sent_idx")

@@ -203,3 +203,48 @@ def test_tier3_q21_reuses_orderkey_partitioning(spark):
     assert "CartesianProduct" not in plan
     # all joins/aggs key on orderkey; the final supplier join broadcasts
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q2_shape_groupby_and_window_share_partkey_shuffle(spark):
+    """q_min_cost_supplier: the per-(part,supplier) agg and the per-part
+    window MIN must reuse one l_partkey-compatible partitioning — at most
+    one fact-side Exchange — and part/supplier stay broadcast."""
+    plan = plan_of(spark, "q_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    head = plan.split("BroadcastExchange")[0]
+    assert head.count("Exchange hashpartitioning") <= 1
+    assert "Window" in plan
+
+
+def test_q20_shape_window_reuses_grouping_partitioning(spark):
+    """q_dominant_suppliers: groupBy(l_partkey, l_suppkey) then window over
+    l_partkey — the window must not introduce a second fact shuffle."""
+    plan = plan_of(spark, "q_dominant_suppliers")
+    head = plan.split("BroadcastExchange")[0]
+    assert head.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_shuffle_for_windows_and_agg(spark):
+    """ts_ohlc_hourly: both row_number windows and the final aggregate
+    share the (user_id, hour-bucket) hash partitioning."""
+    plan = plan_of(spark, "ts_ohlc_hourly")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Window") >= 2
+
+
+def test_skew_kurt_partial_agg_no_window(spark):
+    """agg_skew_kurt is plain partial-aggregatable SUMs — two
+    HashAggregates (partial+final), one shuffle, no Window/Sort."""
+    plan = plan_of(spark, "agg_skew_kurt")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_fuzzy_levenshtein_aggregates_before_join(spark):
+    """join_fuzzy_levenshtein: DISTINCT collapses to the value domain
+    BEFORE the broadcast theta join; no cartesian product of facts."""
+    plan = plan_of(spark, "join_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
