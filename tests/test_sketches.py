@@ -1,0 +1,45 @@
+"""Accuracy properties for the mergeable-sketch aggregates (rows-only ops:
+no DuckDB equivalent exists, so the gate here is estimate-vs-exact bounds)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from bpspark.registry import all_ops
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_estimates_within_tolerance(spark):
+    res = all_ops()["agg_sketch_hll"].fn(spark, SF).collect()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(DISTINCT doc_id) FROM '{SF}/documents.parquet' GROUP BY source"
+        ).fetchall()
+    )
+    exact["__all__"] = duckdb.sql(
+        f"SELECT COUNT(DISTINCT doc_id) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert {r["scope"] for r in res} == set(exact)
+    for r in res:
+        true = exact[r["scope"]]
+        assert abs(r["est_distinct"] - true) <= max(2.0, 0.05 * true), (
+            r["scope"], r["est_distinct"], true,
+        )
+
+
+def test_count_min_overestimates_within_eps(spark):
+    res = all_ops()["agg_sketch_count_min"].fn(spark, SF).collect()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(*) FROM '{SF}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    assert {r["event_type"] for r in res} == set(exact)
+    for r in res:
+        true = exact[r["event_type"]]
+        # CMS never underestimates; eps=0.001 bounds the overshoot by eps*N w.h.p.
+        assert true <= r["est_count"] <= true + max(20, int(0.002 * n)), (
+            r["event_type"], r["est_count"], true,
+        )
