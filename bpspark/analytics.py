@@ -1215,3 +1215,62 @@ def q_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@op(
+    "q_basket_pairs",
+    sql="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+    cx AS (SELECT brand, COUNT(*) AS c FROM b GROUP BY brand),
+    pr AS (SELECT b1.brand AS brand_a, b2.brand AS brand_b, COUNT(*) AS c_xy
+           FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.brand < b2.brand
+           GROUP BY b1.brand, b2.brand HAVING COUNT(*) >= 10)
+    SELECT pr.brand_a, pr.brand_b, pr.c_xy,
+           CAST(pr.c_xy AS DOUBLE) * n.n_orders
+             / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+    FROM pr
+    JOIN cx ca ON pr.brand_a = ca.brand
+    JOIN cx cb ON pr.brand_b = cb.brand, n
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 25
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket pair mining (frequent-itemset support + lift) over
+    order baskets: brands co-purchased in the same order, min support 10,
+    top-25 by lift. The basket relation dedups to (order, brand) FIRST —
+    the self-join then fans out only C(brands-per-order, 2), and its
+    equi-key is o, so it's one shuffle co-partitioned with the dedup agg.
+    Brand counts are tiny and broadcast onto the post-HAVING pair list.
+    Lift is one fixed-association double expression over exact counts."""
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = b.agg(F.count_distinct("o").alias("n_orders"))
+    cx = b.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    b1 = b.select(F.col("o"), F.col("brand").alias("brand_a"))
+    b2 = b.select(F.col("o").alias("o2"), F.col("brand").alias("brand_b"))
+    pr = (
+        b1.join(b2, (b1.o == b2.o2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 10)
+    )
+    ca = cx.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = cx.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
+    lift = F.col("c_xy").cast("double") * F.col("n_orders") / (
+        F.col("ca").cast("double") * F.col("cb")
+    )
+    return (
+        pr.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select("brand_a", "brand_b", "c_xy", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )

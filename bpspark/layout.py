@@ -124,3 +124,47 @@ def join_bucketed_colocated(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@op(
+    "sink_overwrite_dynamic",
+    sql="""
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang <> 'en' GROUP BY lang, source
+    UNION ALL
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en' AND n_chars >= 100 GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): the
+    lakehouse backfill primitive. Write the full lang-partitioned summary,
+    then re-run ONLY the lang='en' slice with a revised filter — the
+    second overwrite replaces just the partitions present in its input,
+    leaving every other lang directory untouched (a static overwrite
+    would truncate the table; at 100 TB that's the difference between
+    rewriting one partition and rewriting everything). The oracle states
+    the expected post-backfill table declaratively."""
+    docs = table(spark, sf, "documents")
+
+    def summary(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    d = tempfile.mkdtemp(prefix="bpspark_dynover_")
+    summary(docs).write.mode("overwrite").partitionBy("lang").parquet(d)
+    (
+        summary(docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 100)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(d)
+    )
+    return (
+        spark.read.parquet(d)
+        .select("lang", "source", "n_docs", "total_chars")
+        .orderBy("lang", "source")
+    )

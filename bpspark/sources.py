@@ -115,3 +115,68 @@ def sink_append_parquet(spark: SparkSession, sf: str) -> DataFrame:
     raw = scan_drop_folder(spark, drop).select("zip_name", "isbn", "length")
     raw.write.mode("append").parquet(bronze)
     return spark.read.parquet(bronze)
+
+
+_FORMAT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _roundtrip_dir(spark: SparkSession, sf: str, fmt: str) -> str:
+    """Write the documents table once per (sf, fmt) into a temp dir in the
+    given format; return the path. Partitioned write + partitioned read —
+    the same code path a cluster uses for multi-file JSONL/CSV corpora."""
+    import tempfile
+
+    from bpspark.io import table
+
+    key = (sf, fmt)
+    if key not in _FORMAT_CACHE:
+        d = tempfile.mkdtemp(prefix=f"bpspark_{fmt}_")
+        docs = table(spark, sf, "documents")
+        if fmt == "json":
+            docs.select("doc_id", "text", "lang", "source").write.mode(
+                "overwrite"
+            ).json(d)
+        else:
+            docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+                "overwrite"
+            ).option("header", True).csv(d)
+        _FORMAT_CACHE[key] = d
+    return _FORMAT_CACHE[key]
+
+
+@op(
+    "scan_jsonlines",
+    sql="SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id",
+)
+def scan_jsonlines(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source: the documents corpus round-trips through a
+    multi-file JSONL directory (the interchange format of every LLM data
+    pipeline) with an EXPLICIT schema — schema inference would re-read
+    100 TB once just to guess types. The oracle proves the round-trip is
+    lossless against the parquet original, including text escaping."""
+    d = _roundtrip_dir(spark, sf, "json")
+    return (
+        spark.read.schema("doc_id bigint, text string, lang string, source string")
+        .json(d)
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@op(
+    "scan_csv",
+    sql="SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+)
+def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV source with header + explicit schema (no inference pass, same
+    rationale as scan_jsonlines). Free-text stays out of the CSV profile
+    — delimiter-laden prose belongs in JSONL/parquet; CSV carries the
+    typed scalar columns, the shape warehouse exports actually have."""
+    d = _roundtrip_dir(spark, sf, "csv")
+    return (
+        spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .option("header", True)
+        .csv(d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -229,3 +229,119 @@ def ts_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     ).orderBy("user_id", "valid_from", "event_id").drop("event_id")
+
+
+@op(
+    "ts_gaps_islands",
+    sql="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    r AS (SELECT user_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM days),
+    s AS (SELECT user_id, d - CAST(rn AS INTEGER) AS anchor, COUNT(*) AS len
+          FROM r GROUP BY user_id, d - CAST(rn AS INTEGER))
+    SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS max_streak
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: per user, the number of maximal runs of
+    consecutive active days and the longest such streak. The classic
+    date-minus-row_number anchor trick turns each island into a group
+    key, so after the dedup-to-days agg everything is one window sort and
+    two hash aggs, all partitioned on user_id — one shuffle at 100 TB.
+    The anchor date never leaves the plan (no DateType in the output)."""
+    days = (
+        table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", F.expr("date_sub(d, rn)").alias("anchor"))
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@op(
+    "join_asof_tolerance",
+    sql="""
+    WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch_us(ts) AS v_us
+          FROM events WHERE event_type = 'view')
+    SELECT p.p_id, p.user_id, p.p_us, MAX(v.v_us) AS matched_view_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 3600000000
+    GROUP BY p.p_id, p.user_id, p.p_us
+    ORDER BY p.p_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase matches the latest view by the same user at
+    most 1 hour earlier, or NULL — the left-preserving variant of
+    join_asof_latest_prior. Expressed as bounded-range join + max()
+    argmax so partial aggregation prunes the fan-out map-side. The range
+    predicate bounds the blow-up to events-per-user-per-hour; at 100 TB
+    the bucketed-by-hour variant (join_range_bucketed) caps the join
+    input per bucket pair."""
+    ev = table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.unix_micros("ts").alias("v_us")
+    )
+    return (
+        p.join(
+            v,
+            (p.user_id == v.v_user)
+            & (v.v_us <= p.p_us)
+            & (v.v_us >= p.p_us - 3_600_000_000),
+            "left",
+        )
+        .groupBy("p_id", "user_id", "p_us")
+        .agg(F.max("v_us").alias("matched_view_us"))
+        .orderBy("p_id")
+    )
+
+
+@op("ts_ewma")
+def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series (pandas
+    ``ewm(alpha=0.3, adjust=True)``) via applyInPandas — the honest slow
+    path: EWMA's recurrence is inherently sequential per key, so the
+    right distribution strategy IS one Arrow batch per key group,
+    parallel across users, sequential within. No SQL oracle exists
+    (DuckDB has no ewm); the property test replays the identical pandas
+    recurrence on collected data and requires bit-equality."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    ev = table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma_group, "user_id bigint, ts_us bigint, ewma double")
+        .orderBy("user_id", "ts_us")
+    )
+
+
+def _ewma_group(pdf):
+    pdf = pdf.sort_values("ts_us")
+    pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=True).mean()
+    return pdf[["user_id", "ts_us", "ewma"]]
