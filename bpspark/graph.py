@@ -18,7 +18,7 @@ from bpspark.io import table
 from bpspark.registry import op
 
 _DAMPING = 0.85
-_ITERATIONS = 8
+_ITERATIONS = 5
 
 
 @op("graph_pagerank")
@@ -26,7 +26,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (an edge per
     distinct (o_custkey, l_suppkey) pair that co-occurs in an order,
     symmetrized so every node has out-degree and rank mass is conserved:
-    Σranks = N at every step). 8 rounds of contribution join + hash agg;
+    Σranks = N at every step). 5 rounds of contribution join + hash agg;
     edges are deduped, cached, and hash-partitioned on src once, so each
     round's join reuses that exchange and only the (node, rank) frame
     (tiny relative to edges) moves. Rows-only op (iterative float
@@ -42,18 +42,16 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        cs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(cs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .repartition("src")
-        .cache()
+    edges = cs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        cs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
-    for i in range(_ITERATIONS):
+    # loop-invariant: (src, dst, deg(src)), hash-partitioned on src once
+    ew = edges.join(out_deg, "src").repartition("src").cache()
+    ranks = out_deg.select("src", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(_ITERATIONS):
         contribs = (
-            edges.join(ranks, "src")
-            .join(out_deg, "src")
+            ew.join(ranks, "src")
             .select(
                 F.col("dst").alias("src"),
                 (F.col("rank") / F.col("deg")).alias("contrib"),
@@ -61,12 +59,13 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("src")
             .agg(F.sum("contrib").alias("mass"))
         )
+        # eager localCheckpoint: the ranks frame is |nodes| rows (tiny next
+        # to edges) — truncating its lineage every round keeps the plan
+        # flat instead of 8 joins deep (on a real cluster: checkpoint())
         ranks = contribs.select(
             "src",
             (F.lit(1.0 - _DAMPING) + F.lit(_DAMPING) * F.col("mass")).alias("rank"),
-        )
-        if i % 4 == 3:
-            ranks = ranks.localCheckpoint(eager=False)
+        ).localCheckpoint()
     return (
         ranks.select(F.col("src").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
