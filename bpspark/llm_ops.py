@@ -1480,3 +1480,107 @@ def dedup_token_sorted(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("keeper_doc_id")
     )
+
+
+@op(
+    "doc_decontaminate",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM d),
+    grams AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM gi)
+    SELECT DISTINCT a.doc_id FROM grams a
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0) b ON a.g = b.g
+    WHERE a.doc_id % 97 <> 0
+    ORDER BY a.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-gram with the held-out benchmark set (docs with doc_id % 97 == 0
+    stand in for it; n=3 here so the synthetic corpus produces hits —
+    production uses n=8..13). N-grams come from 2 lead() columns over one
+    posexplode + window (JVM-side; no HOF interpretation), the benchmark
+    gram set is DISTINCT-shrunk then broadcast into a LEFT SEMI join —
+    at 100 TB the benchmark is tiny by construction, so the semi join is
+    map-side and the corpus never shuffles on the gram key."""
+    toks = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w0"),
+            F.lead("w", 1).over(w).alias("w1"),
+            F.lead("w", 2).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("g"))
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@op("ml_pca_top_component")
+def ml_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA, two-phase: executors reduce each Arrow batch to
+    its Gram matrix / column sum / count via mapInPandas (a 64×64
+    matrix per batch — constant size regardless of row count), the
+    driver sums those partials into the exact covariance and takes the
+    top eigenvector with numpy. This is the canonical
+    big-data-linear-algebra split: O(d²) state per partition, one
+    pass over the data, no |rows|-sized shuffle anywhere. Returns the
+    top component's loadings (rows-only; property test checks
+    unit norm + that it solves the Rayleigh maximization better than
+    axis directions)."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    emb = table(spark, sf, "embeddings").select("embedding")
+    partials = emb.mapInPandas(_gram_batches, _GRAM_SCHEMA).collect()
+    import numpy as np
+
+    n = sum(r["n"] for r in partials)
+    s = np.zeros(64)
+    g = np.zeros((64, 64))
+    for r in partials:
+        s += np.array(r["col_sum"])
+        g += np.array(r["gram"]).reshape(64, 64)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:  # deterministic sign
+        top = -top
+    rows = [(i, float(top[i]), float(vals[-1])) for i in range(64)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, top_eigenvalue double"
+    ).orderBy("dim")
+
+
+_GRAM_SCHEMA = "n long, col_sum array<double>, gram array<double>"
+
+
+def _gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        yield pd.DataFrame(
+            {
+                "n": [len(x)],
+                "col_sum": [x.sum(axis=0).tolist()],
+                "gram": [(x.T @ x).ravel().tolist()],
+            }
+        )

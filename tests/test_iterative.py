@@ -39,3 +39,25 @@ def test_pagerank_mass_and_structure(spark):
     # the top node should be a high-degree hub: suppliers are ~100x rarer
     # than customers in the trade graph, so they accumulate rank
     assert top[0]["node"].startswith("s")
+
+
+def test_pca_top_component_properties(spark):
+    import math
+
+    import numpy as np
+
+    rows = all_ops()["ml_pca_top_component"].fn(spark, SF).collect()
+    assert len(rows) == 64
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert math.isclose(float(np.linalg.norm(v)), 1.0, rel_tol=1e-9)
+    lam = rows[0]["top_eigenvalue"]
+    # Rayleigh check: the reported eigenvalue beats the variance along
+    # every coordinate axis (any axis var is a valid Rayleigh quotient)
+    emb = np.stack(
+        duckdb.sql(f"SELECT embedding FROM '{SF}/embeddings.parquet'").df()["embedding"].to_numpy()
+    ).astype("float64")
+    axis_vars = emb.var(axis=0)
+    assert lam >= axis_vars.max() - 1e-9
+    # and matches the true top eigenvalue of the exact covariance
+    cov = np.cov(emb, rowvar=False, bias=True)
+    assert math.isclose(lam, float(np.linalg.eigvalsh(cov)[-1]), rel_tol=1e-8)
