@@ -248,3 +248,53 @@ def test_fuzzy_levenshtein_aggregates_before_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bitmap_distinct_no_expand(spark):
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    # the whole point: exact distinct WITHOUT count-distinct's Expand node
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2  # both levels partial+final
+
+
+def test_decontaminate_broadcasts_benchmark_semi_join(spark):
+    plan = plan_of(spark, "doc_decontaminate")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_basket_pairs_broadcasts_dims_and_counts(spark):
+    plan = plan_of(spark, "q_basket_pairs")
+    # part dim + the three tiny count frames all broadcast
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_single_scan_of_orders(spark):
+    plan = plan_of(spark, "profile_summary_stats")
+    # one pass: exactly one parquet scan of orders feeds all 21 aggregates
+    # (formatted plans print each node twice: tree line + detail header)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    plan = plan_of(spark, "join_lateral_topn")
+    # no per-row subquery: Catalyst rewrites LATERAL+LIMIT into window rank
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collation_predicate_prunes_columns(spark):
+    plan = plan_of(spark, "fn_string_collation")
+    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "c_mktsegment" in rs and "c_acctbal" not in rs
+
+
+def test_interpolate_single_user_shuffle(spark):
+    plan = plan_of(spark, "ts_interpolate_linear")
+    # spine agg, union, and both window passes all hash on user_id; the
+    # final sort is the only extra exchange
+    assert plan.count("Exchange hashpartitioning(user_id") <= 3
+    assert "CartesianProduct" not in plan
