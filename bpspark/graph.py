@@ -71,3 +71,108 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+def _knn_supplier_edges(spark: SparkSession, sf: str, k: int = 8) -> DataFrame:
+    """Top-k co-occurrence similarity graph over suppliers: for each
+    supplier, its k strongest partners by co-order support (ties broken by
+    partner key), then undirected-deduped via (least, greatest). Bounded
+    degree ≤ 2k per node regardless of data size — the standard trick that
+    keeps similarity-graph analytics (triangles, components, clustering
+    coefficients) linear at 100 TB where the raw co-occurrence graph goes
+    quadratic-dense. The per-node top-k is a WindowGroupLimit (partial
+    top-k before the shuffle), not a full sort."""
+    from pyspark.sql.window import Window
+
+    os_ = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = os_.alias("x"), os_.alias("y")
+    directed = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") != F.col("y.l_suppkey")),
+        )
+        .groupBy(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("support").desc(), F.col("b"))
+    topk = directed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+
+
+_KNN_EDGES_SQL = """
+    os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    directed AS (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS support
+      FROM os x JOIN os y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey <> y.l_suppkey
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               ROW_NUMBER() OVER (PARTITION BY a ORDER BY support DESC, b) AS rn
+        FROM directed
+      ) WHERE rn <= 8
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM topk
+    )
+"""
+
+
+@op(
+    "graph_triangle_count",
+    sql=f"""
+    WITH {_KNN_EDGES_SQL}
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count on the supplier top-8 similarity graph. Edges are
+    oriented a<b so each triangle a<b<c is enumerated exactly once by the
+    two-hop join (e1: a-b, e2: b-c, e3 closes a-c) — the classic
+    distributed triangle algorithm; with degree ≤ 16 the join fan-out per
+    edge is constant, so the whole count is one bounded shuffle at any
+    scale. Integer-only output (exact cross-engine)."""
+    e = _knn_supplier_edges(spark, sf).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@op(
+    "graph_degree_distribution",
+    sql=f"""
+    WITH {_KNN_EDGES_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the supplier similarity graph: undirected edge
+    list → unpivot endpoints → per-node degree → degree frequency. Two
+    hash aggregations, all-integer output; the second agg's input is
+    |nodes| rows, so cost is dominated by the edge build."""
+    e = _knn_supplier_edges(spark, sf)
+    nodes = e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -993,3 +993,86 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@op(
+    "agg_gini_impurity",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ),
+    u AS (SELECT user_id, SUM(c) AS n, SUM(c * c) AS ss FROM c GROUP BY 1)
+    SELECT user_id, n AS n_events,
+           CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+    FROM u
+    """,
+)
+def agg_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user Gini impurity of the event-type mix, computed exactly in
+    integers (1 - Σcᵢ²/n² = (n² - Σcᵢ²)/n²) with ONE final double
+    division — correctly-rounded IEEE in both engines, so the float is
+    bit-identical without any rounding hedge. Two hash aggs that share
+    the user_id partitioning (the second groups a subset key), no window,
+    no Python. The diversity-of-mix shape is a standard quality signal in
+    LLM-corpus curation (source diversity per domain)."""
+    ev = table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("n") * F.col("n") - F.col("ss")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@op(
+    "win_cumulative_distinct",
+    sql="""
+    WITH f AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM f
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not directly expressible
+    as a window aggregate in either engine, so it's rebuilt as
+    first-occurrence flag (row_number over (user, type) = 1) → running
+    sum over time. Both windows hash-partition on user_id, so Catalyst
+    plans ONE exchange and two in-partition sorts. Integer output, ties
+    broken by unique event_id — fully deterministic."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.withColumn(
+        "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("first_seen").over(w_run).alias("n_types_so_far"),
+    )

@@ -180,3 +180,45 @@ def scan_csv(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@op(
+    "scan_orc",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink roundtrip: materialize lineitem's (flag, status,
+    quantity) projection as ORC once per sf_dir, read it BACK from ORC,
+    and aggregate — proving the second columnar format end-to-end
+    (pushdown + pruning work the same as parquet; Spark's ORC reader is
+    vectorized). The oracle aggregates the original parquet, so the check
+    also proves the roundtrip is lossless. quantity is integer-valued →
+    BIGINT sum is order-independent exact."""
+    import os as _os
+    import tempfile
+
+    from bpspark.io import table as _table
+
+    dst = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_orc_{_os.path.basename(sf.rstrip('/'))}", "lineitem"
+    )
+    if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        (
+            _table(spark, sf, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_quantity")
+            .write.mode("overwrite")
+            .orc(dst)
+        )
+    return (
+        spark.read.orc(dst)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

@@ -345,3 +345,43 @@ def _ewma_group(pdf):
     pdf = pdf.sort_values("ts_us")
     pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=True).mean()
     return pdf[["user_id", "ts_us", "ewma"]]
+
+
+@op(
+    "ts_anomaly_iqr",
+    sql="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+    """,
+)
+def ts_anomaly_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence anomaly detection: flag events whose value falls
+    outside [q1 - 1.5·IQR, q3 + 1.5·IQR] of their event_type. The
+    per-type quantile frame is tiny (|event types| rows) so Catalyst
+    broadcasts it back onto the fact scan — no second shuffle of the
+    events. Exact interpolated quantiles are identical doubles in both
+    engines and the fence arithmetic is a single mul/add per side, so the
+    boolean comparison is bit-deterministic. At 100 TB swap
+    F.percentile for approx_percentile and the plan is unchanged."""
+    ev = table(spark, sf, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") > F.col("q3") + F.lit(1.5) * iqr)
+            | (F.col("value") < F.col("q1") - F.lit(1.5) * iqr)
+        )
+        .select("event_id", "event_type", "value")
+    )
