@@ -1011,9 +1011,11 @@ def agg_gini_impurity(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user Gini impurity of the event-type mix, computed exactly in
     integers (1 - Σcᵢ²/n² = (n² - Σcᵢ²)/n²) with ONE final double
     division — correctly-rounded IEEE in both engines, so the float is
-    bit-identical without any rounding hedge. Two hash aggs that share
-    the user_id partitioning (the second groups a subset key), no window,
-    no Python. The diversity-of-mix shape is a standard quality signal in
+    bit-identical without any rounding hedge. Two hash aggs, both with
+    map-side partial aggregation, so the first shuffle moves only the
+    distinct (user, type) pairs and the second only |users| rows — at
+    100 TB total shuffle volume is the pair-domain size, not the fact
+    count. The diversity-of-mix shape is a standard quality signal in
     LLM-corpus curation (source diversity per domain)."""
     ev = table(spark, sf, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
@@ -1053,13 +1055,17 @@ def win_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Running COUNT(DISTINCT) over a window — not directly expressible
     as a window aggregate in either engine, so it's rebuilt as
     first-occurrence flag (row_number over (user, type) = 1) → running
-    sum over time. Both windows hash-partition on user_id, so Catalyst
-    plans ONE exchange and two in-partition sorts. Integer output, ties
-    broken by unique event_id — fully deterministic."""
+    sum over time. The explicit repartition on user_id satisfies BOTH
+    window distributions (user_id ⊆ {user_id, event_type}), so the plan
+    has ONE exchange and two in-partition sorts — without it Catalyst
+    shuffles twice, once per partitioning. Integer output, ties broken
+    by unique event_id — fully deterministic."""
     from pyspark.sql.window import Window as W
 
-    ev = table(spark, sf, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    ev = (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        .repartition("user_id")
     )
     w_first = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
     w_run = (

@@ -298,3 +298,41 @@ def test_interpolate_single_user_shuffle(spark):
     # final sort is the only extra exchange
     assert plan.count("Exchange hashpartitioning(user_id") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_cumulative_distinct_single_exchange(spark):
+    """Both windows (partition by (user,type) and by user) must run off the
+    ONE user_id repartition — a second Exchange means the subset-key
+    distribution trick regressed."""
+    plan = plan_of(spark, "win_cumulative_distinct")
+    tree = plan.split("\n\n")[0]  # operator tree section only
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2
+
+
+def test_anomaly_iqr_broadcasts_fences(spark):
+    """The per-type quantile frame must broadcast back onto the events
+    scan — shuffling the fact side for a |types|-row join is wrong at
+    any scale."""
+    plan = plan_of(spark, "ts_anomaly_iqr")
+    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]
+    # the fact-side scan feeds the join without an Exchange on events
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_triangle_count_no_cartesian_and_windowed_topk(spark):
+    """Top-8 neighbor selection must plan as WindowGroupLimit (partial
+    top-k before the shuffle); the two-hop closure joins must stay
+    equi-joins — a CartesianProduct means the join keys got lost."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_partial_aggregation(spark):
+    """Both aggs need map-side partials so shuffle volume is the distinct
+    pair domain, not the event count."""
+    plan = plan_of(spark, "agg_gini_impurity")
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+    assert "Python" not in plan
