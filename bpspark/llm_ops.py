@@ -1584,3 +1584,39 @@ def _gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "gram": [(x.T @ x).ravel().tolist()],
             }
         )
+
+
+@op(
+    "text_feature_hashing",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+           COUNT(*) AS tf
+    FROM tok WHERE tok <> '' GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick vectorizer: token → md5 → 32-bit int → bucket id
+    mod 64, term frequency per (doc, bucket). The hash is md5-based
+    specifically so it is ENGINE-PORTABLE (identical in Spark, DuckDB,
+    or any downstream feature store) — a feature pipeline whose buckets
+    depend on an engine-private hash can never be re-verified elsewhere.
+    Pure codegen expressions (split/explode/md5/conv), partial agg before
+    the (doc,bucket) shuffle; at 100 TB this is the standard unbounded-
+    vocabulary featurizer — no vocab dictionary to build, ship, or skew."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(64)
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )

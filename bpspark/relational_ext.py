@@ -1082,3 +1082,26 @@ def win_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "ts_us",
         F.sum("first_seen").over(w_run).alias("n_types_so_far"),
     )
+
+
+@op(
+    "sample_hash_mod",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic, engine-portable ~10% sample: md5(key) mod 100 — the
+    reproducible cousin of sample_deterministic (whose seeded Bernoulli
+    sampler is engine-private). Hash-mod sampling survives reruns,
+    engine swaps, and data re-partitioning, which is what you want for
+    a holdout split at 100 TB; the predicate is a pure projection so it
+    pipelines inside the scan stage with zero shuffle."""
+    o = table(spark, sf, "orders")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+    return o.filter(h < 10).select("o_orderkey", "o_custkey", "o_totalprice")

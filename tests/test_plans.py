@@ -336,3 +336,26 @@ def test_gini_partial_aggregation(spark):
     plan = plan_of(spark, "agg_gini_impurity")
     assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
     assert "Python" not in plan
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compact_small_files must actually shrink 64 fragments to ≤4
+    parquet files, and coalesce (not repartition) must do it — no
+    Exchange in the compaction read-back plan."""
+    import glob
+    import os
+    import tempfile
+
+    OPS["sink_compact_small_files"].fn(spark, SF_SMALL).count()
+    base = os.path.join(tempfile.gettempdir(), f"bpspark_compact_{os.path.basename(SF_SMALL.rstrip('/'))}")
+    frag = glob.glob(os.path.join(base, "frag", "part-*.parquet"))
+    packed = glob.glob(os.path.join(base, "packed", "part-*.parquet"))
+    assert len(frag) == 64 and 1 <= len(packed) <= 4
+
+
+def test_sample_hash_mod_no_shuffle(spark):
+    """Hash-mod sampling is a pure scan-stage filter — any Exchange means
+    the predicate stopped pipelining."""
+    plan = plan_of(spark, "sample_hash_mod")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
