@@ -1274,3 +1274,144 @@ def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@op(
+    "q_duplicate_payment_check",
+    sql="""
+    SELECT a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+           a.o_custkey, a.o_totalprice
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def q_duplicate_payment_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-payment audit: order pairs from the same customer with an
+    identical amount — the classic fraud/dedup self-join. Equi-keys
+    (custkey, totalprice) drive a hash self-join, so cost is per-key
+    group size, not |orders|²; the a<b orientation halves output and
+    kills self-pairs. At 100 TB add a date-bucket to the key to bound
+    group width further."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("ok_a"),
+            F.col("b.o_orderkey").alias("ok_b"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+@op(
+    "q_percent_of_total",
+    sql="""
+    WITH n AS (
+      SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           revenue / ROUND(SUM(revenue) OVER (), 2) AS revenue_share
+    FROM n
+    """,
+)
+def q_percent_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-total report: per-nation revenue share via an empty-frame
+    window over the aggregated (25-row) frame — the window runs AFTER the
+    reduction, so the single-partition window sees |nations| rows, never
+    the fact table. Division of two stabilized (2dp-rounded) sums → one
+    IEEE op, bit-identical. The share column's window total is itself a
+    sum of already-rounded per-group sums RE-ROUNDED at 2dp — the
+    re-round snaps away the last-ulp accumulation-order drift between
+    engines, leaving one identical-operand division."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "n_name",
+        "revenue",
+        (F.col("revenue") / F.round(F.sum("revenue").over(w), 2)).alias("revenue_share"),
+    )
+
+
+@op(
+    "ts_activity_grid",
+    sql="""
+    SELECT (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n_events
+    FROM events GROUP BY dow, hr
+    """,
+)
+def ts_activity_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week × hour activity grid. Engine day-of-week codes
+    disagree (Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday,
+    ISO variants differ again), so dow is derived from raw epoch-day
+    arithmetic — (days since 1970-01-01 + 4) mod 7, anchored on
+    1970-01-01 being a Thursday — which is portable to ANY engine.
+    Single partial-agg pass; 168 output rows regardless of scale."""
+    ev = table(spark, sf, "events")
+    dow = (
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint") + 4) % 7
+    )
+    return ev.groupBy(
+        dow.alias("dow"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@op(
+    "join_nearest_event",
+    sql="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts))  OVER w AS prev_us,
+             LEAD(epoch_us(ts)) OVER w AS next_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, event_id,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN prev_us IS NULL THEN next_us - ts_us
+             WHEN next_us IS NULL THEN ts_us - prev_us
+             ELSE LEAST(ts_us - prev_us, next_us - ts_us)
+           END AS nearest_gap_us
+    FROM s
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D nearest-neighbor within each user's timeline: distance to the
+    closest other event, computed as min(gap-to-prev, gap-to-next) from
+    one sorted window pass — the sort-based plan that replaces a naive
+    O(n²) self-join for nearest-in-time lookups. One user_id exchange,
+    integer microsecond math."""
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev_gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    next_gap = F.lead("ts_us").over(w) - F.col("ts_us")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.least(prev_gap, next_gap), prev_gap, next_gap).alias("nearest_gap_us"),
+    )
