@@ -213,3 +213,60 @@ def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+@op(
+    "sink_merge_scd1",
+    sql="""
+    WITH base AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order,
+             arg_max(o_totalprice, o_orderkey) AS last_price
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY o_custkey
+    ), upd AS (
+      SELECT o_custkey, MAX(o_orderkey) AS last_order,
+             arg_max(o_totalprice, o_orderkey) AS last_price
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY o_custkey
+    )
+    SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.last_order, b.last_order) AS last_order,
+           COALESCE(u.last_price, b.last_price) AS last_price
+    FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
+    """,
+)
+def sink_merge_scd1(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO / SCD-type-1 upsert without a table format: base
+    snapshot (latest order per customer before the cutover) full-outer-
+    joined with the update batch, update wins per column, result written
+    as the NEW snapshot version and read back — the copy-on-write merge
+    Delta/Iceberg do under the hood, expressed directly on parquet
+    (reference behavior R14: update-if-exists-else-create,
+    MetadataIngestionServiceImpl). Latest-row selection is max_by on the
+    unique orderkey (deterministic argmax). At 100 TB: partition both
+    sides by the merge key so the full-outer join is co-partitioned, and
+    rewrite only partitions containing updated keys (see
+    sink_overwrite_dynamic)."""
+    import os as _os
+    import tempfile
+
+    o = table(spark, sf, "orders")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.max("o_orderkey").alias("last_order"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+        )
+
+    cut = F.lit("1997-01-01").cast("date")
+    base = latest(o.filter(F.col("o_orderdate") < cut))
+    upd = latest(o.filter(F.col("o_orderdate") >= cut))
+    b, u = base.alias("b"), upd.alias("u")
+    merged = b.join(u, F.col("b.o_custkey") == F.col("u.o_custkey"), "full").select(
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u.last_order"), F.col("b.last_order")).alias("last_order"),
+        F.coalesce(F.col("u.last_price"), F.col("b.last_price")).alias("last_price"),
+    )
+    dst = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_scd1_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    merged.write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)

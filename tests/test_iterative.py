@@ -61,3 +61,16 @@ def test_pca_top_component_properties(spark):
     # and matches the true top eigenvalue of the exact covariance
     cov = np.cov(emb, rowvar=False, bias=True)
     assert math.isclose(lam, float(np.linalg.eigvalsh(cov)[-1]), rel_tol=1e-8)
+
+
+def test_logreg_gd_descends(spark):
+    """Full-batch GD on a convex loss must descend monotonically and end
+    at-or-above chance accuracy; iteration 0 starts at ln 2 (w=0)."""
+    import math
+
+    rows = sorted(all_ops()["ml_logreg_gd"].fn(spark, SF).collect(), key=lambda r: r["iteration"])
+    assert len(rows) == 6
+    assert math.isclose(rows[0]["loss"], math.log(2), rel_tol=1e-10)
+    losses = [r["loss"] for r in rows]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    assert rows[-1]["accuracy"] >= 0.5
