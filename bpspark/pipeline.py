@@ -262,3 +262,36 @@ def sink_control_table_op(spark: SparkSession, sf: str) -> DataFrame:
     sink_control_table(res.workflows_new, control)
     sink_control_table(res.workflows_new, control)  # replay must be a no-op
     return spark.read.parquet(control).select("workflow_id", "isbn").orderBy("isbn")
+
+
+@op("pipeline_observe_metrics", sql=None)  # driver-side metric harvest
+def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-extra-pass data-quality metrics via DataFrame.observe(): the
+    silver projection runs ONCE and the observation accumulators (row
+    count, null keys, max price, revenue sum) ride along inside the same
+    job — at 100 TB this replaces a whole second QC scan; metrics arrive
+    on the driver through the observation listener channel, not a
+    collect. Returned as a 1-row frame (rows-only: the observation API
+    is engine-specific by nature; values are cross-checked against
+    direct aggregation in tests/test_ingestion.py)."""
+    from pyspark.sql import Observation
+
+    from bpspark.io import table
+
+    o = table(spark, sf, "orders")
+    obs = Observation("qc")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    # one real pipeline action drives both the write-side work and the metrics
+    observed.select("o_orderkey", "o_custkey", "o_totalprice").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["null_keys"]), float(m["revenue"]))],
+        "n_rows bigint, null_keys bigint, revenue double",
+    )

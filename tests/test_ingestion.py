@@ -95,3 +95,19 @@ def test_idempotent_rerun(spark, fixture_dir, result):
     assert rerun.workflows_new.count() == 0
     # quarantine re-reports the still-unresolved error files (no ledger entry)
     assert rerun.quarantine.count() == 3
+
+
+def test_observe_metrics_match_direct_aggregation(spark):
+    """observe() accumulators must equal a direct aggregation pass."""
+    from bpspark.registry import all_ops
+    from tests.conftest import SF_SMALL
+
+    import duckdb
+
+    row = all_ops()["pipeline_observe_metrics"].fn(spark, SF_SMALL).collect()[0]
+    exp = duckdb.sql(
+        f"SELECT COUNT(*) n, ROUND(SUM(o_totalprice),2) r FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchone()
+    assert row["n_rows"] == exp[0]
+    assert row["null_keys"] == 0
+    assert abs(row["revenue"] - float(exp[1])) < 1e-6
