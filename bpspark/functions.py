@@ -429,3 +429,36 @@ def fn_aes_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("string")
         .alias("decrypted_name"),
     )
+
+
+@op(
+    "reshape_nest_unnest",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def reshape_nest_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """Denormalize→renormalize roundtrip: lineitems nest into a per-order
+    array<struct> (sorted by linenumber for determinism), then explode
+    back to rows — the identity oracle proves the nesting is lossless.
+    This is the document-store reshape (one order = one record with its
+    lines embedded) used to feed training-data writers and JSON sinks;
+    one shuffle to group, codegen explode to flatten."""
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+    )
