@@ -462,3 +462,34 @@ def reshape_nest_unnest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ln.l_linenumber").alias("l_linenumber"),
         F.col("ln.l_quantity").alias("l_quantity"),
     )
+
+
+@op(
+    "fn_null_semantics",
+    sql="""
+    SELECT o_orderkey,
+           (o_orderstatus IS NOT DISTINCT FROM o_orderpriority) AS nullsafe_eq,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority, 'none') AS first_defined,
+           (NULL AND FALSE) IS NULL AS sql_3vl_and
+    FROM orders
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL NULL semantics surfaced explicitly: null-safe equality (<=> /
+    IS NOT DISTINCT FROM), NULLIF, COALESCE chains, and one
+    three-valued-logic probe (NULL AND FALSE = FALSE, so IS NULL on it
+    is false — the asymmetric Kleene case engines get subtly wrong).
+    All pure codegen projections."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").eqNullSafe(F.col("o_orderpriority")).alias("nullsafe_eq"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.col("o_orderpriority"),
+            F.lit("none"),
+        ).alias("first_defined"),
+        (F.lit(None).cast("boolean") & F.lit(False)).isNull().alias("sql_3vl_and"),
+    )

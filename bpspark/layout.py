@@ -270,3 +270,46 @@ def sink_merge_scd1(spark: SparkSession, sf: str) -> DataFrame:
     )
     merged.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
+
+
+@op(
+    "sink_range_partitioned",
+    sql="""
+    SELECT o_orderdate_s, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+    FROM (SELECT CAST(o_orderdate AS VARCHAR) AS o_orderdate_s, o_orderkey
+          FROM orders WHERE o_orderdate >= DATE '1997-06-01'
+                        AND o_orderdate < DATE '1997-09-01')
+    GROUP BY o_orderdate_s
+    """,
+)
+def sink_range_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-clustered layout (single-column z-order-lite):
+    repartitionByRange(o_orderdate) + sortWithinPartitions writes files
+    whose date min/max spans are narrow and disjoint, so a date-window
+    scan can skip almost every file on parquet row-group statistics
+    alone — the sort-based file-skipping discipline Delta's OPTIMIZE
+    ZORDER generalizes to multiple columns. The read-back query proves
+    results are layout-invariant; the plan test asserts the narrow-span
+    property on the files themselves."""
+    import os as _os
+    import tempfile
+
+    dst = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_range_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        (
+            table(spark, sf, "orders")
+            .select("o_orderkey", "o_orderdate")
+            .repartitionByRange(16, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    lo, hi = F.lit("1997-06-01").cast("date"), F.lit("1997-09-01").cast("date")
+    return (
+        spark.read.parquet(dst)
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy(F.col("o_orderdate").cast("string").alias("o_orderdate_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
+    )

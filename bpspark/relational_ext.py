@@ -1105,3 +1105,63 @@ def sample_hash_mod(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(100),
     )
     return o.filter(h < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@op(
+    "join_null_safe",
+    sql="""
+    SELECT a.o_orderkey AS ok_a, b.o_orderkey AS ok_b
+    FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s FROM orders) a
+    JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS s FROM orders) b
+      ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey = b.o_orderkey - 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — with plain = the derived NULL
+    statuses would silently drop. Spark plans <=> as a true hash-join
+    key (nulls hash to one bucket), so semantics change but the join
+    strategy doesn't; heavy NULL populations make that bucket a skew
+    key — pre-split or salt it at scale."""
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("s")
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        F.col("a.s").eqNullSafe(F.col("b.s"))
+        & (F.col("a.o_orderkey") == F.col("b.o_orderkey") - 1),
+    ).select(F.col("a.o_orderkey").alias("ok_a"), F.col("b.o_orderkey").alias("ok_b"))
+
+
+@op(
+    "agg_median_abs_deviation",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_median_abs_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation — the robust spread statistic (outliers
+    move stddev, not MAD). Two exact-percentile passes: per-group median,
+    broadcast back (|groups| rows), then median of |x − med|. Both
+    engines interpolate percentiles identically and |x − med| is one
+    IEEE subtract, so even the nested quantile is bit-deterministic. At
+    scale both passes swap to approx_percentile unchanged."""
+    li = table(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)).alias("mad")
+        )
+    )

@@ -222,3 +222,47 @@ def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+@op(
+    "scan_schema_evolution",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 50 = 0 OR o_orderkey % 2 = 1 AND o_orderkey % 25 = 0
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema drift survival: batch 1 is written WITHOUT o_orderpriority
+    (the early producer), batch 2 WITH it (the evolved producer);
+    mergeSchema=true reads both under the union schema, nulling the
+    missing column for old files — the add-a-column evolution parquet
+    handles natively (renames/type-changes need a table format). The
+    oracle reproduces the same union from the source table. Spark only
+    pays the footer-merge cost when mergeSchema is requested — keep it
+    off for stable-schema 100 TB scans."""
+    import os as _os
+    import tempfile
+
+    from bpspark.io import table as _table
+
+    base = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_evo_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    o = _table(spark, sf, "orders")
+    if not _os.path.exists(_os.path.join(base, "b2", "_SUCCESS")):
+        (
+            o.filter(F.col("o_orderkey") % 50 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite").parquet(f"{base}/b1")
+        )
+        (
+            o.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 25 == 0))
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite").parquet(f"{base}/b2")
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/b1", f"{base}/b2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )

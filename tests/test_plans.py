@@ -359,3 +359,31 @@ def test_sample_hash_mod_no_shuffle(spark):
     plan = plan_of(spark, "sample_hash_mod")
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_range_layout_files_have_narrow_disjoint_spans(spark):
+    """After repartitionByRange+sort, each file's o_orderdate span must be
+    a small slice of the full range (file skipping works), and a
+    date-window filter must push down to the scan."""
+    import glob
+    import os
+    import tempfile
+
+    OPS["sink_range_partitioned"].fn(spark, SF_SMALL).count()
+    dst = os.path.join(tempfile.gettempdir(), f"bpspark_range_{os.path.basename(SF_SMALL.rstrip('/'))}")
+    files = glob.glob(os.path.join(dst, "part-*.parquet"))
+    assert len(files) >= 8
+    import duckdb
+
+    spans = []
+    full_lo, full_hi = None, None
+    for f in files:
+        lo, hi = duckdb.sql(f"SELECT MIN(o_orderdate), MAX(o_orderdate) FROM '{f}'").fetchone()
+        spans.append((lo, hi))
+        full_lo = lo if full_lo is None or lo < full_lo else full_lo
+        full_hi = hi if full_hi is None or hi > full_hi else full_hi
+    total_days = (full_hi - full_lo).days
+    # every file covers well under a quarter of the full range
+    assert all((hi - lo).days <= total_days // 4 for lo, hi in spans), spans
+    plan = plan_of(spark, "sink_range_partitioned")
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
