@@ -313,3 +313,42 @@ def sink_range_partitioned(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("string").alias("o_orderdate_s"))
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key"))
     )
+
+
+@op(
+    "scan_dynamic_partition_pruning",
+    sql="""
+    WITH y AS (
+      SELECT DISTINCT year(o_orderdate) AS order_year FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    )
+    SELECT CAST(s.order_year AS INT) AS order_year, COUNT(*) AS n_orders
+    FROM (SELECT year(o_orderdate) AS order_year FROM orders) s
+    JOIN y ON s.order_year = y.order_year
+    GROUP BY s.order_year
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: the partition filter is NOT a literal —
+    it's the broadcast result of the dim-side subquery, injected into the
+    fact scan at runtime (PartitionFilters: dynamicpruningexpression,
+    asserted in tests/test_plans.py). This is how a 100 TB
+    date-partitioned fact joins a filtered calendar/dim and touches only
+    the qualifying partitions, with no literal dates anywhere in the
+    query text. Static pruning's twin op is sink_partitioned_silver."""
+    d = silver_orders_path(spark, sf)
+    years = (
+        table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+    )
+    silver = spark.read.parquet(d)
+    return (
+        silver.join(F.broadcast(years), "order_year")
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

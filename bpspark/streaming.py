@@ -502,3 +502,38 @@ def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
     ).select("a_event_id", "b_event_id", F.col("a_user_id").alias("user_id"))
     return run_to_memory(joined)
+
+
+@op("stream_dedup_within_watermark", sql=None)
+def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """The bounded-state form of streaming dedup (Spark 3.5
+    dropDuplicatesWithinWatermark): duplicate arrivals are suppressed only
+    while their key is inside the watermark horizon, after which state is
+    EVICTED — unlike plain dropDuplicates whose state grows with the
+    all-time key count. At 100 TB/day of arrivals that difference is the
+    whole game: state size is bounded by (rate × watermark), not by
+    history. Same two-delivery fixture as stream_dedup_state; one row
+    per ISBN survives."""
+    from bpspark.fixtures import default_dir
+
+    fx = default_dir()
+    stage = tempfile.mkdtemp(prefix="bpspark_dedup_wm_")
+    import shutil
+
+    for sub in ("a", "b"):
+        os.makedirs(f"{stage}/{sub}")
+        shutil.copy(f"{fx}/drop/9780000000001.zip", f"{stage}/{sub}/9780000000001.zip")
+    shutil.copy(f"{fx}/drop/9780000000002.zip", f"{stage}/a/9780000000002.zip")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINFILE_SCHEMA)
+        .option("pathGlobFilter", "*.zip")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{stage}/*")
+        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .withWatermark("modificationTime", "1 hour")
+        .dropDuplicatesWithinWatermark(["isbn"])
+        .select("isbn", "length")
+    )
+    return run_to_memory(stream)

@@ -387,3 +387,10 @@ def test_range_layout_files_have_narrow_disjoint_spans(spark):
     assert all((hi - lo).days <= total_days // 4 for lo, hi in spans), spans
     plan = plan_of(spark, "sink_range_partitioned")
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The silver scan's PartitionFilters must contain a runtime
+    dynamicpruning expression, not just literals."""
+    plan = plan_of(spark, "scan_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
