@@ -1672,3 +1672,95 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
         history.append((it, float(loss), float(acc)))
         w -= lr * grad
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")
+
+
+@op("pipeline_llm_corpus", sql=None)  # composed flagship — stage funnel
+def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole corpus-prep flow as ONE composed declarative pipeline —
+    quality gate → exact dedup → MinHash near-dedup → benchmark
+    decontamination → chunking → greedy packing — i.e. every curation
+    family in this module chained the way a production training-data
+    run chains them. Each stage reuses the exact logic of its standalone
+    op (same predicates, same LSH parameters, same pack budget), so the
+    per-stage tests transfer; the returned funnel (stage, n_rows) is the
+    run's audit record. Catalyst sees ONE plan per counted stage and
+    pushes the quality predicate into the scan that feeds everything.
+    Deterministic end to end: seeded minhash, md5 canonical pick,
+    doc_id-ordered packing."""
+    docs = table(spark, sf, "documents")
+
+    toks = F.split(F.col("text"), " ")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double") / F.length("text")
+    )
+    quality = docs.filter(
+        F.length("text").between(100, 2000)
+        & (F.size(toks) >= 20)
+        & (alpha_ratio > 0.9)
+        & (F.regexp_count("text", F.lit(r"\bthe\b")) >= 1)
+    ).select("doc_id", "text", "source")
+
+    # exact dedup: canonical = min doc_id per content hash
+    canon = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    exact = quality.join(
+        canon.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    # near-dedup: LSH candidate pairs; survivor = smaller doc_id
+    pairs = minhash_candidate_pairs(exact.select("doc_id", "text"))
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = exact.join(losers, "doc_id", "left_anti")
+
+    # decontamination: drop docs sharing a 3-gram with the benchmark slice
+    words = near.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        words.select(
+            "doc_id",
+            F.col("w").alias("w0"),
+            F.lead("w", 1).over(w).alias("w1"),
+            F.lead("w", 2).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("g"))
+    )
+    bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        near.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # chunk + pack
+    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(600))
+    chunks = clean.select(
+        "doc_id", F.posexplode(starts).alias("chunk_no", "start")
+    ).select("doc_id", "chunk_no")
+    packs = (
+        clean.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("source")
+        .applyInPandas(
+            _pack_greedy_group,
+            "source string, pack_id long, n_docs long, pack_tokens long, "
+            "first_doc_id long, last_doc_id long",
+        )
+    )
+
+    stages = [
+        ("0_raw", docs),
+        ("1_quality", quality),
+        ("2_exact_dedup", exact),
+        ("3_near_dedup", near),
+        ("4_decontaminated", clean),
+        ("5_chunks", chunks),
+        ("6_packs", packs),
+    ]
+    counts = [(name, df.count()) for name, df in stages]
+    return spark.createDataFrame(counts, "stage string, n_rows bigint")

@@ -135,3 +135,18 @@ def test_kmeans_lloyd_invariants(spark):
     assert all(0 <= r.cluster < 8 for r in out)
     assert all(r.inertia >= 0.0 for r in out)
     assert len({r.cluster for r in out}) == len(out)
+
+
+def test_corpus_pipeline_funnel_consistent(spark):
+    """The composed pipeline's stage counts must agree with the standalone
+    ops it reuses, and the funnel must be monotone (each filter stage only
+    removes rows)."""
+    ops = OPS
+    funnel = {
+        r["stage"]: r["n_rows"]
+        for r in ops["pipeline_llm_corpus"].fn(spark, SF_SMALL).collect()
+    }
+    assert funnel["1_quality"] == ops["text_quality_filter"].fn(spark, SF_SMALL).count()
+    assert funnel["0_raw"] >= funnel["1_quality"] >= funnel["2_exact_dedup"] >= funnel["3_near_dedup"] >= funnel["4_decontaminated"]
+    assert funnel["5_chunks"] >= funnel["4_decontaminated"]
+    assert 0 < funnel["6_packs"] <= funnel["4_decontaminated"]
