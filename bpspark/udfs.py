@@ -230,3 +230,73 @@ def udtf_python_native(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     return out.orderBy("doc_id", "sent_idx")
+
+
+def _arrow_token_count(batches):
+    """mapInArrow body: RecordBatch → RecordBatch with a token_count column
+    computed via pyarrow.compute — zero pandas materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = pc.list_value_length(pc.split_pattern(batch.column(1), " "))
+        yield pa.RecordBatch.from_arrays(
+            [batch.column(0), toks.cast(pa.int64())], ["doc_id", "token_count"]
+        )
+
+
+@op(
+    "udtf_map_in_arrow",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count
+    FROM documents
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python hook: raw Arrow
+    RecordBatches in and out, no pandas conversion at all (mapInPandas
+    pays Arrow→pandas→Arrow per batch; for columnar-in/columnar-out
+    transforms that conversion IS most of the cost). The body counts
+    whitespace tokens with pyarrow.compute kernels (C++, vectorized) —
+    exact integer semantics, so the SQL oracle checks it bit-for-bit."""
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_arrow_token_count, "doc_id bigint, token_count bigint")
+
+
+def _digit_sum_body(s: pd.Series) -> pd.Series:
+    return s.astype("string").str.replace(r"[^0-9]", "", regex=True).map(
+        lambda d: sum(int(ch) for ch in d) if d else 0
+    ).astype("int64")
+
+
+@op(
+    "udf_sql_registered",
+    sql="""
+    SELECT o_orderkey,
+           CAST(
+             (o_orderkey % 10) + (o_orderkey // 10 % 10) + (o_orderkey // 100 % 10)
+             + (o_orderkey // 1000 % 10) + (o_orderkey // 10000 % 10)
+             + (o_orderkey // 100000 % 10) + (o_orderkey // 1000000 % 10)
+             + (o_orderkey // 10000000 % 10)
+           AS BIGINT) AS digit_sum
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf: str) -> DataFrame:
+    """A pandas UDF registered into the SQL function catalog
+    (spark.udf.register) and invoked from SQL TEXT — the path that lets
+    analysts call Python extensions from plain SQL. Registration is
+    per-session and name-spaced bpspark_ to avoid collisions. Exact
+    integer body (digit sum) → full oracle parity; the oracle unrolls
+    the digit sum arithmetically."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    spark.udf.register("bpspark_digit_sum", _pudf(_digit_sum_body, "long"))
+    table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, bpspark_digit_sum(o_orderkey) AS digit_sum
+        FROM orders WHERE o_orderkey % 7 = 0
+        """
+    )
