@@ -1415,3 +1415,38 @@ def join_nearest_event(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.coalesce(F.least(prev_gap, next_gap), prev_gap, next_gap).alias("nearest_gap_us"),
     )
+
+
+@op(
+    "q_repeat_purchase_30d",
+    sql="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(o_orderdate) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_quick_reorders
+    FROM g WHERE gap_days IS NOT NULL AND gap_days <= 30
+    GROUP BY o_custkey
+    """,
+)
+def q_repeat_purchase_30d(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase detection: orders placed within 30 days of the
+    customer's previous order, counted per customer — lag over the
+    per-customer date sequence, integer day arithmetic (deterministic;
+    ties broken by orderkey). One exchange shared by window and final
+    groupBy (same user-key clustering), the retention primitive behind
+    churn and LTV models."""
+    o = table(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        o.select("o_custkey", gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull() & (F.col("gap_days") <= 30))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_quick_reorders"))
+    )

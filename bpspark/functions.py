@@ -493,3 +493,53 @@ def fn_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("first_defined"),
         (F.lit(None).cast("boolean") & F.lit(False)).isNull().alias("sql_3vl_and"),
     )
+
+
+@op(
+    "fn_array_setops",
+    sql="""
+    WITH b AS (
+      SELECT o_orderpriority AS pri,
+             list_sort(list(DISTINCT o_orderstatus)) AS statuses
+      FROM orders GROUP BY o_orderpriority
+    ), p AS (
+      SELECT a.pri AS pri_a, c.pri AS pri_b, a.statuses AS sa, c.statuses AS sb
+      FROM b a JOIN b c ON a.pri < c.pri
+    )
+    SELECT pri_a, pri_b,
+           len(list_intersect(sa, sb)) AS n_common,
+           array_to_string(list_sort(list_intersect(sa, sb)), ',') AS common_csv,
+           len(list_filter(sa, x -> NOT list_contains(sb, x))) AS n_only_a,
+           len(list_distinct(list_concat(sa, sb))) AS n_union,
+           list_has_any(sa, sb) AS overlaps
+    FROM p
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra (union/intersect/except/overlap) over per-group
+    distinct-value arrays, emitted as SCALARS (sizes, CSV of the sorted
+    intersection, boolean overlap) — array-typed cells never cross the
+    oracle boundary (pandas vs duckdb list repr differ; round-1 rule).
+    Set ops run on deduped per-group arrays (|statuses| ≤ 3), so the
+    pairwise frame is |priorities|² tiny regardless of fact size."""
+    o = table(spark, sf, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    p = a.join(c, F.col("a.pri") < F.col("c.pri")).select(
+        F.col("a.pri").alias("pri_a"),
+        F.col("c.pri").alias("pri_b"),
+        F.col("a.statuses").alias("sa"),
+        F.col("c.statuses").alias("sb"),
+    )
+    inter = F.array_intersect("sa", "sb")
+    return p.select(
+        "pri_a",
+        "pri_b",
+        F.size(inter).alias("n_common"),
+        F.array_join(F.array_sort(inter), ",").alias("common_csv"),
+        F.size(F.array_except("sa", "sb")).alias("n_only_a"),
+        F.size(F.array_distinct(F.array_union("sa", "sb"))).alias("n_union"),
+        F.arrays_overlap("sa", "sb").alias("overlaps"),
+    )
