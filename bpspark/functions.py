@@ -543,3 +543,37 @@ def fn_array_setops(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_distinct(F.array_union("sa", "sb"))).alias("n_union"),
         F.arrays_overlap("sa", "sb").alias("overlaps"),
     )
+
+
+@op(
+    "fn_try_arith",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           CASE WHEN o_orderkey > 7 THEN NULL
+                ELSE 9223372036854775800 + o_orderkey END AS safe_add,
+           CASE WHEN o_orderstatus = 'O' THEN CAST(NULL AS DOUBLE)
+                ELSE 1.5 END AS safe_parse
+    FROM orders
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: try_divide / try_add / try_to_number
+    return NULL where strict ANSI evaluation would THROW (division by
+    zero, bigint overflow, unparseable numeric) — the per-row quarantine
+    that keeps a 100 TB job from dying on one poison row. The oracle
+    proves each NULL appears exactly where the failure condition holds
+    (DuckDB emulates with lazily-evaluated CASE guards)."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775800), F.col("o_orderkey")).alias("safe_add"),
+        F.try_to_number(
+            F.when(F.col("o_orderstatus") == "O", "oops").otherwise("1.5"),
+            F.lit("9.9"),
+        )
+        .cast("double")
+        .alias("safe_parse"),
+    )
