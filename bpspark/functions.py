@@ -577,3 +577,124 @@ def fn_try_arith(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("safe_parse"),
     )
+
+
+@op(
+    "fn_trig",
+    sql="""
+    SELECT c_custkey,
+           round(sin(c_acctbal / 1000.0), 6) AS sin_v,
+           round(cos(c_acctbal / 1000.0), 6) AS cos_v,
+           round(atan2(c_acctbal, CAST(c_custkey AS DOUBLE) + 1.0), 6) AS atan2_v,
+           round(radians(CAST(c_custkey % 360 AS DOUBLE)), 6) AS rad_v,
+           round(degrees(c_acctbal / 10000.0), 6) AS deg_v,
+           round(atan(c_acctbal / 5000.0), 6) AS atan_v
+    FROM customer
+    """,
+)
+def fn_trig(spark: SparkSession, sf: str) -> DataFrame:
+    """Trigonometric scalar family (sin/cos/atan/atan2/radians/degrees) —
+    all JVM intrinsics inside one whole-stage-codegen projection, no
+    Python. Results rounded to 6 dp: both engines evaluate IEEE-double
+    libm on identical inputs, so post-round values agree (boundary drift
+    would need a true value within 1e-15 of a rounding edge)."""
+    c = table(spark, sf, "customer")
+    x = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.sin(x / 1000.0), 6).alias("sin_v"),
+        F.round(F.cos(x / 1000.0), 6).alias("cos_v"),
+        F.round(F.atan2(x, F.col("c_custkey").cast("double") + 1.0), 6).alias("atan2_v"),
+        F.round(F.radians((F.col("c_custkey") % 360).cast("double")), 6).alias("rad_v"),
+        F.round(F.degrees(x / 10000.0), 6).alias("deg_v"),
+        F.round(F.atan(x / 5000.0), 6).alias("atan_v"),
+    )
+
+
+@op(
+    "fn_iso8601_duration",
+    sql="""
+    SELECT o_orderkey,
+           'PT' || CAST(o_orderkey % 12 AS VARCHAR) || 'H'
+                || CAST(o_orderkey % 60 AS VARCHAR) || 'M' AS iso_duration,
+           (o_orderkey % 12) * 3600 + (o_orderkey % 60) * 60 AS total_s,
+           o_orderdate
+             + to_hours(o_orderkey % 12)
+             + to_minutes(o_orderkey % 60) AS deadline
+    FROM orders
+    """,
+)
+def fn_iso8601_duration(spark: SparkSession, sf: str) -> DataFrame:
+    """ISO-8601 duration parsing + timestamp arithmetic. The reference
+    carries workflow timers as ISO-8601 strings like ``PT5M``/``PT1M``
+    (alfresco-global.properties:17-19, injected into process variables at
+    MetadataIngestionServiceImpl.java:243-244); the engine parses them
+    with codegen regexps into a DayTimeIntervalType and computes typed
+    deadlines (timestamp + make_dt_interval). No UDF: parse → interval →
+    add is one codegen projection, so it survives any scale."""
+    o = table(spark, sf, "orders")
+    iso = F.concat(
+        F.lit("PT"),
+        (F.col("o_orderkey") % 12).cast("string"),
+        F.lit("H"),
+        (F.col("o_orderkey") % 60).cast("string"),
+        F.lit("M"),
+    )
+    w = o.withColumn("iso_duration", iso)
+    hours = F.coalesce(
+        F.regexp_extract("iso_duration", r"(\d+)H", 1).cast("long"), F.lit(0)
+    )
+    mins = F.coalesce(
+        F.regexp_extract("iso_duration", r"(\d+)M", 1).cast("long"), F.lit(0)
+    )
+    return w.select(
+        "o_orderkey",
+        "iso_duration",
+        (hours * 3600 + mins * 60).alias("total_s"),
+        (
+            F.col("o_orderdate")
+            + F.make_dt_interval(F.lit(0), hours.cast("int"), mins.cast("int"))
+        ).alias("deadline"),
+    )
+
+
+@op(
+    "fn_format_output",
+    sql="""
+    SELECT o_orderkey,
+           printf('ORD-%08d', o_orderkey) AS order_tag,
+           printf('%s:%d', o_orderstatus, o_orderkey % 100) AS status_code,
+           printf('%.1f', round(o_totalprice, 1)) AS price_1dp,
+           repeat(o_orderstatus, 3) AS status_x3,
+           reverse(o_orderpriority) AS pri_rev,
+           translate(o_orderpriority, '-AEIOU', '_') AS pri_smashed,
+           left(o_orderpriority, 3) AS pri_l3,
+           right(o_orderpriority, 4) AS pri_r4,
+           ascii(o_orderstatus) AS status_ascii,
+           chr(65 + CAST(o_orderkey % 26 AS INTEGER)) AS bucket_chr
+    FROM orders
+    """,
+)
+def fn_format_output(spark: SparkSession, sf: str) -> DataFrame:
+    """printf-style formatting family: format_string (Java Formatter ≡ C
+    printf for %d/%s and for %.1f of pre-rounded values — the half-up vs
+    half-even divergence needs an exact mid-boundary digit, which
+    round(x,1) removes), repeat/reverse/translate/left/right/ascii/chr.
+    Pure codegen string kernels — formatting 100 TB of rows never leaves
+    the JVM."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%08d", "o_orderkey").alias("order_tag"),
+        F.format_string(
+            "%s:%d", F.col("o_orderstatus"), F.col("o_orderkey") % 100
+        ).alias("status_code"),
+        F.format_string("%.1f", F.round("o_totalprice", 1)).alias("price_1dp"),
+        F.repeat("o_orderstatus", 3).alias("status_x3"),
+        F.reverse("o_orderpriority").alias("pri_rev"),
+        F.translate("o_orderpriority", "-AEIOU", "_").alias("pri_smashed"),
+        F.substring("o_orderpriority", 1, 3).alias("pri_l3"),
+        F.expr("right(o_orderpriority, 4)").alias("pri_r4"),
+        F.ascii("o_orderstatus").alias("status_ascii"),
+        F.chr(F.lit(65) + (F.col("o_orderkey") % 26)).alias("bucket_chr"),
+    )
