@@ -17,18 +17,25 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table; filters/pruning push into the parquet read.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read it as raw nanos (legacy conf) and
-    convert to a microsecond TimestampType — the same truncation DuckDB's
-    µs-timestamp arithmetic applies. Still a plain columnar scan with
-    pushdown for every other column.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
+    Spark version this arrives as TIMESTAMP_NTZ (4.x reads NANOS natively,
+    floor-truncated to µs — identical to DuckDB's µs arithmetic) or, under
+    the legacy ``nanosAsLong`` conf, as raw-nano LongType. Normalize either
+    to a µs TimestampType so every downstream op sees one type. Still a
+    plain columnar scan with pushdown for every other column.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

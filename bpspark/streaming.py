@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from bpspark.io import table
 from bpspark.registry import op
 
-EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+EVENTS_RAW_SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 BINFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
 
@@ -42,7 +42,7 @@ _STAGED_EVENTS: dict[str, str] = {}
 
 
 def events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    """events as a file-source stream (ts arrives as raw nanos → µs).
+    """events as a file-source stream (parquet NANOS ts → µs timestamp).
 
     The file source needs a *directory*; the testdata table is a single
     parquet file, so it is staged (once per sf) into a temp dir."""
@@ -52,9 +52,8 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="bpspark_events_src_")
         shutil.copy(f"{sf}/events.parquet", f"{d}/events.parquet")
         _STAGED_EVENTS[sf] = d
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_STAGED_EVENTS[sf])
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataFrame:
