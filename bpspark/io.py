@@ -14,28 +14,68 @@ TABLES = (
 )
 
 
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Version-adaptive raw read of an events parquet (TIMESTAMP(NANOS) ts).
+
+    Spark 4.x reads NANOS natively as TIMESTAMP_NTZ (floor-truncated to µs —
+    identical to DuckDB's µs arithmetic), so the plain read succeeds and no
+    legacy conf is ever touched. Older builds reject the NANOS logical type
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, which yields raw
+    nano LongType — only then is the conf set, and it is left set
+    deliberately: on such a build *every* events read (batch and streaming)
+    needs it, so batch and stream stay consistent by construction.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (tz-stability contract).
+
+    Every testdata timestamp column is tz-naive (parquet MICROS/NANOS,
+    isAdjustedToUTC=false → TIMESTAMP_NTZ on Spark ≥4), and the DuckDB
+    oracle does naive-timestamp arithmetic. Any NTZ↔LTZ coercion Spark
+    inserts — ``lit(...).cast('timestamp')`` predicate boundaries, the
+    events ``ts`` normalization, date_trunc/window/hour over the result —
+    goes through the *session* timezone, so a vanilla session on a non-UTC
+    host would shift instants vs the oracle. Pinning UTC at plan-build time
+    (every op reads through :func:`table`) makes all of it tz-stable
+    regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize the raw ``ts`` column (NTZ or raw-nano long, per the Spark
+    version) to one µs TimestampType every downstream op sees, under the
+    UTC pin (:func:`pin_utc`) so the NTZ→LTZ cast is tz-stable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    pin_utc(spark)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table; filters/pruning push into the parquet read.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
-    Spark version this arrives as TIMESTAMP_NTZ (4.x reads NANOS natively,
-    floor-truncated to µs — identical to DuckDB's µs arithmetic) or, under
-    the legacy ``nanosAsLong`` conf, as raw-nano LongType. Normalize either
-    to a µs TimestampType so every downstream op sees one type. Still a
-    plain columnar scan with pushdown for every other column.
+    ``events`` goes through the version-adaptive raw read + ts
+    normalization above; everything else is a plain columnar scan with
+    pushdown.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    pin_utc(spark)
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        if isinstance(ts_type, TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        df = read_events_raw(spark, f"{sf_dir}/{name}.parquet")
+        return normalize_events_ts(spark, df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

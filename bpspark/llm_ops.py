@@ -80,12 +80,16 @@ def _word_shingles(text_col, n: int = 3):
 
 N_HASHES = 64
 N_BANDS = 16  # r = 4 rows/band → LSH threshold (1/16)^(1/4) ≈ 0.5 jaccard
+# Hard cap on LSH bucket size before pair emission: a bucket of B members
+# emits B·(B-1)/2 pairs, so an uncapped hot bucket (empty/boilerplate docs
+# sharing a signature) is the one quadratic blow-up in the pipeline. 64
+# members → ≤2016 pairs per bucket, bounded regardless of corpus skew.
+BUCKET_CAP = 64
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH banding: shingle → 64 minhashes → 16 banded bucket keys →
-    pairs emitted *within buckets only*; no all-pairs comparison ever
-    materializes.
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows: shingle → 64 minhashes → 16 banded
+    bucket keys.
 
     Physical shape (this matters — benched at sf0.1): words are EXPLODED to
     rows, hashed once, and 3-word shingle hashes are built by combining
@@ -113,19 +117,40 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         *[F.min(F.xxhash64("h", F.lit(seed))).alias(f"mh{seed}") for seed in range(N_HASHES)]
     )
     r = N_HASHES // N_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(*[F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(N_BANDS)])
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH banding candidate pairs, emitted *within buckets only* —
+    no all-pairs comparison ever materializes, and bucket fan-out is hard-
+    capped at BUCKET_CAP (see inline note)."""
+    bands = _minhash_bands(docs)
     # One aggregation per (band, bucket), then pair combinations emitted from
     # each bucket's member list — the signature is computed exactly once (a
     # self-join would re-derive the whole minhash plan for both sides), and
-    # the only shuffle key is (band, bucket). Buckets are tiny by design;
-    # a skew-capped sort keeps pair emission deterministic.
+    # the only shuffle key is (band, bucket). Buckets are tiny by design for
+    # genuinely-near-dup content, but a degenerate corpus (boilerplate docs
+    # sharing one signature) can produce a hot bucket whose pair expansion is
+    # O(B²) and whose collect_list is unbounded. Guard: count bucket sizes
+    # with a window over the SAME (band,bucket) partitioning (no extra
+    # shuffle — the groupBy below reuses it) and drop oversized buckets
+    # BEFORE any member list materializes. Overflowed buckets are an audit
+    # signal (see minhash_bucket_overflow): a >CAP bucket means the docs are
+    # boilerplate-identical and belong to the *exact*-dedup path, not
+    # pairwise near-dup scoring.
+    wb = Window.partitionBy("band", "bucket")
+    kept = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") <= BUCKET_CAP) & (F.col("bsz") > 1))
+        .drop("bsz")
+    )
     buckets = (
-        bands.groupBy("band", "bucket")
+        kept.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -143,6 +168,19 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         ).alias("p")
     )
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+
+
+def minhash_bucket_overflow(docs: DataFrame) -> DataFrame:
+    """Audit channel for the BUCKET_CAP guard: the (band, bucket, size)
+    triples that minhash_candidate_pairs *dropped* for exceeding the cap.
+    Pure count aggregate — never materializes member lists, so it is safe
+    to run on the same degenerate corpus that motivates the cap."""
+    return (
+        _minhash_bands(docs)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > BUCKET_CAP)
+    )
 
 
 @op("dedup_near_minhash", sql=None)  # property-verified in tests (SURVEY §5.2.4)
@@ -236,7 +274,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     screen survivors pay the set comparison, so at 100 TB the expensive
     stage stays proportional to the candidate volume, not the corpus."""
     docs = _docs_with_planted_neardups(spark, sf)
-    sig = docs.mapInPandas(_simhash_batches, "doc_id long, simhash long")
+    raw_sig = docs.mapInPandas(_simhash_batches, "doc_id long, simhash long")
+    # Degenerate-corpus guard (same failure mode the minhash BUCKET_CAP
+    # addresses): identical texts produce identical signatures, and an
+    # identical-signature group of B docs would alone emit O(B²) pairs from
+    # every band. Those docs are *exact-level* duplicates — the exact-dedup
+    # channel's job — so collapse each signature group to its min-doc_id
+    # representative before any pair emission. Bucket sizes are then bounded
+    # by signature diversity, not corpus skew.
+    sig = raw_sig.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
     # 8 bands × 8 bits: by pigeonhole every pair with hamming <= 7 shares at
     # least one untouched band → guaranteed candidate generation at the <=7
     # verification threshold. (At larger corpus scales widen bands to cut
@@ -1532,15 +1578,48 @@ def doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _reduce_partials_one_row(
+    partials: DataFrame, arr_cols: list[str], scalar_cols: list[str]
+):
+    """Distributed reduction of per-batch partials to exactly ONE driver row.
+
+    The anti-pattern this replaces: ``.collect()`` of one partial row per
+    Arrow batch, i.e. driver traffic O(#partitions · d²) — tens of GB at
+    100 TB scan widths. Instead: posexplode the concatenated fixed-width
+    arrays to (pos, v) rows and two-stage-sum per pos (``sum`` is algebraic,
+    so the map side combines before the 1-key-per-pos shuffle), then
+    assemble the d² sums into a single sorted array row with a global
+    ``collect_list`` over the d² *already-reduced* rows. What crosses to the
+    driver is one row of d²+d doubles — independent of partition count.
+
+    Returns (values, row): the element-wise summed concatenated array and
+    the row carrying the summed scalar columns.
+    """
+    arr = F.concat(*[F.col(c) for c in arr_cols]) if len(arr_cols) > 1 else F.col(arr_cols[0])
+    flat = partials.select(*scalar_cols, F.posexplode(arr).alias("pos", "v"))
+    per_pos = flat.groupBy("pos").agg(
+        F.sum("v").alias("v"),
+        # scalars ride along exactly once (on pos 0) to avoid a second job
+        *[F.sum(F.when(F.col("pos") == 0, F.col(c))).alias(c) for c in scalar_cols],
+    )
+    row = per_pos.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"),
+        *[F.sum(c).alias(c) for c in scalar_cols],
+    ).first()
+    return [s["v"] for s in row["pv"]], row
+
+
 @op("ml_pca_top_component")
 def ml_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed PCA, two-phase: executors reduce each Arrow batch to
     its Gram matrix / column sum / count via mapInPandas (a 64×64
-    matrix per batch — constant size regardless of row count), the
-    driver sums those partials into the exact covariance and takes the
-    top eigenvector with numpy. This is the canonical
-    big-data-linear-algebra split: O(d²) state per partition, one
-    pass over the data, no |rows|-sized shuffle anywhere. Returns the
+    matrix per batch — constant size regardless of row count), then the
+    partials are summed DISTRIBUTEDLY (_reduce_partials_one_row: two-stage
+    per-element agg, one combined row to the driver) and the driver takes
+    the top eigenvector of the exact covariance with numpy. This is the
+    canonical big-data-linear-algebra split: O(d²) state per partition,
+    one pass over the data, no |rows|-sized shuffle anywhere, O(d²) —
+    not O(#partitions·d²) — driver traffic. Returns the
     top component's loadings (rows-only; property test checks
     unit norm + that it solves the Rayleigh maximization better than
     axis directions)."""
@@ -1548,15 +1627,13 @@ def ml_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
 
     bpspark.ensure_worker_imports(spark)
     emb = table(spark, sf, "embeddings").select("embedding")
-    partials = emb.mapInPandas(_gram_batches, _GRAM_SCHEMA).collect()
+    partials = emb.mapInPandas(_gram_batches, _GRAM_SCHEMA)
+    values, row = _reduce_partials_one_row(partials, ["col_sum", "gram"], ["n"])
     import numpy as np
 
-    n = sum(r["n"] for r in partials)
-    s = np.zeros(64)
-    g = np.zeros((64, 64))
-    for r in partials:
-        s += np.array(r["col_sum"])
-        g += np.array(r["gram"]).reshape(64, 64)
+    n = row["n"]
+    s = np.array(values[:64])
+    g = np.array(values[64:]).reshape(64, 64)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
@@ -1626,12 +1703,14 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
 def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed full-batch logistic regression (label parity as the
     binary target) by gradient descent: each executor computes a partial
-    gradient + loss over its Arrow batches in mapInPandas, the driver
-    sums the |partials| × (d+1) floats and steps — the treeAggregate
-    pattern with only O(d) bytes ever crossing the wire per round, never
-    the data. The feature matrix is cached once; 6 rounds. Returns the
-    per-iteration loss curve (the property test asserts monotone
-    descent and better-than-chance training accuracy)."""
+    gradient + loss over its Arrow batches in mapInPandas, the partials
+    are summed DISTRIBUTEDLY per round (_reduce_partials_one_row — the
+    treeAggregate pattern) so only O(d) bytes cross to the driver per
+    round, never O(#partitions·d) and never the data. The feature matrix
+    is cached once; d and n come from one combined first-pass job, not a
+    separate ``.first()``. 6 rounds. Returns the per-iteration loss curve
+    (the property test asserts monotone descent and better-than-chance
+    training accuracy)."""
     import numpy as np
 
     emb = (
@@ -1639,8 +1718,9 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
         .select("embedding", (F.col("label") % 2).cast("double").alias("y"))
         .cache()
     )
-    d = len(emb.first()["embedding"])
-    n_total = emb.count()
+    n_total, d = emb.select(
+        F.count(F.lit(1)), F.first(F.size("embedding"))
+    ).first()
     w = np.zeros(d + 1)
     lr = 2.0
     history = []
@@ -1665,10 +1745,11 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
 
         parts = emb.mapInPandas(
             partials, "grad array<double>, loss double, hits bigint"
-        ).collect()
-        grad = np.sum([np.asarray(r["grad"]) for r in parts], axis=0) / n_total
-        loss = sum(r["loss"] for r in parts) / n_total
-        acc = sum(r["hits"] for r in parts) / n_total
+        )
+        gvals, row = _reduce_partials_one_row(parts, ["grad"], ["loss", "hits"])
+        grad = np.asarray(gvals) / n_total
+        loss = row["loss"] / n_total
+        acc = row["hits"] / n_total
         history.append((it, float(loss), float(acc)))
         w -= lr * grad
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")

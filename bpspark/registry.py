@@ -31,6 +31,71 @@ class Op:
 
 _REGISTRY: dict[str, Op] = {}
 
+# Driver-sweep priority. The correctness driver walks ``queries()`` in dict
+# order with a bounded budget (round 1 covered exactly the first 50
+# registered ops), so order = verification priority, not import order.
+# Tiers:
+#   1. SURVEY §2.3 ops with no driver row yet (fn_*/udf_*/stream_*/llm §2.3
+#      + binary/pipeline sources) — cheap oracle-backed first, rows-only
+#      replays last within the tier;
+#   2. the LLM-data-pipeline family (graded first-class) — expression
+#      pipelines first, iterative/composed ops last;
+#   3. SURVEY §2.3 relational core (driver-verified in round 1 — re-verify);
+#   4. everything else in registration order.
+_PRIORITY: tuple[str, ...] = (
+    # --- tier 1: §2.3 ops missing a driver correctness row after round 1
+    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_map",
+    "fn_array", "fn_json",
+    "udf_scalar_pandas", "udaf_grouped_pandas", "udtf_apply_in_pandas",
+    "udtf_map_in_pandas",
+    "dedup_exact_hash", "text_stats", "text_quality_filter",
+    "sim_cosine_topk", "dedup_near_minhash", "multimodal_columns",
+    "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
+    "scan_binary_zip", "ingest_properties_zip", "sink_append_parquet",
+    "stream_static_join", "stream_watermark_late", "stream_dedup_state",
+    "stream_drop_folder", "sink_control_table",
+    # --- tier 2: LLM-data-pipeline family
+    "text_langid", "text_token_count_bpe", "text_fingerprint",
+    "text_normalize_clean", "text_pii_redact", "text_ngram_freq",
+    "text_readability", "text_vocab_stats", "text_tfidf_topterms",
+    "text_bigram_lift", "text_feature_hashing",
+    "multimodal_decode_stub", "multimodal_resize_stub",
+    "multimodal_frame_sample",
+    "dedup_exact_normalized", "dedup_token_sorted",
+    "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
+    "embedding_l2_normalize", "embedding_centroid_per_label",
+    "embedding_quantize_int8",
+    "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",
+    "sim_cosine_ivf", "sim_cosine_lsh",
+    "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
+    "ml_logreg_gd", "pipeline_llm_corpus",
+    # --- tier 3: §2.3 relational core (round-1 driver-verified)
+    "scan_parquet", "project_rename_cast", "project_map_keys",
+    "filter_comparison", "filter_boolean_logic", "filter_isin",
+    "filter_like_regex", "filter_null_required", "filter_between_range",
+    "join_broadcast_dim", "join_shuffle_inner", "join_left_outer",
+    "join_semi_validate", "join_anti_dedup", "join_theta_range",
+    "join_asof_latest_prior", "join_cross_small",
+    "agg_group_sums", "agg_global", "agg_count_distinct",
+    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "distinct_rows",
+    "win_row_number_topk", "win_rank_dense", "win_lag_lead",
+    "win_running_sum", "win_moving_avg_range", "win_ntile_first_last",
+    "sort_multi_key", "limit_n", "topk_global",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+)
+
+
+def _ordered(reg: dict[str, Op]) -> dict[str, Op]:
+    out: dict[str, Op] = {}
+    for name in _PRIORITY:
+        if name in reg:
+            out[name] = reg[name]
+    for name, o in reg.items():
+        if name not in out:
+            out[name] = o
+    return out
+
 
 def op(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering an operator implementation."""
@@ -48,7 +113,7 @@ def all_ops() -> dict[str, Op]:
     import bpspark
 
     bpspark.load_all()
-    return dict(_REGISTRY)
+    return _ordered(_REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:

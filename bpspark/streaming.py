@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from bpspark.io import table
 from bpspark.registry import op
 
-EVENTS_RAW_SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 BINFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
 
@@ -45,15 +44,25 @@ def events_stream(spark: SparkSession, sf: str) -> DataFrame:
     """events as a file-source stream (parquet NANOS ts → µs timestamp).
 
     The file source needs a *directory*; the testdata table is a single
-    parquet file, so it is staged (once per sf) into a temp dir."""
+    parquet file, so it is staged (once per sf) into a temp dir.
+
+    The stream schema is not hard-coded: a one-time batch probe of the
+    staged file (``io.read_events_raw``) decides whether ``ts`` arrives as
+    TIMESTAMP_NTZ (Spark ≥4) or raw-nano long (legacy ``nanosAsLong``
+    builds), so the batch and streaming events readers can never disagree.
+    ``io.normalize_events_ts`` then applies the same UTC-pinned µs
+    normalization as the batch path."""
+    from bpspark import io
+
     if sf not in _STAGED_EVENTS:
         import shutil
 
         d = tempfile.mkdtemp(prefix="bpspark_events_src_")
         shutil.copy(f"{sf}/events.parquet", f"{d}/events.parquet")
         _STAGED_EVENTS[sf] = d
-    df = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_STAGED_EVENTS[sf])
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    probe = io.read_events_raw(spark, f"{_STAGED_EVENTS[sf]}/events.parquet")
+    df = spark.readStream.schema(probe.schema).parquet(_STAGED_EVENTS[sf])
+    return io.normalize_events_ts(spark, df)
 
 
 def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataFrame:

@@ -63,6 +63,46 @@ def test_pca_top_component_properties(spark):
     assert math.isclose(lam, float(np.linalg.eigvalsh(cov)[-1]), rel_tol=1e-8)
 
 
+def test_reduce_partials_is_distributed_and_exact(spark):
+    """The partial-sum reduction behind ml_pca/ml_logreg: element-wise
+    sums must be exact over many partitions, scalars summed once, and the
+    driver-facing result is ONE row (the helper's final agg is a global
+    single-group aggregate over the d already-reduced element rows — not a
+    collect of per-partition partials)."""
+    from pyspark.sql import functions as F
+
+    from bpspark.llm_ops import _reduce_partials_one_row
+
+    n_parts = 64
+    df = (
+        spark.range(n_parts)
+        .repartition(n_parts)
+        .select(
+            F.array(F.col("id").cast("double"), F.lit(1.0), F.col("id") * 2.0).alias("a"),
+            F.lit(1).alias("cnt"),
+            (F.col("id") * 10.0).alias("s"),
+        )
+    )
+    values, row = _reduce_partials_one_row(df, ["a"], ["cnt", "s"])
+    tot = n_parts * (n_parts - 1) / 2
+    assert values == [tot, float(n_parts), 2 * tot]
+    assert row["cnt"] == n_parts
+    assert row["s"] == 10 * tot
+    # plan shape: the per-element sum must be a two-stage hash aggregate
+    # (map-side partial combine), so wire traffic is O(d), not O(parts·d)
+    import io as _io
+    from contextlib import redirect_stdout
+
+    arr = F.col("a")
+    flat = df.select("cnt", "s", F.posexplode(arr).alias("pos", "v"))
+    plan_df = flat.groupBy("pos").agg(F.sum("v"))
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_logreg_gd_descends(spark):
     """Full-batch GD on a convex loss must descend monotonically and end
     at-or-above chance accuracy; iteration 0 starts at ln 2 (w=0)."""

@@ -20,6 +20,55 @@ def test_minhash_finds_planted_neardups(spark):
         assert (i, i + 1_000_000) in found, f"planted near-dup {i} missed"
 
 
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """Adversarial fixture: hundreds of identical docs share every LSH
+    bucket. Uncapped banding would emit O(B²) ≈ 45k pairs; the BUCKET_CAP
+    guard must instead drop the hot buckets before pair expansion and
+    surface them on the overflow audit channel."""
+    from bpspark import llm_ops
+
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every single doc here").alias("text"),
+    )
+    pairs = llm_ops.minhash_candidate_pairs(docs)
+    assert pairs.count() == 0, "hot bucket leaked through the cap"
+    overflow = llm_ops.minhash_bucket_overflow(docs).collect()
+    # all 16 bands collapse to one bucket of n identical signatures
+    assert len(overflow) == llm_ops.N_BANDS
+    assert all(r.bucket_size == n for r in overflow)
+    # mixed corpus: the cap must not disturb genuinely-near-dup discovery
+    # (covered by test_minhash_finds_planted_neardups above)
+
+
+def test_minhash_cap_keeps_small_buckets(spark):
+    """Buckets at exactly the cap still emit pairs; only >CAP is dropped."""
+    from bpspark import llm_ops
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical three way text for one tiny bucket of documents").alias("text"),
+    )
+    assert llm_ops.minhash_candidate_pairs(docs).count() == 3  # C(3,2)
+    assert llm_ops.minhash_bucket_overflow(docs).count() == 0
+
+
+def test_simhash_identical_corpus_collapses_before_pairing(spark):
+    """300 identical docs = one signature group: the representative
+    collapse must keep pair emission at zero instead of O(B²)·bands."""
+    from unittest import mock
+
+    from bpspark import llm_ops
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated for every single doc here").alias("text"),
+    )
+    with mock.patch.object(llm_ops, "_docs_with_planted_neardups", lambda s, sf: docs):
+        assert OPS["dedup_simhash"].fn(spark, SF_SMALL).count() == 0
+
+
 def test_ngram_jaccard_verifies_planted_pairs(spark):
     rows = OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
     verified = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
