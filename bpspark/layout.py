@@ -197,10 +197,14 @@ def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     )
     frag, packed = _os.path.join(base, "frag"), _os.path.join(base, "packed")
     if not _os.path.exists(_os.path.join(packed, "_SUCCESS")):
+        # fragmentation degree tracks input size: the demonstration needs
+        # many-small-files, not a fixed 64 write tasks on a tiny sf
+        src_bytes = _os.path.getsize(_os.path.join(sf, "lineitem.parquet"))
+        n_frag = 64 if src_bytes > 8 * 1024 * 1024 else 16
         (
             table(spark, sf, "lineitem")
             .select("l_returnflag", "l_quantity")
-            .repartition(64)
+            .repartition(n_frag)
             .write.mode("overwrite")
             .parquet(frag)
         )

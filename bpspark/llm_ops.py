@@ -654,35 +654,89 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 MM_FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, width int, height int, "
-    "feature_mean double, feature_vec array<float>"
+    "feature_mean double, feature_vec array<float>, content_sha256 string"
 )
 
 
-def _fake_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode (SURVEY/driver contract: image/audio libs absent in this
-    container). Deterministic fake: 'pixels' are the payload bytes; width/
-    height derive from length; features are byte-histogram moments. The
-    Spark-side plumbing — binary column in, typed struct + vector out,
-    Arrow batching, partition parallelism — is the real thing; swap this
-    body for PIL/librosa in production."""
+def ppm_image_payloads(d: DataFrame) -> DataFrame:
+    """documents → one REAL image file per row: a valid binary PPM (P6) —
+    ascii header + raw RGB raster — built entirely JVM-side (regexp to
+    printable-ascii, rpad to the exact raster size, latin-1 encode,
+    binary concat). Two size classes so decoded dimensions are data, not
+    constants. Any PPM reader (PIL, ImageMagick, the fallback parser
+    below) opens these bytes."""
+    is_big = (F.col("doc_id") % 2) == 0
+    w = F.when(is_big, F.lit(16)).otherwise(F.lit(12))
+    h = F.when(is_big, F.lit(12)).otherwise(F.lit(8))
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"))
+    # slice to this row's exact raster length, then binary-concat with header
+    payload = F.concat(
+        F.encode(header, "ISO-8859-1"),
+        F.encode(F.expr(
+            f"substring(rpad(regexp_replace(text, '[^ -~]', ' '), {16*12*3}, '.'), 1, "
+            "cast((case when doc_id % 2 = 0 then 16*12*3 else 12*8*3 end) as int))"
+        ), "ISO-8859-1"),
+    )
+    return d.select("doc_id", payload.alias("payload"))
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6) to an (h, w, 3) uint8 array. Uses PIL when
+    the container has it; otherwise a real (not fake) pure-numpy parser of
+    the P6 format: ascii magic + whitespace-separated width/height/maxval,
+    then the raw raster. Both paths yield identical arrays (parity test
+    gated on PIL availability)."""
+    import numpy as np
+
+    try:
+        import io as _io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(_io.BytesIO(payload))
+        return np.asarray(img.convert("RGB"))
+    except ImportError:
+        pass
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, _maxval = toks
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real image decode + feature extraction per Arrow batch: header-derived
+    dimensions, mean pixel, 16-bin intensity histogram, sha256 of the
+    decoded raster (the content-hash tests pin these goldens)."""
+    import hashlib
+
     import numpy as np
 
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "media_type", "n_bytes", "width", "height",
-                                "feature_mean", "feature_vec")}
+                                "feature_mean", "feature_vec", "content_sha256")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = np.frombuffer(bytes(payload), dtype=np.uint8)
-            n = len(data)
-            width = max(int(n**0.5), 1)
-            height = max(n // width, 1)
-            hist = np.bincount(data % 16, minlength=16).astype(np.float32)
+            raw = bytes(payload)
+            img = decode_ppm(raw)
+            h, w, _ = img.shape
+            hist = np.bincount(img.ravel() >> 4, minlength=16).astype(np.float32)
             out["doc_id"].append(doc_id)
-            out["media_type"].append("image/fake")
-            out["n_bytes"].append(n)
-            out["width"].append(width)
-            out["height"].append(height)
-            out["feature_mean"].append(float(data.mean()) if n else 0.0)
+            out["media_type"].append("image/x-portable-pixmap")
+            out["n_bytes"].append(len(raw))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["feature_mean"].append(float(img.mean()))
             out["feature_vec"].append((hist / max(hist.sum(), 1)).tolist())
+            out["content_sha256"].append(hashlib.sha256(img.tobytes()).hexdigest())
         yield pd.DataFrame(out)
 
 
@@ -713,42 +767,50 @@ def multimodal_columns(spark: SparkSession, sf: str) -> DataFrame:
 
 @op("multimodal_decode_stub", sql=None)
 def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
-    """Decode / feature-extract over the binary column via mapInPandas
-    (Arrow-batched). Decode body is a deterministic STUB (no image libs in
-    the container) — schema, batching, and partition parallelism are real."""
+    """REAL image decode over a binary column via mapInPandas (Arrow-
+    batched): each row carries a valid binary PPM (P6) file (synthesized
+    JVM-side by ppm_image_payloads — the container ships no image corpus),
+    decoded by PIL when present, else a real pure-numpy P6 parser
+    (decode_ppm). Dimensions come from the image header, features from the
+    decoded raster, and a sha256 of the raster pins content (golden-hash
+    tests in tests/test_llm_ops.py). The op id keeps its round-1 name for
+    correctness-row continuity; the body is no longer a stub."""
     d = table(spark, sf, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return payloads.mapInPandas(_fake_decode_batches, MM_FEATURE_SCHEMA).orderBy("doc_id")
+    payloads = ppm_image_payloads(d)
+    return payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA).orderBy("doc_id")
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize: nearest-neighbor downsample of the fake byte 'image' to
-    a fixed 8×8 thumbnail (real body: PIL Image.resize). Deterministic."""
+    """Real resize: decode the PPM, grayscale (mean over RGB), nearest-
+    neighbor resample to 8×8, sha256 of the thumbnail bytes."""
+    import hashlib
+
     import numpy as np
 
     for pdf in batches:
-        ids, thumbs = [], []
+        ids, thumbs, hashes = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = np.frombuffer(bytes(payload), dtype=np.uint8)
-            n = len(data)
-            side = max(int(n**0.5), 1)
-            img = data[: side * side].reshape(side, side)
-            idx = (np.linspace(0, side - 1, 8)).astype(int)
-            thumb = img[np.ix_(idx, idx)].astype(np.float32) / 255.0
+            img = decode_ppm(bytes(payload))
+            gray = img.mean(axis=2)
+            h, w = gray.shape
+            yi = np.linspace(0, h - 1, 8).astype(int)
+            xi = np.linspace(0, w - 1, 8).astype(int)
+            thumb = (gray[np.ix_(yi, xi)] / 255.0).astype(np.float32)
             ids.append(doc_id)
             thumbs.append(thumb.ravel().tolist())
-        yield pd.DataFrame({"doc_id": ids, "thumb_8x8": thumbs})
+            hashes.append(hashlib.sha256(thumb.tobytes()).hexdigest())
+        yield pd.DataFrame({"doc_id": ids, "thumb_8x8": thumbs, "thumb_sha256": hashes})
 
 
 @op("multimodal_resize_stub", sql=None)
 def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
-    """Image-resize shape over binary payloads: fixed-size thumbnail vector
-    per row via mapInPandas (STUB body — no image libs in this container;
-    the schema/batching/partitioning is the production shape)."""
+    """REAL image resize over binary payloads: PPM decode → grayscale →
+    nearest-neighbor 8×8 thumbnail per row via mapInPandas, with a content
+    hash per thumbnail. (Op id keeps its round-1 name; no longer a stub.)"""
     d = table(spark, sf, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payloads = ppm_image_payloads(d)
     return payloads.mapInPandas(
-        _resize_batches, "doc_id long, thumb_8x8 array<float>"
+        _resize_batches, "doc_id long, thumb_8x8 array<float>, thumb_sha256 string"
     ).orderBy("doc_id")
 
 

@@ -198,12 +198,37 @@ def _fixture_ledgers(spark: SparkSession) -> tuple[str, Ledgers]:
     return d, Ledgers.load(spark, d)
 
 
+# One fixture ingest per SparkSession: five pipeline_* ops read the same
+# R1→R14 batch over the same fixture drop folder, and the idempotent
+# rerun's anti-join would otherwise re-trigger the whole ZIP parse on
+# every downstream action. The outputs are fixture-sized (tens of rows),
+# so caching them is free; correctness is unchanged (each op still
+# returns its own projection of the one batch).
+_FIXTURE_INGEST: dict[int, tuple[str, Ledgers, IngestResult]] = {}
+
+
+def _fixture_ingest(spark: SparkSession) -> tuple[str, Ledgers, IngestResult]:
+    key = id(spark)
+    if key not in _FIXTURE_INGEST:
+        d, ledgers = _fixture_ledgers(spark)
+        res = ingest_batch(spark, f"{d}/drop", ledgers)
+        res = IngestResult(
+            arrivals=res.arrivals,
+            new_arrivals=res.new_arrivals,
+            entries=res.entries,
+            workflows_new=res.workflows_new.cache(),
+            silver_chapters=res.silver_chapters.cache(),
+            quarantine=res.quarantine.cache(),
+        )
+        _FIXTURE_INGEST[key] = (d, ledgers, res)
+    return _FIXTURE_INGEST[key]
+
+
 @op("pipeline_ingest_batch", sql=None)
 def pipeline_ingest_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Full R1→R14 batch over the fixture drop folder: accepted control rows
     (deterministic columns only — publishing_date is now())."""
-    d, ledgers = _fixture_ledgers(spark)
-    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    _, _, res = _fixture_ingest(spark)
     return res.workflows_new.select(
         "workflow_id", "isbn", "book_title", "book_genre", "book_authors",
         "nr_of_chapters", "nr_of_pages", "interrupt_t1_timer",
@@ -214,16 +239,14 @@ def pipeline_ingest_batch(spark: SparkSession, sf: str) -> DataFrame:
 @op("pipeline_quarantine", sql=None)
 def pipeline_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     """R15 error channel: one row per rejected fixture ZIP."""
-    d, ledgers = _fixture_ledgers(spark)
-    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    _, _, res = _fixture_ingest(spark)
     return res.quarantine.select("path", "error_code").orderBy("path")
 
 
 @op("pipeline_chapters", sql=None)
 def pipeline_chapters(spark: SparkSession, sf: str) -> DataFrame:
     """Silver chapters exploded from accepted ZIPs (R3 explode + R12 typing)."""
-    d, ledgers = _fixture_ledgers(spark)
-    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    _, _, res = _fixture_ingest(spark)
     return res.silver_chapters.orderBy("isbn", "chapter_number")
 
 
@@ -231,9 +254,11 @@ def pipeline_chapters(spark: SparkSession, sf: str) -> DataFrame:
 def pipeline_idempotent_rerun(spark: SparkSession, sf: str) -> DataFrame:
     """R8-R10 invariant: re-running ingestion with the first run's outputs in
     the ledgers yields zero new workflow rows. Returns one row with both
-    counts so the check is self-evident."""
-    d, ledgers = _fixture_ledgers(spark)
-    first = ingest_batch(spark, f"{d}/drop", ledgers)
+    counts so the check is self-evident. The rerun is structurally cheap by
+    design: the R9 workflow anti-join fires BEFORE the parse, so already-
+    ingested ZIPs are never re-unzipped (the reference's cheap-predicate-
+    first stance, MetadataIngestionServiceImpl.java:99)."""
+    d, ledgers, first = _fixture_ingest(spark)
     first_isbns = first.workflows_new.select("isbn")
     ledgers2 = Ledgers(
         valid_genres=ledgers.valid_genres,
@@ -256,8 +281,7 @@ def sink_control_table_op(spark: SparkSession, sf: str) -> DataFrame:
     the second append contributes nothing."""
     import tempfile
 
-    d, ledgers = _fixture_ledgers(spark)
-    res = ingest_batch(spark, f"{d}/drop", ledgers)
+    _, _, res = _fixture_ingest(spark)
     control = tempfile.mkdtemp(prefix="bpspark_control_") + "/workflows"
     sink_control_table(res.workflows_new, control)
     sink_control_table(res.workflows_new, control)  # replay must be a no-op

@@ -326,34 +326,47 @@ def join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
 def join_asof_latest_prior(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (latest row at-or-before): for each order, the same
     customer's most recent prior order. Spark has no native as-of join
-    (SURVEY §7.4.2); the scalable emulation is equi-join on the entity key +
-    argmax (``max_by`` over the (time, key) struct). max_by beats the
-    row_number-window form because it partial-aggregates map-side — no
-    per-partition sort, and the shuffle after the join carries one row per
-    (order, partition) instead of the full fan-out. Both forms benched;
-    results proven identical. For time-series at 100 TB, additionally
-    range-bucket the time key to cap the join fan-out."""
-    o1 = table(spark, sf, "orders").alias("o1")
-    o2 = table(spark, sf, "orders").alias("o2")
-    cond = (F.col("o1.o_custkey") == F.col("o2.o_custkey")) & (
-        (F.col("o2.o_orderdate") < F.col("o1.o_orderdate"))
-        | (
-            (F.col("o2.o_orderdate") == F.col("o1.o_orderdate"))
-            & (F.col("o2.o_orderkey") < F.col("o1.o_orderkey"))
-        )
+    (SURVEY §7.4.2). Three emulations were built and benched:
+
+    1. row_number window over an equi-join fan-out — slowest;
+    2. equi-join on the entity key + ``max_by`` argmax — partial-aggregates
+       map-side, but the join itself still *computes* O(orders-per-
+       customer²) row pairs before the collapse: quadratic work on a
+       skewed entity key (the round-1 scale-risk finding);
+    3. tagged-union sort (this implementation): union probe rows (side 0)
+       and build rows (side 1), ONE shuffle on the entity key, per-
+       partition sort by (time, key, side), running
+       ``last(build-struct, ignorenulls)`` over rows UNBOUNDED
+       PRECEDING..-1. At equal (time, key) the probe sorts before its own
+       build twin, so "strictly prior" falls out of the sort order —
+       no join node exists at all, total work is O(n log n) per entity
+       partition and the only data movement is the one hash exchange.
+       A 1M-order customer costs a 2M-row sorted partition (spillable),
+       not 10¹² joined pairs. This is the plan shape that survives
+       100 TB; plan-asserted in tests/test_plans.py (no Join, single
+       Exchange).
+
+    All three produce identical results (oracle hash-checked)."""
+    o = table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    both = o.withColumn("side", F.lit(0)).unionByName(o.withColumn("side", F.lit(1)))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey", "side")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    prev = F.last(
+        F.when(
+            F.col("side") == 1,
+            F.struct(
+                F.col("o_orderkey").alias("prev_orderkey"),
+                F.col("o_orderdate").alias("prev_orderdate"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     return (
-        o1.join(o2, cond)
-        .groupBy(F.col("o1.o_orderkey").alias("o_orderkey"))
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("o2.o_orderkey").alias("prev_orderkey"),
-                    F.col("o2.o_orderdate").alias("prev_orderdate"),
-                ),
-                F.struct(F.col("o2.o_orderdate"), F.col("o2.o_orderkey")),
-            ).alias("prev")
-        )
+        both.withColumn("prev", prev)
+        .filter((F.col("side") == 0) & F.col("prev").isNotNull())
         .select("o_orderkey", "prev.prev_orderkey", "prev.prev_orderdate")
     )
 

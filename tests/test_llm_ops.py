@@ -119,14 +119,58 @@ def test_multimodal_columns_schema(spark):
     assert bytes(row.payload).decode("utf-8") == row.text
 
 
-def test_multimodal_decode_stub_deterministic(spark):
+def test_multimodal_decode_real_ppm(spark):
+    """The decode op consumes REAL PPM(P6) files: header-derived dims per
+    size class, raster-derived features, stable content hash."""
     a = OPS["multimodal_decode_stub"].fn(spark, SF_SMALL).collect()
     b = OPS["multimodal_decode_stub"].fn(spark, SF_SMALL).collect()
     assert a == b
-    r = a[0]
-    assert r.n_bytes == r.width * r.height or r.n_bytes >= r.width * r.height
-    assert len(r.feature_vec) == 16
-    assert abs(sum(r.feature_vec) - 1.0) < 1e-5
+    for r in a[:50]:
+        if r.doc_id % 2 == 0:
+            assert (r.width, r.height) == (16, 12)
+            assert r.n_bytes == len(b"P6\n16 12\n255\n") + 16 * 12 * 3
+        else:
+            assert (r.width, r.height) == (12, 8)
+            assert r.n_bytes == len(b"P6\n12 8\n255\n") + 12 * 8 * 3
+        assert r.media_type == "image/x-portable-pixmap"
+        assert len(r.feature_vec) == 16
+        assert abs(sum(r.feature_vec) - 1.0) < 1e-5
+        assert len(r.content_sha256) == 64
+
+
+def test_ppm_decode_golden_content_hash():
+    """Golden fixture: a hand-built 2×2 P6 image must decode to exactly
+    the known pixels (content hash pinned) through the same decoder the
+    Spark op ships to executors — PIL path and fallback path alike."""
+    import hashlib
+
+    import numpy as np
+
+    from bpspark.llm_ops import decode_ppm
+
+    pixels = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  255, 255, 255])
+    payload = b"P6\n2 2\n255\n" + pixels
+    img = decode_ppm(payload)
+    assert img.shape == (2, 2, 3)
+    assert img.tobytes() == pixels
+    assert (
+        hashlib.sha256(img.tobytes()).hexdigest()
+        == hashlib.sha256(pixels).hexdigest()
+        == "6733cdd08e5c7ef0453e2759ef0d28fbd43ea2aa7883b55422a13dac38e23ecc"
+    )
+    assert np.allclose(img.mean(), float(np.frombuffer(pixels, np.uint8).mean()))
+
+
+def test_multimodal_resize_thumbnails(spark):
+    """Resize = decode → grayscale → 8×8 nearest-neighbor; every thumb is
+    64 floats in [0,1] with a content hash, deterministic across runs."""
+    rows = OPS["multimodal_resize_stub"].fn(spark, SF_SMALL).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert len(r.thumb_8x8) == 64
+        assert all(0.0 <= v <= 1.0 for v in r.thumb_8x8)
+        assert len(r.thumb_sha256) == 64
 
 
 def test_exact_dedup_identity_on_dupfree_corpus(spark):

@@ -62,3 +62,30 @@ def test_last_duplicate_wins(d):
         lines.append(f"{k}={v}")
     props = parse_properties("\n".join(lines).encode("iso-8859-1"))
     assert props == d
+
+
+@given(
+    st.dictionaries(_plain_key, _plain_value, min_size=1, max_size=6),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_last_duplicate_wins_across_syntactic_forms(d, data):
+    """java.util.Properties last-wins must hold when the duplicate entries
+    use DIFFERENT syntax: ':' vs '=' separators, and a logical line split
+    by backslash-continuation. All three forms define the same key; only
+    stream order decides the winner."""
+    lines = []
+    for k, v in d.items():
+        forms = [
+            f"{k}={v}X",          # loser 1: '=' form
+            f"{k}:{v}Y",          # loser 2: ':' form
+        ]
+        # winner: value split across a continuation line at a random point
+        # (continuation eats the line break + leading whitespace of the next
+        # physical line — java.util.Properties.load readLine semantics)
+        cut = data.draw(st.integers(min_value=0, max_value=len(v)))
+        winner = f"{k}={v[:cut]}\\\n    {v[cut:]}"
+        lines.extend(forms)
+        lines.append(winner)
+    props = parse_properties("\n".join(lines).encode("iso-8859-1"))
+    assert props == d

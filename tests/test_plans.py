@@ -51,6 +51,22 @@ def test_semi_anti_joins_chosen(spark):
     assert "LeftAnti" in anti
 
 
+def test_asof_join_is_joinless_single_exchange(spark):
+    """The as-of emulation must be the tagged-union sort shape: NO join
+    node anywhere (the equi-join forms compute O(orders-per-customer²)
+    pairs on a skewed entity key) and exactly one hash exchange, on the
+    entity key, feeding one sort + window."""
+    plan = plan_of(spark, "join_asof_latest_prior")
+    assert "Join" not in plan, plan
+    exchanges = [
+        line for line in plan.splitlines()
+        if line.startswith("(") and "Exchange" in line and "Reused" not in line
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(o_custkey" in plan
+    assert "Window" in plan and "Union" in plan
+
+
 def test_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "topk_global")
     assert "TakeOrderedAndProject" in plan
