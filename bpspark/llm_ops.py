@@ -1125,6 +1125,237 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus×corpus ANN (kNN graph) — the realistic-scale similarity shape
+# ---------------------------------------------------------------------------
+
+# nprobe for the corpus×corpus kNN graph. Chosen from the measured
+# recall/candidate-fraction curve (tools/ann_recall.py, recorded in
+# docs/SCALE.md): on this isotropic synthetic corpus nprobe=4 of ~21
+# clusters reaches recall@5 ≥ 0.9 while scoring ~19% of all pairs.
+IVF_KNN_NPROBE = 4
+
+
+def _centroid_literal_from_rows(cents: list[tuple[int, list[float]]]):
+    """(cent_id, vector) rows → literal array<struct<cent_id,c_emb,c_norm>>."""
+    import math
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in emb]).alias("c_emb"),
+                F.lit(math.sqrt(sum(float(x) * float(x) for x in emb)) or 1.0).alias("c_norm"),
+            )
+            for cid, emb in cents
+        ]
+    )
+
+
+def _assign_home(e: DataFrame, cent_lit) -> DataFrame:
+    """Map-side nearest-centroid assignment against a literal quantizer."""
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), c["c_emb"], lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("norm") * c["c_norm"])
+            ).alias("csim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return e.withColumn("home_cent", F.reverse(F.array_sort(scored))[0]["cent_id"])
+
+
+IVF_TRAIN_ITERS = 2
+
+
+def _ivf_centroid_literal(e: DataFrame, train_iters: int = IVF_TRAIN_ITERS) -> tuple:
+    """Train and collect the IVF coarse quantizer; return it as a literal
+    array<struct<cent_id,c_emb,c_norm>> column plus the centroid count.
+
+    Seeds are a deterministic corpus sample (vec_id % 97 == 0); then
+    ``train_iters`` Lloyd rounds refine them — assignment is map-side
+    against the current literal, new means are one distributed
+    groupBy(cluster, dimension) aggregate, and only k×d doubles reach the
+    driver per round. Training reads a deterministic ~1/3 sample of the
+    corpus (standard IVF practice: the quantizer is trained on a sample,
+    never the full corpus).
+
+    Collecting centroids is the one driver visit IVF legitimately has:
+    the quantizer is k×d floats (k ≈ sqrt(n) even at 100 TB is ≤ ~10⁵ ×
+    64 ≈ 25 MB) and every real IVF system ships it to workers as a
+    broadcast constant. In exchange, centroid ASSIGNMENT becomes fully
+    map-side — zero shuffle — instead of a corpus×k join + per-vector
+    argmax shuffle."""
+    seeds = (
+        e.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [(i, list(r["embedding"])) for i, r in enumerate(seeds)]
+    if train_iters > 0:
+        sample = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == 0)
+        for _ in range(train_iters):
+            assigned = _assign_home(sample, _centroid_literal_from_rows(cents))
+            means = (
+                assigned.select("home_cent", F.posexplode("embedding"))
+                .groupBy("home_cent", "pos")
+                .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                .groupBy("home_cent")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .collect()
+            )
+            cents = [
+                (int(r["home_cent"]), [float(s["m"]) for s in r["pm"]]) for r in means
+            ]
+            cents.sort(key=lambda c: c[0])
+    return _centroid_literal_from_rows(cents), len(cents)
+
+
+def _ivf_probe_assign(e: DataFrame, nprobe: int) -> DataFrame:
+    """Per-vector nearest-``nprobe`` centroids, computed entirely map-side
+    against the literal quantizer: vec_id, embedding, norm, home_cent
+    (nearest), probe_cents (array of the nprobe nearest)."""
+    cent_lit, _k = _ivf_centroid_literal(e)
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        c["c_emb"],
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("norm") * c["c_norm"])
+            ).alias("csim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    # descending csim, centroid id as tiebreak → deterministic probe order
+    ordered = F.reverse(F.array_sort(scored))
+    top = F.slice(ordered, 1, nprobe)
+    return e.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        top[0]["cent_id"].alias("home_cent"),
+        F.transform(top, lambda s: s["cent_id"]).alias("probe_cents"),
+    )
+
+
+def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
+    """Approximate kNN graph over the WHOLE corpus (every vector is a
+    query): IVF-bucketed candidate generation, one shuffle on cent_id.
+
+    100 TB shape: assignment is map-side (literal quantizer); the corpus
+    is hash-partitioned once by home cluster; each vector's probe list
+    explodes to ``nprobe`` rows joining only its probed clusters — total
+    scored pairs ≈ n · nprobe · (n/k_clusters), never n². Hot clusters
+    are the residual risk, same as LSH buckets: with a trained (k-means)
+    quantizer cluster sizes concentrate near n/k; a degenerate corpus
+    needs the BUCKET_CAP discipline used by dedup_near_minhash."""
+    assigned = _ivf_probe_assign(e, nprobe)
+    home = assigned.select(
+        F.col("home_cent").alias("cent_id"), "vec_id", "embedding", "norm"
+    )
+    probes = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode("probe_cents").alias("cent_id"),
+    )
+    scored = (
+        home.join(probes, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+@op("sim_knn_graph_ivf", sql=None)  # approximate — recall harness + eval op
+def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus×corpus approximate kNN graph: top-5 cosine neighbors for
+    EVERY vector (not a 10-query set) via IVF buckets — the shape that
+    actually matters for near-dup mining and diversity sampling over a
+    training corpus. sim_cosine_topk/sim_cosine_ivf answer a small query
+    set; this op answers n queries without an n² plan. Recall vs brute
+    force is measured by sim_ivf_recall_eval and tools/ann_recall.py
+    (curve recorded in docs/SCALE.md)."""
+    e = _with_norm(table(spark, sf, "embeddings"))
+    return _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE)
+
+
+@op("sim_ivf_recall_eval", sql=None)  # self-evaluating metric op
+def sim_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the IVF kNN graph against EXACT brute-force ground
+    truth on a deterministic query sample (vec_id % 29 == 0, ~3% of the
+    corpus) — the standard ANN evaluation: ground truth is only ever
+    computed on a sample, the approximate method runs corpus-wide.
+    Returns ONE row (n_queries, truth_pairs, hit_pairs, recall_at_5);
+    everything is declarative — no result collection."""
+    e = _with_norm(table(spark, sf, "embeddings"))
+    approx = _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE).filter(
+        F.col("query_id") % 29 == 0
+    )
+    q = e.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    truth_scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    truth = (
+        truth_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hit_pairs")))
+        .select(
+            "n_queries",
+            "truth_pairs",
+            "hit_pairs",
+            F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall_at_5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # context-window packing
 # ---------------------------------------------------------------------------
 

@@ -243,3 +243,28 @@ def test_corpus_pipeline_funnel_consistent(spark):
     assert funnel["0_raw"] >= funnel["1_quality"] >= funnel["2_exact_dedup"] >= funnel["3_near_dedup"] >= funnel["4_decontaminated"]
     assert funnel["5_chunks"] >= funnel["4_decontaminated"]
     assert 0 < funnel["6_packs"] <= funnel["4_decontaminated"]
+
+
+def test_knn_graph_shape_and_no_self_loops(spark):
+    """Corpus×corpus kNN graph: exactly 5 neighbors for every vector,
+    never itself, cosine within [-1, 1]."""
+    rows = OPS["sim_knn_graph_ivf"].fn(spark, SF_SMALL).collect()
+    n_vec = 500  # sf0.001 embeddings table
+    assert len(rows) == 5 * n_vec
+    per_q: dict[int, int] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cosine <= 1.0001
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+
+
+def test_ivf_recall_eval_single_row_high_recall(spark):
+    """Self-evaluating recall op: one row, and at sf0.001 (6-centroid
+    quantizer, nprobe=4 probes most of the corpus) recall must be high."""
+    rows = OPS["sim_ivf_recall_eval"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.truth_pairs == 5 * r.n_queries
+    assert r.hit_pairs <= r.truth_pairs
+    assert r.recall_at_5 >= 0.8, f"recall {r.recall_at_5} too low at sf0.001"
