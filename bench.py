@@ -112,11 +112,14 @@ def _ingest_throughput(spark) -> int:
             fh.write(buf.getvalue())
 
     parsed = parse_zip_entries(scan_drop_folder(spark, stage))
-    n = parsed.count()  # warm
-    t0 = time.perf_counter()
-    parsed.count()
-    dt = time.perf_counter() - t0
-    return int(n / dt)
+    n = parsed.count()  # warm (file listing, JIT, Arrow worker spin-up)
+    best = None
+    for _ in range(3):  # steady-state throughput: best-of-3 timed passes
+        t0 = time.perf_counter()
+        parsed.count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return int(n / best)
 
 
 if __name__ == "__main__":
