@@ -356,3 +356,91 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("order_year").cast("int").alias("order_year"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def _zorder_key(x: F.Column, y: F.Column, bits: int = 8) -> F.Column:
+    """Bit-interleave two ``bits``-wide ints into a Morton (z-order) key —
+    pure shifts/ANDs, fully codegen (F.shiftleft/shiftright take literal
+    bit counts, so the loop unrolls into one expression tree)."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b + 1)
+        z = z + xb + yb
+    return z
+
+
+@op(
+    "sink_zorder_clustered",
+    sql="""
+    WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem)
+    SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem, m
+    WHERE l_partkey BETWEEN CAST(FLOOR(0.05 * mp) AS INT) AND CAST(FLOOR(0.15 * mp) AS INT)
+      AND l_suppkey BETWEEN CAST(FLOOR(0.10 * ms) AS INT) AND CAST(FLOOR(0.40 * ms) AS INT)
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-dimensional clustering (OPTIMIZE ZORDER, table-format-free):
+    each row's (l_partkey, l_suppkey) is quantized to 8 bits per dim
+    against the actual key ranges (maxes come from a broadcast 1-row
+    aggregate — no driver round-trip) and bit-interleaved into a Morton
+    key; repartitionByRange + sortWithinPartitions on that key writes
+    files whose min/max rectangles in (partkey, suppkey) space are small
+    in BOTH dims — so a conjunctive two-dim predicate skips most files on
+    parquet row-group stats, where single-column range clustering
+    (sink_range_partitioned) only ever skips on its one sort dimension.
+    The read-back aggregate is layout-invariant (oracle-checked); the
+    locality property itself is pinned by tests/test_plans.py, which
+    measures per-file normalized span area ≪ uniform layout. At 100 TB
+    this is the layout for scan-heavy multi-predicate workloads; the
+    trade is one full shuffle+sort at write time."""
+    import os as _os
+    import tempfile
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    dst = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_zorder_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        maxes = li.agg(
+            F.max("l_partkey").alias("max_pk"), F.max("l_suppkey").alias("max_sk")
+        )
+        quant = li.crossJoin(F.broadcast(maxes)).select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            _zorder_key(
+                (F.col("l_partkey") * 256 / (F.col("max_pk") + 1)).cast("int"),
+                (F.col("l_suppkey") * 256 / (F.col("max_sk") + 1)).cast("int"),
+            ).alias("__z"),
+        )
+        (
+            quant.repartitionByRange(16, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    z = spark.read.parquet(dst)
+    m = z.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
+    return (
+        z.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("l_partkey").between(
+                F.floor(0.05 * F.col("mp")).cast("int"), F.floor(0.15 * F.col("mp")).cast("int")
+            )
+            & F.col("l_suppkey").between(
+                F.floor(0.10 * F.col("ms")).cast("int"), F.floor(0.40 * F.col("ms")).cast("int")
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_key"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

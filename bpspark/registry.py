@@ -54,6 +54,9 @@ _PRIORITY: tuple[str, ...] = (
     "scan_binary_zip", "ingest_properties_zip", "sink_append_parquet",
     "stream_static_join", "stream_watermark_late", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table",
+    # round-2 additions (oracle-backed, need their first driver row)
+    "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
+    "sink_zorder_clustered",
     # --- tier 2: LLM-data-pipeline family
     "text_langid", "text_token_count_bpe", "text_fingerprint",
     "text_normalize_clean", "text_pii_redact", "text_ngram_freq",

@@ -1165,3 +1165,259 @@ def agg_median_abs_deviation(spark: SparkSession, sf: str) -> DataFrame:
             F.percentile(F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)).alias("mad")
         )
     )
+
+
+@op(
+    "cdc_snapshot_diff",
+    sql="""
+    WITH olds AS (
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ), news AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
+           CASE WHEN olds.o_orderkey IS NULL THEN 'I'
+                WHEN news.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           olds.price AS old_price, news.price AS new_price
+    FROM olds FULL OUTER JOIN news ON olds.o_orderkey = news.o_orderkey
+    WHERE olds.o_orderkey IS NULL OR news.o_orderkey IS NULL
+       OR olds.price <> news.price OR olds.status <> news.status
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: two versions of a table
+    (simulated deterministically — 1-in-10 keys absent from the old
+    snapshot = inserts, 1-in-13 absent from the new = deletes, 1-in-7
+    repriced = updates) full-outer-joined on the key; unchanged rows are
+    filtered out so only the change set ships downstream. This is how a
+    table without CDC streams is incrementally replicated at scale: ONE
+    co-partitioned shuffle join on the primary key (bucket both
+    snapshots on the key to make it zero-exchange — see
+    join_bucketed_colocated), output volume ∝ churn, not table size.
+    The +10.0 reprice is a single IEEE add — bit-identical cross-engine,
+    so the inequality predicate is deterministic."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    olds = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    news = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    ol, ne = olds.alias("ol"), news.alias("ne")
+    return (
+        ol.join(ne, F.col("ol.o_orderkey") == F.col("ne.o_orderkey"), "full")
+        .filter(
+            F.col("ol.o_orderkey").isNull()
+            | F.col("ne.o_orderkey").isNull()
+            | (F.col("ol.price") != F.col("ne.price"))
+            | (F.col("ol.status") != F.col("ne.status"))
+        )
+        .select(
+            F.coalesce(F.col("ol.o_orderkey"), F.col("ne.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("ol.o_orderkey").isNull(), "I")
+            .when(F.col("ne.o_orderkey").isNull(), "D")
+            .otherwise("U")
+            .alias("change_type"),
+            F.col("ol.price").alias("old_price"),
+            F.col("ne.price").alias("new_price"),
+        )
+    )
+
+
+_BLOOM_M = 1 << 16  # bits (8 KiB bitmap)
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+@op(
+    "join_bloom_prefilter",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built from the filtered dim
+    side's keys prunes the fact scan BEFORE the join shuffle — the
+    explicit form of what Spark's runtime bloom-filter optimization and
+    Dynamic Partition Pruning do inside the optimizer. Build: k=3
+    xxhash64 positions per key, OR-folded into a 1024-long bitmap with
+    ONE distributed bit_or aggregate; only the 8 KiB bitmap reaches the
+    driver and it re-enters the plan as a literal array, so the fact-side
+    membership test is pure codegen (two shifts + AND per probe) inside
+    the scan stage. Bloom filters have no false negatives, so the result
+    equals the plain join exactly (the oracle proves it); false positives
+    only cost a few extra rows into the join. At 100 TB the win is that
+    non-matching fact rows die at the scan instead of shuffling: with a
+    1% selective dim, ~99% of the fact table never leaves the map side.
+    Bitmap size scales as ~10 bits/key for 1% FPR — a 10⁸-key dim needs
+    ~125 MB, at which point use Spark's built-in runtime filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) whose bitmap stays
+    executor-side; the plan shape is the same."""
+    cust = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    pos = [
+        F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(s)), F.lit(_BLOOM_M))
+        for s in _BLOOM_SEEDS
+    ]
+    words = (
+        cust.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, int(p % 64))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (_BLOOM_M // 64)
+    for r in words:
+        bitmap[int(r["w"])] = int(r["word"])
+    lit_words = F.array(*[F.lit(int(x)).cast("long") for x in bitmap])
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    probe_hits = [
+        (
+            F.expr(
+                f"element_at(__bloom, int(pmod(xxhash64(o_custkey, {s}), {_BLOOM_M}) / 64) + 1)"
+            ).bitwiseAND(
+                F.expr(f"shiftleft(1L, int(pmod(xxhash64(o_custkey, {s}), {_BLOOM_M}) % 64))")
+            )
+            != 0
+        )
+        for s in _BLOOM_SEEDS
+    ]
+    cond = probe_hits[0]
+    for h in probe_hits[1:]:
+        cond = cond & h
+    prefiltered = o.withColumn("__bloom", lit_words).filter(cond).drop("__bloom")
+    return prefiltered.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+_DQ_RULES_SQL = """
+    SELECT 'orders_price_positive' AS rule_id,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_date_in_range',
+           COUNT(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '2002-12-31'),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_priority_format',
+           COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_bounds',
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_bounds',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_custkey_referential',
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL),
+           COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@op("dq_expectations", sql=_DQ_RULES_SQL)
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations/dbt-test
+    shape, engine-native): each rule is a predicate aggregated as a
+    conditional count, so ALL per-table rules evaluate in ONE scan of
+    that table (one partial+final aggregate, no per-rule jobs); the
+    referential rule is a broadcast left join + null count. Output is
+    one row per rule (rule_id, n_violations, n_checked) — the shape a
+    pipeline gates on (violations > threshold ⇒ quarantine, mirroring
+    the reference's R6/R9 validation flow, MetadataIngestionServiceImpl
+    error paths). At 100 TB: rule evaluation is map-side arithmetic on
+    columns already being scanned — the marginal cost of N rules on one
+    table is near zero; never write N separate validation queries."""
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    c = table(spark, sf, "customer").select("c_custkey")
+
+    def cnt(pred) -> F.Column:
+        return F.count_if(pred).cast("long")
+
+    total = F.count(F.lit(1)).alias("n_checked")
+    orders_rules = o.agg(
+        cnt(F.col("o_totalprice") <= 0).alias("orders_price_positive"),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2002-12-31").cast("date"))
+        ).alias("orders_date_in_range"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("orders_status_domain"),
+        cnt(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("orders_priority_format"),
+        total,
+    )
+    li_rules = li.agg(
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("lineitem_qty_bounds"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "lineitem_discount_bounds"
+        ),
+        total,
+    )
+    ref_rule = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(cnt(F.col("c_custkey").isNull()).alias("orders_custkey_referential"), total)
+    )
+
+    def unpivot(df: DataFrame, rules: list[str]) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("rule_id"),
+                            F.col(r).alias("n_violations"),
+                            F.col("n_checked").alias("n_checked"),
+                        )
+                        for r in rules
+                    ]
+                )
+            ).alias("s")
+        ).select("s.rule_id", "s.n_violations", "s.n_checked")
+
+    return (
+        unpivot(
+            orders_rules,
+            [
+                "orders_price_positive",
+                "orders_date_in_range",
+                "orders_status_domain",
+                "orders_priority_format",
+            ],
+        )
+        .unionByName(unpivot(li_rules, ["lineitem_qty_bounds", "lineitem_discount_bounds"]))
+        .unionByName(unpivot(ref_rule, ["orders_custkey_referential"]))
+    )

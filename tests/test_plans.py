@@ -423,3 +423,41 @@ def test_knn_graph_no_cartesian_one_cluster_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cent_id" in plan
+
+
+def test_bloom_prefilter_on_fact_scan_before_broadcast_join(spark):
+    """The Bloom membership test must sit fact-side (xxhash64 probes in a
+    Filter feeding the join) and the join itself must broadcast the dim —
+    so pruned fact rows die before any shuffle."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan and "shiftleft" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_files_cluster_both_dims(spark):
+    """Z-order layout: every output file's (partkey, suppkey) min/max
+    rectangle must cover a small fraction of the key space IN BOTH DIMS
+    (avg normalized area ≲ 0.2 vs ~1.0 for an unordered write) — the
+    property that lets conjunctive 2-dim predicates skip files on
+    row-group stats."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    OPS["sink_zorder_clustered"].fn(spark, SF_SMALL).count()
+    dst = os.path.join(
+        tempfile.gettempdir(), f"bpspark_zorder_{os.path.basename(SF_SMALL.rstrip('/'))}"
+    )
+    z = spark.read.parquet(dst).withColumn("f", F.input_file_name())
+    stats = z.groupBy("f").agg(
+        F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+        F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+    ).collect()
+    pmax = max(r.p1 for r in stats) or 1
+    smax = max(r.s1 for r in stats) or 1
+    areas = [((r.p1 - r.p0) / pmax) * ((r.s1 - r.s0) / smax) for r in stats]
+    assert len(stats) >= 8
+    assert sum(areas) / len(areas) < 0.25, areas
+    assert max(areas) < 0.6, areas

@@ -1,0 +1,61 @@
+"""Invariant tests for the round-2 extended relational ops: CDC snapshot
+diff, Bloom-prefiltered join, data-quality expectations."""
+
+from __future__ import annotations
+
+from bpspark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+def test_cdc_diff_change_type_invariants(spark):
+    """I rows carry only new values, D rows only old, U rows must differ
+    on a compared column; every emitted key falls in exactly one class."""
+    rows = OPS["cdc_snapshot_diff"].fn(spark, SF_SMALL).collect()
+    assert rows, "cdc diff empty"
+    seen = set()
+    for r in rows:
+        assert r.change_type in ("I", "D", "U")
+        assert r.o_orderkey not in seen
+        seen.add(r.o_orderkey)
+        if r.change_type == "I":
+            assert r.old_price is None and r.new_price is not None
+            assert r.o_orderkey % 10 == 0 and r.o_orderkey % 13 != 0
+        elif r.change_type == "D":
+            assert r.new_price is None and r.old_price is not None
+            assert r.o_orderkey % 13 == 0 and r.o_orderkey % 10 != 0
+        else:
+            assert r.old_price != r.new_price
+            assert r.o_orderkey % 7 == 0
+
+
+def test_dq_expectations_clean_on_testdata(spark):
+    """The generated TPC-H-ish tables satisfy every expectation — all 7
+    rules evaluate with zero violations over non-empty check sets."""
+    rows = OPS["dq_expectations"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.n_checked > 0
+        assert r.n_violations == 0, f"{r.rule_id}: {r.n_violations}"
+
+
+def test_bloom_prefilter_exact_vs_plain_join(spark):
+    """Bloom pruning must be invisible in the result: identical row set
+    to the plain filtered join (no false negatives by construction)."""
+    from pyspark.sql import functions as F
+
+    from bpspark.io import table
+
+    got = {
+        (r.o_orderkey, r.o_custkey)
+        for r in OPS["join_bloom_prefilter"].fn(spark, SF_SMALL).collect()
+    }
+    cust = table(spark, SF_SMALL, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    want = {
+        (r.o_orderkey, r.o_custkey)
+        for r in table(spark, SF_SMALL, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    assert got == want
