@@ -444,3 +444,87 @@ def sink_zorder_clustered(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@op(
+    "mv_incremental_refresh",
+    sql="""
+    SELECT CAST(o_orderdate AS VARCHAR) AS order_date_s, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CAST(o_orderdate AS VARCHAR), o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the MV (revenue + order
+    count per (date, priority)) is materialized once over the base
+    partition of orders; a refresh then aggregates ONLY the delta
+    partition and merges partials with the stored state via a full-outer
+    join on the group key, adding sums and counts (algebraic aggregates
+    merge; avg/stddev derive from merged moments). The oracle is the FULL
+    recompute over all of orders — proving merge ≡ recompute. At 100 TB
+    this is the only viable refresh: work ∝ delta + |groups|, the base
+    table is never rescanned; bucket the MV state on the group key and
+    the merge join is zero-exchange (join_bucketed_colocated shows the
+    technique). Money sums run in DECIMAL(18,2) — exact and associative,
+    so the two-stage (state + delta) association is bit-identical to the
+    oracle's single pass."""
+    import os as _os
+    import tempfile
+
+    raw = table(spark, sf, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # the date filter stays on the raw column (parquet-pushable);
+        # the group key casts AFTER the scan
+        return (
+            df.select(
+                F.col("o_orderdate").cast("string").alias("order_date_s"),
+                "o_orderpriority",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+            .groupBy("order_date_s", "o_orderpriority")
+            .agg(
+                F.sum("price").alias("revenue_d"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    state_dir = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_mv_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    if not _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
+        partial(raw.filter(F.col("o_orderdate") < cut)).write.mode("overwrite").parquet(
+            state_dir
+        )
+    state = spark.read.parquet(state_dir)
+    delta = partial(raw.filter(F.col("o_orderdate") >= cut))
+    s, d = state.alias("s"), delta.alias("d")
+    return (
+        s.join(
+            d,
+            (F.col("s.order_date_s") == F.col("d.order_date_s"))
+            & (F.col("s.o_orderpriority") == F.col("d.o_orderpriority")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("s.order_date_s"), F.col("d.order_date_s")).alias("order_date_s"),
+            F.coalesce(F.col("s.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+                "o_orderpriority"
+            ),
+            (
+                F.coalesce(F.col("s.revenue_d"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.revenue_d"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.coalesce(F.col("s.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+        )
+    )

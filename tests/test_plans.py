@@ -461,3 +461,15 @@ def test_zorder_files_cluster_both_dims(spark):
     assert len(stats) >= 8
     assert sum(areas) / len(areas) < 0.25, areas
     assert max(areas) < 0.6, areas
+
+
+def test_mv_refresh_delta_pushdown_no_base_rescan(spark):
+    """Incremental MV refresh: the orders scan feeding the delta partial
+    aggregate must carry the pushed cutover predicate (work ∝ delta), and
+    the MV state must come from the parquet state table, not a second
+    full orders aggregation."""
+    plan = plan_of(spark, "mv_incremental_refresh")
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan
+    assert "bpspark_mv_" in plan  # state parquet feeds the merge join
+    # exactly one orders scan (the delta side)
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
