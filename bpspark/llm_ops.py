@@ -2138,3 +2138,89 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
     ]
     counts = [(name, df.count()) for name, df in stages]
     return spark.createDataFrame(counts, "stage string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction — distributed merge learning
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+@op("text_bpe_vocab_induction", sql=None)  # iterative — invariant tests
+def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction over the documents corpus —
+    the distributed form of tokenizer training: (1) ONE corpus scan
+    builds the weighted word-type table (explode → groupBy word; all
+    later work is on |vocab| rows, not corpus rows — the classic BPE
+    trick); (2) each of the 8 merge rounds counts adjacent symbol pairs
+    weighted by word frequency in a distributed aggregate, and only the
+    single argmax pair reaches the driver (ties broken lexicographically
+    → fully deterministic); (3) the chosen merge re-enters the plan as a
+    literal whole-token regexp_replace — map-side, no shuffle. At 100 TB
+    the word-type table is ~10⁷ rows regardless of corpus size, so merge
+    rounds cost the same at any scale; only the initial word count sees
+    the corpus. k merges = k driver round-trips of ONE row each —
+    inherent to the greedy-argmax algorithm, and the standard
+    compromise in every distributed BPE trainer. Output: the learned
+    merge table (rank, left, right, merged, pair_weight)."""
+    import re as _re
+
+    words = (
+        table(spark, sf, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    # "the" -> "t h e </w>" (end-of-word marker keeps suffixes distinct)
+    sym = words.select(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+                " ",
+            ),
+            F.lit(" </w>"),
+        ).alias("syms"),
+        "wn",
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, _BPE_MERGES + 1):
+        arr = F.split(F.col("syms"), " ")
+        pairs = (
+            sym.filter(F.size(arr) >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, 1, F.size(arr) - 1),
+                        F.expr("slice(split(syms, ' '), 2, size(split(syms, ' ')) - 1)"),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    )
+                ).alias("pair"),
+                "wn",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("w"))
+            .orderBy(F.col("w").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        pair, w = pairs[0]["pair"], int(pairs[0]["w"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, w))
+        pat = r"(?<=^|\s)" + _re.escape(left) + r"\s" + _re.escape(right) + r"(?=\s|$)"
+        sym = sym.select(
+            F.regexp_replace("syms", pat, merged.replace("\\", "\\\\").replace("$", r"\$")).alias("syms"),
+            "wn",
+        ).localCheckpoint()  # truncate the 8-round lineage
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_weight bigint"
+    )

@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_normalize_clean", "text_pii_redact", "text_ngram_freq",
     "text_readability", "text_vocab_stats", "text_tfidf_topterms",
     "text_bigram_lift", "text_feature_hashing",
+    "text_bpe_vocab_induction",
     "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample",
     "dedup_exact_normalized", "dedup_token_sorted",

@@ -268,3 +268,17 @@ def test_ivf_recall_eval_single_row_high_recall(spark):
     assert r.truth_pairs == 5 * r.n_queries
     assert r.hit_pairs <= r.truth_pairs
     assert r.recall_at_5 >= 0.8, f"recall {r.recall_at_5} too low at sf0.001"
+
+
+def test_bpe_vocab_induction_deterministic_and_wellformed(spark):
+    """BPE merge learning: ranks are 1..k, merged token = left+right,
+    weights positive, and the greedy argmax (lexicographic tie-break)
+    makes the whole table deterministic across runs."""
+    rows1 = OPS["text_bpe_vocab_induction"].fn(spark, SF_SMALL).collect()
+    rows2 = OPS["text_bpe_vocab_induction"].fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    assert [r.rank for r in rows1] == list(range(1, len(rows1) + 1))
+    assert len(rows1) >= 4
+    for r in rows1:
+        assert r.merged == r.left + r.right
+        assert r.pair_weight > 0
