@@ -545,3 +545,87 @@ def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
         .select("isbn", "length")
     )
     return run_to_memory(stream)
+
+
+@op(
+    "stream_mv_refresh",
+    sql="""
+    SELECT user_id, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the
+    foreachBatch twin of mv_incremental_refresh: the events stream is
+    replayed in ≥4 micro-batches (maxFilesPerTrigger=1 over a 4-file
+    stage), and each batch folds into the MV state by partial-aggregating
+    ONLY that batch and full-outer-merging with the parquet state
+    (copy-on-write version directories — the swap a table format turns
+    into a metadata commit). Work per batch ∝ batch + |groups|; the
+    stream is never re-scanned. Sums run in DECIMAL(18,2) (events.value
+    is exact-2dp), so any batch split produces bit-identical state — the
+    oracle is the plain batch aggregate over ALL events, proving
+    stream-merge ≡ recompute. State versions double as the audit trail
+    (tests assert ≥4 versions and version-monotone group counts)."""
+    stage = tempfile.mkdtemp(prefix="bpspark_smv_")
+    src = f"{stage}/src"
+    (
+        table(spark, sf, "events")
+        .select("user_id", "event_type", F.col("value").cast("decimal(18,2)").alias("v"))
+        .repartition(4)
+        .write.parquet(src)
+    )
+
+    state: dict[str, str | None] = {"cur": None, "n": 0}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("total_v"),
+        )
+        if state["cur"] is None:
+            merged = part
+        else:
+            s, d = spark.read.parquet(state["cur"]).alias("s"), part.alias("d")
+            merged = s.join(
+                d,
+                (F.col("s.user_id") == F.col("d.user_id"))
+                & (F.col("s.event_type") == F.col("d.event_type")),
+                "full",
+            ).select(
+                F.coalesce(F.col("s.user_id"), F.col("d.user_id")).alias("user_id"),
+                F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias("event_type"),
+                (
+                    F.coalesce(F.col("s.n_events"), F.lit(0))
+                    + F.coalesce(F.col("d.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("s.total_v"), F.lit(0).cast("decimal(18,2)"))
+                    + F.coalesce(F.col("d.total_v"), F.lit(0).cast("decimal(18,2)"))
+                ).cast("decimal(18,2)")
+                .alias("total_v"),
+            )
+        nxt = f"{stage}/state_v{state['n']}"
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"], state["n"] = nxt, state["n"] + 1
+
+    q = (
+        spark.readStream.schema("user_id long, event_type string, v decimal(18,2)")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{stage}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["cur"] is not None
+    return spark.read.parquet(state["cur"]).select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("total_v").cast("double").alias("total_value"),
+    )

@@ -90,3 +90,27 @@ def test_stream_ingest_pipeline_exactly_once(spark):
     assert len(res) == 8
     assert res["isbn"].is_unique
     assert (res["workflow_id"] == "wf-" + res["isbn"]).all()
+
+
+def test_stream_mv_refresh_versions_and_monotone_groups(spark):
+    """The foreachBatch MV maintains copy-on-write state versions: ≥4
+    micro-batches (maxFilesPerTrigger=1 over 4 files) each write one, and
+    the group count never shrinks across versions (groups only ever gain
+    members or appear)."""
+    import glob
+    import os
+    import tempfile
+
+    from bpspark.registry import all_ops
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_smv_*")))
+    all_ops()["stream_mv_refresh"].fn(spark, SF_SMALL).count()
+    new_stage = [d for d in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_smv_*")) if d not in before]
+    assert len(new_stage) == 1
+    versions = sorted(
+        glob.glob(os.path.join(new_stage[0], "state_v*")),
+        key=lambda p: int(p.rsplit("state_v", 1)[1]),
+    )
+    assert len(versions) >= 4, versions
+    counts = [spark.read.parquet(v).count() for v in versions]
+    assert counts == sorted(counts), counts
