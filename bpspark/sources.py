@@ -266,3 +266,90 @@ def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(f"{base}/b1", f"{base}/b2")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python data source (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0 only
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _BookGenReader(DataSourceReader):
+        """Partition-parallel deterministic record generator: partition i
+        yields its own contiguous id slice, so the source scales out like
+        any file/API-shard source (each InputPartition maps to one task)."""
+
+        def __init__(self, options):
+            self.n = int(options.get("numrecords", 1000))
+            self.parts = int(options.get("numpartitions", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            per = (self.n + self.parts - 1) // self.parts
+            lo = partition.value * per
+            for i in range(lo, min(lo + per, self.n)):
+                isbn = f"9781{(i * 7919) % 1_000_000_000:09d}"
+                yield (i, isbn, i % 40 + 1, 100 + (i * 31) % 900)
+
+    class BookGenDataSource(DataSource):
+        """Synthetic book-metadata source in the reference's domain
+        (ISBN-keyed records, MetadataIngestionServiceImpl.java:95-123
+        parses the same shape from ZIP drop folders) — exercising Spark
+        4's Python DataSource API: schema(), partitions(), per-partition
+        read() generators. The arithmetic is deterministic, so a DuckDB
+        range() query is an exact oracle for the whole scan."""
+
+        @classmethod
+        def name(cls):
+            return "bpspark_bookgen"
+
+        def schema(self):
+            return "book_id bigint, isbn string, n_chapters int, n_pages int"
+
+        def reader(self, schema):
+            return _BookGenReader(self.options)
+
+    _HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover — pyspark < 4
+    _HAS_PY_DATASOURCE = False
+
+
+@op(
+    "scan_python_datasource",
+    sql="""
+    SELECT i AS book_id,
+           concat('9781', lpad(CAST((i * 7919) % 1000000000 AS VARCHAR), 9, '0')) AS isbn,
+           CAST(i % 40 + 1 AS INT) AS n_chapters,
+           CAST(100 + (i * 31) % 900 AS INT) AS n_pages
+    FROM range(1000) t(i)
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    partition-parallel generator source registered per-session and read
+    with plain spark.read.format(...). This is the extension point a
+    reference user gets for arbitrary upstream systems (REST shards,
+    message queues, proprietary file formats): implement
+    partitions()/read() in Python, and Spark schedules one task per
+    InputPartition — distributed by construction, no driver funnel. The
+    deterministic record arithmetic makes the DuckDB range() oracle
+    exact, so this custom source is value-hash-checked like any table
+    scan."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark >= 4.0 required for the Python DataSource API")
+    from bpspark import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    try:
+        spark.dataSource.register(BookGenDataSource)
+    except Exception:  # already registered in this session
+        pass
+    return (
+        spark.read.format("bpspark_bookgen")
+        .option("numRecords", 1000)
+        .option("numPartitions", 8)
+        .load()
+    )

@@ -629,3 +629,11 @@ def stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         F.col("total_v").cast("double").alias("total_value"),
     )
+
+
+# NOTE: Spark 4's transformWithStateInPandas (successor of
+# applyInPandasWithState) was evaluated and works API-wise, but its state
+# server requires google.protobuf, which this container lacks — the
+# StreamingPythonRunner crashes at init. Custom stateful streaming is
+# covered by applyInPandasWithState (stream_stateful_counter) instead;
+# migrate when the runtime ships protobuf.

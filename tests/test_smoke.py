@@ -19,3 +19,16 @@ def test_queries_oracle_keys_subset(spark):
     o = e.oracle_sql()
     assert q, "no queries registered"
     assert set(o).issubset(set(q)), "oracle keys must be a subset of query keys"
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The custom Python DataSource must expose its declared partitioning
+    to Spark (8 InputPartitions → 8 tasks) and produce the full record
+    range exactly once."""
+    from bpspark.registry import all_ops
+
+    df = all_ops()["scan_python_datasource"].fn(spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert {r.book_id for r in rows} == set(range(1000))
