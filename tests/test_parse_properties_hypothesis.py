@@ -4,7 +4,7 @@ robustness on arbitrary latin-1 bytes, idempotence."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from bpspark.parse import parse_properties
@@ -84,6 +84,11 @@ def test_last_duplicate_wins_across_syntactic_forms(d, data):
         # (continuation eats the line break + leading whitespace of the next
         # physical line — java.util.Properties.load readLine semantics)
         cut = data.draw(st.integers(min_value=0, max_value=len(v)))
+        # Properties.load strips the continuation line's LEADING whitespace,
+        # so a cut landing just before a space would reassemble differently
+        # (that's correct Java behavior, not a parser bug) — only cut at
+        # points where the tail starts with a non-blank character.
+        assume(not v[cut:][:1] in (" ", "\t", "\f"))
         winner = f"{k}={v[:cut]}\\\n    {v[cut:]}"
         lines.extend(forms)
         lines.append(winner)
