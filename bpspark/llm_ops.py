@@ -1002,27 +1002,40 @@ def dedup_cluster_cc(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
         .join(docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
     )
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return _min_label_cc(
+        docs.select(F.col("doc_id").alias("id")), base
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _min_label_cc(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation to a fixpoint: ``nodes`` is (id),
+    ``pairs`` is an undirected pair list (src, dst); returns
+    (id, cluster_id) where cluster_id = min id of the connected
+    component. Each round is one shuffle join + min-aggregate;
+    localCheckpoint truncates the per-round lineage (durable checkpoint
+    on a real cluster). Shared by dedup_cluster_cc and
+    er_resolve_entities."""
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
     while True:
         neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "cluster_id")
         )
         new_labels = (
             labels.unionByName(neigh)
-            .groupBy("doc_id")
+            .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
@@ -2223,4 +2236,106 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_weight bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution
+# ---------------------------------------------------------------------------
+
+@op(
+    "er_resolve_entities",
+    sql="""
+    WITH RECURSIVE sup AS (
+        SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nat, s_acctbal AS bal
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 1000000, s_name || 'x', s_nationkey, s_acctbal
+        FROM supplier WHERE s_suppkey < 15
+        UNION ALL
+        SELECT s_suppkey + 2000000, s_name || 'yz', s_nationkey, s_acctbal
+        FROM supplier WHERE s_suppkey < 8
+    ),
+    pairs AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM sup a JOIN sup b
+          ON a.nat = b.nat AND a.bal = b.bal AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges(src, dst) AS (
+        SELECT src, dst FROM pairs
+        UNION SELECT dst, src FROM pairs
+        UNION SELECT id, id FROM sup
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (SELECT src AS id, MIN(dst) AS entity_id FROM reach GROUP BY src),
+    sized AS (
+        SELECT entity_id, COUNT(*) AS n_members FROM labels GROUP BY entity_id
+    )
+    SELECT l.entity_id, l.id AS member_id, s.name, z.n_members
+    FROM labels l
+    JOIN sup s ON l.id = s.id
+    JOIN sized z ON l.entity_id = z.entity_id
+    WHERE z.n_members > 1
+    """,
+)
+def er_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end to end: (1) BLOCK — candidate pairs come
+    only from equal (nation, acctbal) blocks, an equi-join, so the
+    pairwise stage is per-block and never corpus×corpus (the same
+    discipline LSH gives text dedup; at 100 TB the block key is the
+    shuffle key and hot blocks get the BUCKET_CAP treatment); (2) SCORE
+    — Levenshtein ≤ 2 on the name as the in-block residual predicate,
+    JVM-side; (3) CLUSTER — the shared min-label propagation
+    (_min_label_cc) turns pairs into entity clusters, handling
+    variant-of-a-variant chains transitively; (4) CANONICALIZE — the
+    min member id is the surviving entity id. The corpus plants two
+    typo-variants per low-key supplier (suffix 'x' / 'yz', same phone)
+    so 3-member chains exercise transitivity; the DuckDB recursive-CTE
+    + levenshtein oracle checks the whole pipeline exactly. Output: one
+    row per member of each multi-member entity."""
+    s = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    v1 = s.filter(F.col("id") < 15).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+        "nat",
+        "bal",
+    )
+    v2 = s.filter(F.col("id") < 8).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.concat(F.col("name"), F.lit("yz")).alias("name"),
+        "nat",
+        "bal",
+    )
+    sup = s.unionByName(v1).unionByName(v2)
+    a = sup.select(
+        F.col("id").alias("src"), F.col("name").alias("na"), "nat", "bal"
+    )
+    b = sup.select(
+        F.col("id").alias("dst"), F.col("name").alias("nb"), "nat", "bal"
+    )
+    pairs = (
+        a.join(b, ["nat", "bal"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("src", "dst")
+    )
+    labels = _min_label_cc(sup.select("id"), pairs)
+    sized = labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labels.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"))
+        .join(sup.select(F.col("id").alias("member_id"), "name"), "member_id")
+        .join(sized.filter(F.col("n_members") > 1), "entity_id")
+        .select("entity_id", "member_id", "name", "n_members")
     )

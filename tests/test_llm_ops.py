@@ -282,3 +282,18 @@ def test_bpe_vocab_induction_deterministic_and_wellformed(spark):
     for r in rows1:
         assert r.merged == r.left + r.right
         assert r.pair_weight > 0
+
+
+def test_er_planted_variant_clusters(spark):
+    """Every supplier with suppkey < 8 must resolve into a 3-member
+    entity (original + 'x' + 'yz' variants — transitivity across the
+    chain), keys 8..14 into 2-member entities, and the canonical id is
+    always the original suppkey."""
+    rows = OPS["er_resolve_entities"].fn(spark, SF_SMALL).collect()
+    by_entity: dict[int, set[int]] = {}
+    for r in rows:
+        by_entity.setdefault(r.entity_id, set()).add(r.member_id)
+    for k in range(1, 8):
+        assert by_entity.get(k) == {k, k + 1_000_000, k + 2_000_000}, by_entity.get(k)
+    for k in range(8, 15):
+        assert by_entity.get(k) == {k, k + 1_000_000}, by_entity.get(k)
