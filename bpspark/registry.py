@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "dedup_exact_normalized", "dedup_token_sorted",
     "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
-    "er_resolve_entities",
+    "er_resolve_entities", "rag_retrieval_eval",
     "embedding_l2_normalize", "embedding_centroid_per_label",
     "embedding_quantize_int8",
     "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",

@@ -300,3 +300,15 @@ def test_er_planted_variant_clusters(spark):
         assert by_entity.get(k) == {k, k + 1_000_000, k + 2_000_000}, (k, by_entity.get(k))
     for k in range(8, min(15, max_key + 1)):
         assert by_entity.get(k) == {k, k + 1_000_000}, (k, by_entity.get(k))
+
+
+def test_rag_retrieval_eval_needle_recall(spark):
+    """Excerpt queries must retrieve a chunk of their own source doc at
+    rank 1 for ≥85% of queries (0.96 at sf0.01; slightly lower on the
+    truncated sf0.001 docs), with a sane cosine."""
+    rows = OPS["rag_retrieval_eval"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_queries >= 40
+    assert r.hit_rate_at_1 >= 0.85, r
+    assert 0.3 <= r.mean_top1_cosine <= 1.0001
