@@ -528,3 +528,112 @@ def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_orders"),
         )
     )
+
+
+@op(
+    "sink_merge_scd2",
+    sql="""
+    WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+    upd AS (
+        SELECT c_custkey AS k, c_mktsegment || '_v2' AS seg
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_mktsegment || '_new'
+        FROM customer WHERE c_custkey % 7 = 3
+    )
+    SELECT b.k AS c_custkey, b.seg AS segment,
+           '1995-01-01' AS valid_from, '1997-01-01' AS valid_to, FALSE AS is_current
+    FROM base b WHERE b.k IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT b.k, b.seg, '1995-01-01', NULL, TRUE
+    FROM base b WHERE b.k NOT IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT k, seg, '1997-01-01', NULL, TRUE FROM upd
+    """,
+)
+def sink_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 MERGE: history-preserving dimension upsert. The update
+    batch (changed segments for 1-in-5 customers, brand-new 1-in-7-ish
+    keys) full-outer-joins the current dimension on the business key;
+    changed keys CLOSE their current row (valid_to = effective date) and
+    INSERT a new current version, unchanged rows pass through, new keys
+    insert as current — all branches built from ONE join via a
+    per-key row array + explode (no second pass over the dimension).
+    The versioned parquet rewrite is the same copy-on-write posture as
+    sink_merge_scd1; ts_scd2_intervals is the read-side twin that
+    derives validity intervals from a mutation log. At 100 TB: the
+    dimension and batch co-partition on the key (bucket both), and only
+    partitions containing changed keys rewrite (sink_overwrite_dynamic).
+    Oracle states the post-merge dimension declaratively."""
+    import os as _os
+    import tempfile
+
+    c = table(spark, sf, "customer")
+    base = c.select(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))
+    upd = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("useg"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 7 == 3).select(
+                (F.col("c_custkey") + 1_000_000).alias("k"),
+                F.concat(F.col("c_mktsegment"), F.lit("_new")).alias("useg"),
+            )
+        )
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    EFF = "1997-01-01"
+    joined = b.join(u, F.col("b.k") == F.col("u.k"), "full")
+    rows = joined.select(
+        F.explode(
+            F.when(
+                F.col("u.k").isNull(),  # untouched: keep current
+                F.array(
+                    F.struct(
+                        F.col("b.k").alias("c_custkey"),
+                        F.col("b.seg").alias("segment"),
+                        F.lit("1995-01-01").alias("valid_from"),
+                        F.lit(None).cast("string").alias("valid_to"),
+                        F.lit(True).alias("is_current"),
+                    )
+                ),
+            )
+            .when(
+                F.col("b.k").isNull(),  # brand-new key: insert current
+                F.array(
+                    F.struct(
+                        F.col("u.k").alias("c_custkey"),
+                        F.col("u.useg").alias("segment"),
+                        F.lit(EFF).alias("valid_from"),
+                        F.lit(None).cast("string").alias("valid_to"),
+                        F.lit(True).alias("is_current"),
+                    )
+                ),
+            )
+            .otherwise(  # changed: close old + insert new current
+                F.array(
+                    F.struct(
+                        F.col("b.k").alias("c_custkey"),
+                        F.col("b.seg").alias("segment"),
+                        F.lit("1995-01-01").alias("valid_from"),
+                        F.lit(EFF).cast("string").alias("valid_to"),
+                        F.lit(False).alias("is_current"),
+                    ),
+                    F.struct(
+                        F.col("u.k").alias("c_custkey"),
+                        F.col("u.useg").alias("segment"),
+                        F.lit(EFF).alias("valid_from"),
+                        F.lit(None).cast("string").alias("valid_to"),
+                        F.lit(True).alias("is_current"),
+                    ),
+                )
+            )
+        ).alias("r")
+    ).select("r.*")
+    dst = _os.path.join(
+        tempfile.gettempdir(), f"bpspark_scd2_{_os.path.basename(sf.rstrip('/'))}"
+    )
+    rows.write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)

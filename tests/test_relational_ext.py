@@ -59,3 +59,23 @@ def test_bloom_prefilter_exact_vs_plain_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_scd2_merge_history_invariants(spark):
+    """Post-merge dimension: every business key has exactly one current
+    row; closed rows exist only for changed keys, carry valid_to =
+    effective date, and their count equals the changed-key count."""
+    rows = OPS["sink_merge_scd2"].fn(spark, SF_SMALL).collect()
+    current: dict[int, int] = {}
+    closed = 0
+    for r in rows:
+        if r.is_current:
+            assert r.valid_to is None
+            current[r.c_custkey] = current.get(r.c_custkey, 0) + 1
+        else:
+            assert r.valid_to == "1997-01-01"
+            assert r.c_custkey % 5 == 0
+            closed += 1
+    assert set(current.values()) == {1}
+    assert closed == sum(1 for k in current if k < 1_000_000 and k % 5 == 0)
+    assert any(k >= 1_000_000 for k in current)  # new keys inserted
