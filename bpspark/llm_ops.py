@@ -2243,6 +2243,24 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
 # entity resolution
 # ---------------------------------------------------------------------------
 
+def _er_candidate_pairs(sup: DataFrame) -> DataFrame:
+    """Blocked candidate generation: equi-join on the (nation, acctbal)
+    block key, Levenshtein residual in-block — the plan tests assert
+    this stage never goes cartesian."""
+    a = sup.select(
+        F.col("id").alias("src"), F.col("name").alias("na"), "nat", "bal"
+    )
+    b = sup.select(
+        F.col("id").alias("dst"), F.col("name").alias("nb"), "nat", "bal"
+    )
+    return (
+        a.join(b, ["nat", "bal"])
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("src", "dst")
+    )
+
+
 @op(
     "er_resolve_entities",
     sql="""
@@ -2317,18 +2335,7 @@ def er_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
         "bal",
     )
     sup = s.unionByName(v1).unionByName(v2)
-    a = sup.select(
-        F.col("id").alias("src"), F.col("name").alias("na"), "nat", "bal"
-    )
-    b = sup.select(
-        F.col("id").alias("dst"), F.col("name").alias("nb"), "nat", "bal"
-    )
-    pairs = (
-        a.join(b, ["nat", "bal"])
-        .filter(F.col("src") < F.col("dst"))
-        .filter(F.levenshtein("na", "nb") <= 2)
-        .select("src", "dst")
-    )
+    pairs = _er_candidate_pairs(sup)
     labels = _min_label_cc(sup.select("id"), pairs)
     sized = labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
         F.count(F.lit(1)).alias("n_members")

@@ -473,3 +473,42 @@ def test_mv_refresh_delta_pushdown_no_base_rescan(spark):
     assert "bpspark_mv_" in plan  # state parquet feeds the merge join
     # exactly one orders scan (the delta side)
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+
+
+def test_er_blocking_never_cartesian(spark):
+    """ER candidate generation must be a block-key equi-join with the
+    Levenshtein predicate as an in-block residual — no cartesian, no
+    broadcast nested loop. (The registered op's final plan starts from
+    checkpointed CC labels, so the pair stage is planned explicitly.)"""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from bpspark.io import table
+    from bpspark.llm_ops import _er_candidate_pairs
+
+    s = table(spark, SF_SMALL, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _er_candidate_pairs(s).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    # the block key is the join key
+    assert "nat" in plan and "bal" in plan
+
+
+def test_rag_scoring_broadcasts_queries(spark):
+    """Retrieval scoring must broadcast the bounded query set so the
+    chunk corpus streams through unshuffled (sim_cosine_topk's plan
+    discipline)."""
+    plan = plan_of(spark, "rag_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
