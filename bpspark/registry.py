@@ -65,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bigram_lift", "text_feature_hashing",
     "text_bpe_vocab_induction",
     "multimodal_decode_stub", "multimodal_resize_stub",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "multimodal_audio_decode",
     "dedup_exact_normalized", "dedup_token_sorted",
     "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
     "er_resolve_entities", "rag_retrieval_eval",

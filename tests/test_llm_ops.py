@@ -312,3 +312,37 @@ def test_rag_retrieval_eval_needle_recall(spark):
     assert r.n_queries >= 40
     assert r.hit_rate_at_1 >= 0.85, r
     assert 0.3 <= r.mean_top1_cosine <= 1.0001
+
+
+def test_audio_decode_golden_wav():
+    """Hand-built 8-sample PCM16 wav must decode to exactly those samples
+    with the documented feature math."""
+    import struct
+
+    import numpy as np
+
+    from bpspark.llm_ops import _wav_header, decode_wav
+
+    samples = np.array([1000, -1000, 2000, -2000, 0, 500, -500, 32000], dtype="<i2")
+    payload = _wav_header(len(samples)) + samples.tobytes()
+    got, rate = decode_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+    # zero-crossing definition: strict sign product < 0
+    zc = int(((got[:-1].astype(np.int64) * got[1:]) < 0).sum())
+    assert zc == 5  # 1000/-1000, -1000/2000, 2000/-2000, 500/-500, -500/32000
+
+
+def test_audio_decode_op_deterministic(spark):
+    """The registered op decodes every document's wav; per-row hashes and
+    features are identical across two runs, and header-derived sample
+    counts follow the size classes."""
+    r1 = OPS["multimodal_audio_decode"].fn(spark, SF_SMALL).collect()
+    r2 = OPS["multimodal_audio_decode"].fn(spark, SF_SMALL).collect()
+    assert [tuple(x) for x in r1] == [tuple(x) for x in r2]
+    assert len(r1) == 500
+    for r in r1:
+        assert r.n_samples == (256 if r.doc_id % 2 == 0 else 160)
+        assert r.sample_rate == 8000
+        assert r.n_bytes == 44 + r.n_samples * 2
+        assert r.rms > 0 and r.peak > 0
