@@ -2560,3 +2560,103 @@ def multimodal_audio_decode(spark: SparkSession, sf: str) -> DataFrame:
     typed metadata and decode is a map-only pass."""
     d = table(spark, sf, "documents")
     return wav_audio_payloads(d).mapInPandas(_decode_audio_batches, _AUDIO_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: video (real concatenated-PPM frame stream)
+# ---------------------------------------------------------------------------
+
+_VID_W, _VID_H, _VID_FRAMES = 12, 8, 4
+
+
+def ppm_stream_payloads(d: DataFrame) -> DataFrame:
+    """documents → one REAL video stream per row: ``_VID_FRAMES``
+    complete binary PPM (P6) frames concatenated back to back — the
+    rawvideo pipe format ffmpeg emits with ``-f image2pipe -vcodec
+    ppm``. Each frame's raster is a different slice of the document
+    text, so frames differ and frame order is testable. Built entirely
+    JVM-side (binary concat of per-frame header + raster)."""
+    hdr = F.encode(F.lit(f"P6\n{_VID_W} {_VID_H}\n255\n"), "ISO-8859-1")
+    flen = _VID_W * _VID_H * 3
+    padded = F.expr(
+        f"rpad(regexp_replace(text, '[^ -~]', ' '), {flen * _VID_FRAMES}, '.')"
+    )
+    frames = []
+    for i in range(_VID_FRAMES):
+        raster = F.encode(
+            F.substring(padded, i * flen + 1, flen), "ISO-8859-1"
+        )
+        frames.extend([hdr, raster])
+    return d.select("doc_id", F.concat(*frames).alias("payload"))
+
+
+def parse_ppm_stream(payload: bytes) -> list:
+    """REAL stream parser: walk the byte stream frame by frame, reading
+    each P6 header (whitespace-separated dims) to find where its raster
+    ends — exactly how a PPM-pipe consumer works. Returns the list of
+    decoded (h, w, 3) arrays via decode_ppm on each frame slice."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame magic at {pos}")
+        toks, p = [], pos + 2
+        while len(toks) < 3:
+            while payload[p : p + 1].isspace():
+                p += 1
+            start = p
+            while not payload[p : p + 1].isspace():
+                p += 1
+            toks.append(int(payload[start:p]))
+        p += 1  # single whitespace then raster
+        w, h, _ = toks
+        end = p + w * h * 3
+        frames.append(decode_ppm(payload[pos:end]))
+        pos = end
+    return frames
+
+
+def _decode_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per Arrow batch: parse the frame stream, keep every 2nd frame
+    (the keyframe-sampling shape), one output row per sampled frame with
+    per-frame features + content hash."""
+    import hashlib
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_no", "n_frames", "width", "height",
+                                "frame_mean", "frame_sha256")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = parse_ppm_stream(bytes(payload))
+            for fno in range(0, len(frames), 2):
+                img = frames[fno]
+                h, w, _ = img.shape
+                out["doc_id"].append(doc_id)
+                out["frame_no"].append(fno)
+                out["n_frames"].append(len(frames))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["frame_mean"].append(float(img.mean()))
+                out["frame_sha256"].append(hashlib.sha256(img.tobytes()).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@op("multimodal_video_frames", sql=None)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame extraction over a binary column: each row is a
+    concatenated-PPM frame stream (the ffmpeg image2pipe rawvideo
+    format, synthesized JVM-side), walked by a real stream parser that
+    reads each frame's P6 header to locate its raster, samples every
+    2nd frame, and emits per-frame features + content hash via
+    mapInPandas. This is the video analogue of the image/audio decode
+    paths: binary column in, typed per-frame rows out, map-only, Arrow-
+    batched. (multimodal_frame_sample remains the JVM-only byte-stride
+    variant.)"""
+    d = table(spark, sf, "documents")
+    return (
+        ppm_stream_payloads(d)
+        .mapInPandas(
+            _decode_video_batches,
+            "doc_id long, frame_no int, n_frames int, width int, height int, "
+            "frame_mean double, frame_sha256 string",
+        )
+        .orderBy("doc_id", "frame_no")
+    )

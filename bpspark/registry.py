@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_vocab_induction",
     "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
+    "multimodal_video_frames",
     "dedup_exact_normalized", "dedup_token_sorted",
     "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
     "er_resolve_entities", "rag_retrieval_eval",

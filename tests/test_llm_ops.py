@@ -346,3 +346,34 @@ def test_audio_decode_op_deterministic(spark):
         assert r.sample_rate == 8000
         assert r.n_bytes == 44 + r.n_samples * 2
         assert r.rms > 0 and r.peak > 0
+
+
+def test_video_stream_parser_golden():
+    """Hand-built 3-frame PPM stream: the parser must find every frame
+    boundary and decode each raster exactly."""
+    import numpy as np
+
+    from bpspark.llm_ops import parse_ppm_stream
+
+    def frame(fill):
+        return b"P6\n2 2\n255\n" + bytes([fill] * 12)
+
+    frames = parse_ppm_stream(frame(10) + frame(200) + frame(0))
+    assert len(frames) == 3
+    assert frames[0].shape == (2, 2, 3)
+    assert int(frames[0].mean()) == 10
+    assert int(frames[1].mean()) == 200
+    assert int(frames[2].mean()) == 0
+
+
+def test_video_frames_op_samples_every_other(spark):
+    """4-frame streams sampled at stride 2 → frames 0 and 2 per doc,
+    with distinct content hashes (frames carry different text slices)."""
+    rows = OPS["multimodal_video_frames"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 1000  # 500 docs × 2 sampled frames
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.n_frames == 4 and r.width == 12 and r.height == 8
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert sorted(x.frame_no for x in rs) == [0, 2]
