@@ -57,7 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-2 additions (oracle-backed, need their first driver row)
     "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
     "sink_zorder_clustered", "mv_incremental_refresh", "sink_merge_scd2",
-    "stream_mv_refresh", "scan_python_datasource",
+    "stream_mv_refresh", "scan_python_datasource", "stream_python_datasource",
     # --- tier 2: LLM-data-pipeline family
     "text_langid", "text_token_count_bpe", "text_fingerprint",
     "text_normalize_clean", "text_pii_redact", "text_ngram_freq",

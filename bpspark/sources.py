@@ -353,3 +353,86 @@ def scan_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         .option("numPartitions", 8)
         .load()
     )
+
+
+@op(
+    "stream_python_datasource",
+    sql="""
+    SELECT i AS seq,
+           concat('9781', lpad(CAST((i * 7919) % 1000000000 AS VARCHAR), 9, '0')) AS isbn,
+           CAST(100 + (i * 31) % 900 AS INT) AS n_pages
+    FROM range(400) t(i)
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STREAMING connector via the Python DataSource API: the
+    feed's offset lives in the checkpoint, and the op runs the query
+    TWICE against the same checkpoint + parquet sink — the second run
+    resumes at the committed offset (records 200..399 follow 0..199
+    with no gap, no repeat). This is the reference's polling-ingest
+    loop (R1/R16 single-flight, MetadataIngestionJob.java:31-38)
+    rebuilt as a real streaming source with exactly-once offsets; the
+    deterministic feed makes a DuckDB range() query the exact oracle
+    for the two-run union."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark >= 4.0 required for the Python DataSource API")
+    import tempfile as _tf
+
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    BATCH = 200
+
+    # Defined function-locally ON PURPOSE: the streaming source's planner
+    # runs in a separate Python worker that does NOT inherit the addPyFile
+    # zip (unlike batch-read workers), so a module-level class would hit
+    # ModuleNotFoundError from any foreign cwd. Local classes are
+    # cloudpickled BY VALUE — fully self-contained.
+    class _BookFeedStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked streaming reader: each read() emits the next
+        BATCH deterministic records and advances the offset — the
+        Python-source analogue of a Kafka partition cursor. Spark
+        checkpoints the offset, so a restarted query resumes exactly
+        where the last one committed."""
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def read(self, start):
+            lo = int(start["seq"])
+            rows = [
+                (i, f"9781{(i * 7919) % 1_000_000_000:09d}", 100 + (i * 31) % 900)
+                for i in range(lo, lo + BATCH)
+            ]
+            return iter(rows), {"seq": lo + BATCH}
+
+    class BookFeedStreamSource(DataSource):
+        """Streaming twin of BookGenDataSource (simpleStreamReader)."""
+
+        @classmethod
+        def name(cls):
+            return "bpspark_bookfeed"
+
+        def schema(self):
+            return "seq bigint, isbn string, n_pages int"
+
+        def simpleStreamReader(self, schema):
+            return _BookFeedStreamReader()
+
+    try:
+        spark.dataSource.register(BookFeedStreamSource)
+    except Exception:
+        pass
+    stage = _tf.mkdtemp(prefix="bpspark_pyfeed_")
+    sink, ckpt = f"{stage}/sink", f"{stage}/ckpt"
+    for _ in range(2):  # second run must RESUME from the committed offset
+        q = (
+            spark.readStream.format("bpspark_bookfeed")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(sink)

@@ -114,3 +114,14 @@ def test_stream_mv_refresh_versions_and_monotone_groups(spark):
     assert len(versions) >= 4, versions
     counts = [spark.read.parquet(v).count() for v in versions]
     assert counts == sorted(counts), counts
+
+
+def test_stream_python_datasource_resumes_exactly_once(spark):
+    """Two availableNow runs against one checkpoint: the second must
+    resume at the committed offset — 400 contiguous seqs, no gap, no
+    repeat."""
+    from bpspark.registry import all_ops
+
+    rows = all_ops()["stream_python_datasource"].fn(spark, SF_SMALL).collect()
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(400))
