@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_drop_folder", "sink_control_table",
     # round-2 additions (oracle-backed, need their first driver row)
     "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
+    "dedup_incremental_exact", "profile_distribution_drift",
     "sink_zorder_clustered", "mv_incremental_refresh", "sink_merge_scd2",
     "stream_mv_refresh", "scan_python_datasource", "stream_python_datasource",
     # --- tier 2: LLM-data-pipeline family

@@ -1421,3 +1421,61 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(unpivot(li_rules, ["lineitem_qty_bounds", "lineitem_discount_bounds"]))
         .unionByName(unpivot(ref_rule, ["orders_custkey_referential"]))
     )
+
+
+@op(
+    "profile_distribution_drift",
+    sql="""
+    WITH b AS (
+        SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS INT), 9) AS bucket,
+               COUNT(*) FILTER (WHERE l_shipdate <  DATE '1997-01-01') AS n_ref,
+               COUNT(*) FILTER (WHERE l_shipdate >= DATE '1997-01-01') AS n_cur
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND(
+             (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
+             * (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
+             / (n_ref * (t_cur / CAST(t_ref AS DOUBLE))), 6
+           ) AS chi2_contrib
+    FROM b, tot
+    ORDER BY bucket
+    """,
+)
+def profile_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitor between a reference window and the
+    current window (pre/post 1997 shipments): fixed-width price buckets
+    counted for BOTH windows in ONE scan (two conditional counts per
+    bucket — never two passes), then a per-bucket chi-square
+    contribution against the expected count under the reference mix.
+    Chi-square over integer counts keeps the math to single IEEE
+    multiply/divide ops — bit-identical cross-engine, unlike PSI whose
+    ln() invites libm drift. At 100 TB this is the nightly
+    data-quality gate: one scan of the new partition + a broadcast of
+    |buckets| reference rows; alert when Σ chi2_contrib exceeds the
+    critical value (tests pin the statistic's stability)."""
+    li = table(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    bucket = F.least((F.col("l_extendedprice") / 10000).cast("int"), F.lit(9))
+    b = li.groupBy(bucket.alias("bucket")).agg(
+        F.count_if(F.col("l_shipdate") < cut).alias("n_ref"),
+        F.count_if(F.col("l_shipdate") >= cut).alias("n_cur"),
+    )
+    tot = b.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    expected = F.col("n_ref") * (F.col("t_cur") / F.col("t_ref").cast("double"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(
+                (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected, 6
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("bucket")
+    )

@@ -377,3 +377,14 @@ def test_video_frames_op_samples_every_other(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     for doc_id, rs in by_doc.items():
         assert sorted(x.frame_no for x in rs) == [0, 2]
+
+
+def test_incremental_dedup_detects_replants(spark):
+    """Replanted texts (doc_id+2M copies of every 50th existing doc) must
+    be flagged as duplicates; genuinely new docs as novel."""
+    rows = OPS["dedup_incremental_exact"].fn(spark, SF_SMALL).collect()
+    replants = [r for r in rows if r.doc_id >= 2_000_000]
+    fresh = [r for r in rows if r.doc_id < 2_000_000]
+    assert replants and all(not r.is_novel for r in replants)
+    assert fresh and all(r.doc_id >= 400 for r in fresh)
+    assert sum(r.is_novel for r in fresh) == len(fresh)  # corpus has no dupes ≥400

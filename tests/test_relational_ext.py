@@ -79,3 +79,15 @@ def test_scd2_merge_history_invariants(spark):
     assert set(current.values()) == {1}
     assert closed == sum(1 for k in current if k < 1_000_000 and k % 5 == 0)
     assert any(k >= 1_000_000 for k in current)  # new keys inserted
+
+
+def test_distribution_drift_statistic_shape(spark):
+    """Drift monitor: 10 buckets, both windows populated, chi2
+    contributions non-negative and finite; identical across runs."""
+    r1 = OPS["profile_distribution_drift"].fn(spark, SF_SMALL).collect()
+    r2 = OPS["profile_distribution_drift"].fn(spark, SF_SMALL).collect()
+    assert [tuple(x) for x in r1] == [tuple(x) for x in r2]
+    assert len(r1) == 10
+    for r in r1:
+        assert r.n_ref > 0 and r.n_cur >= 0
+        assert r.chi2_contrib >= 0
