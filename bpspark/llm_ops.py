@@ -2160,6 +2160,13 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
+def _learn_bpe_merges(spark: SparkSession, sf: str) -> list:
+    """Run the distributed BPE merge learning (see
+    text_bpe_vocab_induction) and return [(rank, left, right, merged,
+    weight)] — shared by the induction op and the tokenizer apply op."""
+    return _bpe_learn_impl(spark, sf)
+
+
 @op("text_bpe_vocab_induction", sql=None)  # iterative — invariant tests
 def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
     """Byte-pair-encoding vocabulary induction over the documents corpus —
@@ -2177,6 +2184,13 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
     inherent to the greedy-argmax algorithm, and the standard
     compromise in every distributed BPE trainer. Output: the learned
     merge table (rank, left, right, merged, pair_weight)."""
+    return spark.createDataFrame(
+        _bpe_learn_impl(spark, sf),
+        "rank int, left string, right string, merged string, pair_weight bigint",
+    )
+
+
+def _bpe_learn_impl(spark: SparkSession, sf: str) -> list:
     import re as _re
 
     words = (
@@ -2234,9 +2248,7 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
             "wn",
         ).localCheckpoint()  # truncate the 8-round lineage
 
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_weight bigint"
-    )
+    return merges
 
 
 # ---------------------------------------------------------------------------
@@ -2738,3 +2750,51 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
         state_dir + "_appendlog"
     )
     return decisions
+
+
+@op("text_bpe_tokenize", sql=None)  # applies the learned (iterative) vocab
+def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of BPE: learn the merge table
+    (_learn_bpe_merges, 8 rounds, distributed counts), then tokenize
+    every document map-side by symbolizing words (char-spaced + </w>)
+    and replaying the merges in rank order as literal regexp_replace
+    steps — the exact greedy order a BPE tokenizer uses at inference.
+    No shuffle in the apply: it is one projection per document (the
+    merge table is plan literals, the same ship-the-tiny-model trick as
+    the IVF quantizer and Bloom bitmap). Output per doc: token count
+    before merges (chars+boundaries), after merges, and the compression
+    ratio — tests pin that merges never increase tokens and that a
+    known word tokenizes to the learned merged symbols."""
+    import re as _re
+
+    merges = _learn_bpe_merges(spark, sf)
+    d = table(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
+    )
+    sym_one = lambda w: F.concat(  # noqa: E731
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+            ),
+            " ",
+        ),
+        F.lit(" </w>"),
+    )
+    doc_syms = d.select(
+        "doc_id",
+        F.array_join(F.transform(words, sym_one), " ").alias("syms"),
+    )
+    col = F.col("syms")
+    base_tokens = F.size(F.split(col, " "))
+    for _rank, left, right, merged, _w in merges:
+        pat = r"(?<=^|\s)" + _re.escape(left) + r"\s" + _re.escape(right) + r"(?=\s|$)"
+        col = F.regexp_replace(col, pat, merged.replace("\\", "\\\\").replace("$", r"\$"))
+    return doc_syms.select(
+        "doc_id",
+        base_tokens.alias("n_tokens_chars"),
+        F.size(F.split(col, " ")).alias("n_tokens_bpe"),
+        F.round(
+            F.size(F.split(col, " ")) / base_tokens.cast("double"), 4
+        ).alias("compression"),
+    ).orderBy("doc_id")

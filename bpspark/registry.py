@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_normalize_clean", "text_pii_redact", "text_ngram_freq",
     "text_readability", "text_vocab_stats", "text_tfidf_topterms",
     "text_bigram_lift", "text_feature_hashing",
-    "text_bpe_vocab_induction",
+    "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
     "multimodal_video_frames",

@@ -388,3 +388,14 @@ def test_incremental_dedup_detects_replants(spark):
     assert replants and all(not r.is_novel for r in replants)
     assert fresh and all(r.doc_id >= 400 for r in fresh)
     assert sum(r.is_novel for r in fresh) == len(fresh)  # corpus has no dupes ≥400
+
+
+def test_bpe_tokenize_compresses_never_expands(spark):
+    """Applying the learned merges can only reduce token counts, and the
+    compression must be real on this corpus (the top merge 'er' etc.
+    appear constantly)."""
+    rows = OPS["text_bpe_tokenize"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    assert all(r.n_tokens_bpe <= r.n_tokens_chars for r in rows)
+    mean_comp = sum(r.compression for r in rows) / len(rows)
+    assert mean_comp < 0.95, mean_comp
