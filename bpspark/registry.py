@@ -54,27 +54,30 @@ _PRIORITY: tuple[str, ...] = (
     "scan_binary_zip", "ingest_properties_zip", "sink_append_parquet",
     "stream_static_join", "stream_watermark_late", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table",
-    # round-2 additions (oracle-backed, need their first driver row)
+    # LLM dedup/similarity + text core (VERDICT r1's named bar: these
+    # families need driver rows; cheap oracle-backed first)
+    "dedup_exact_normalized", "dedup_token_sorted",
+    "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
+    "sim_cosine_ivf", "sim_cosine_lsh",
+    "text_langid", "text_token_count_bpe", "text_fingerprint",
+    "text_normalize_clean", "text_pii_redact", "text_readability",
+    "text_tfidf_topterms", "text_feature_hashing",
+    # round-2 additions (oracle-backed, first driver row)
     "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
     "dedup_incremental_exact", "profile_distribution_drift",
-    "sink_zorder_clustered", "mv_incremental_refresh", "sink_merge_scd2",
-    "stream_mv_refresh", "scan_python_datasource", "stream_python_datasource",
-    # --- tier 2: LLM-data-pipeline family
-    "text_langid", "text_token_count_bpe", "text_fingerprint",
-    "text_normalize_clean", "text_pii_redact", "text_ngram_freq",
-    "text_readability", "text_vocab_stats", "text_tfidf_topterms",
-    "text_bigram_lift", "text_feature_hashing",
+    "sink_zorder_clustered", "mv_incremental_refresh",
+    # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
+    "sink_merge_scd2", "stream_mv_refresh",
+    "scan_python_datasource", "stream_python_datasource",
+    "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
     "multimodal_video_frames",
-    "dedup_exact_normalized", "dedup_token_sorted",
-    "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
     "er_resolve_entities", "rag_retrieval_eval",
     "embedding_l2_normalize", "embedding_centroid_per_label",
     "embedding_quantize_int8",
     "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",
-    "sim_cosine_ivf", "sim_cosine_lsh",
     "sim_knn_graph_ivf", "sim_ivf_recall_eval",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "pipeline_llm_corpus",
