@@ -79,3 +79,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_events_raw(spark, f"{sf_dir}/{name}.parquet")
         return normalize_events_ts(spark, df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Version tag for cross-process state directories under /tmp. These dirs
+# are memoized by existence (skip-if-_SUCCESS), and /tmp OUTLIVES one
+# driver round — without a version in the name, a logic change in a
+# state-producing op would silently serve state written by old code.
+# Bump when any state-producing op changes its written content.
+STATE_VERSION = "v2"
+
+
+def state_dir(tag: str, sf_dir: str) -> str:
+    """Process-independent state directory for op ``tag`` at ``sf_dir``,
+    versioned so stale state from older code revisions is never reused."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"bpspark_{tag}_{STATE_VERSION}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bpspark.io import table
+from bpspark.io import state_dir, table
 from bpspark.registry import op
 
 _SILVER_DIR: dict[str, str] = {}
@@ -192,9 +192,7 @@ def sink_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     import os as _os
     import tempfile
 
-    base = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_compact_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    base = state_dir("compact", sf)
     frag, packed = _os.path.join(base, "frag"), _os.path.join(base, "packed")
     if not _os.path.exists(_os.path.join(packed, "_SUCCESS")):
         # fragmentation degree tracks input size: the demonstration needs
@@ -269,9 +267,7 @@ def sink_merge_scd1(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("u.last_order"), F.col("b.last_order")).alias("last_order"),
         F.coalesce(F.col("u.last_price"), F.col("b.last_price")).alias("last_price"),
     )
-    dst = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_scd1_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    dst = state_dir("scd1", sf)
     merged.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
 
@@ -298,9 +294,7 @@ def sink_range_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     import os as _os
     import tempfile
 
-    dst = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_range_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    dst = state_dir("range", sf)
     if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         (
             table(spark, sf, "orders")
@@ -402,9 +396,7 @@ def sink_zorder_clustered(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    dst = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_zorder_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    dst = state_dir("zorder", sf)
     if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         maxes = li.agg(
             F.max("l_partkey").alias("max_pk"), F.max("l_suppkey").alias("max_sk")
@@ -494,14 +486,12 @@ def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    state_dir = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_mv_{_os.path.basename(sf.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
+    mv_state = state_dir("mv", sf)
+    if not _os.path.exists(_os.path.join(mv_state, "_SUCCESS")):
         partial(raw.filter(F.col("o_orderdate") < cut)).write.mode("overwrite").parquet(
-            state_dir
+            mv_state
         )
-    state = spark.read.parquet(state_dir)
+    state = spark.read.parquet(mv_state)
     delta = partial(raw.filter(F.col("o_orderdate") >= cut))
     s, d = state.alias("s"), delta.alias("d")
     return (
@@ -632,8 +622,6 @@ def sink_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
-    dst = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_scd2_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    dst = state_dir("scd2", sf)
     rows.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bpspark.io import table
+from bpspark.io import state_dir, table
 from bpspark.registry import op
 
 
@@ -2715,18 +2715,16 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     d = table(spark, sf, "documents")
-    state_dir = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_dedupidx_{_os.path.basename(sf.rstrip('/'))}"
-    )
-    if not _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
+    idx_state = state_dir("dedupidx", sf)
+    if not _os.path.exists(_os.path.join(idx_state, "_SUCCESS")):
         (
             d.filter(F.col("doc_id") < 400)
             .select(F.sha2("text", 256).alias("content_hash"))
             .distinct()
             .write.mode("overwrite")
-            .parquet(state_dir)
+            .parquet(idx_state)
         )
-    state = spark.read.parquet(state_dir)
+    state = spark.read.parquet(idx_state)
     batch = (
         d.filter(F.col("doc_id") >= 400)
         .select("doc_id", F.sha2("text", 256).alias("content_hash"))
@@ -2747,7 +2745,7 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
     # append novel hashes to the index (partition-targeted at scale)
     decisions.filter("is_novel").select("content_hash").write.mode("append").parquet(
-        state_dir + "_appendlog"
+        idx_state + "_appendlog"
     )
     return decisions
 

@@ -126,7 +126,7 @@ def _roundtrip_dir(spark: SparkSession, sf: str, fmt: str) -> str:
     the same code path a cluster uses for multi-file JSONL/CSV corpora."""
     import tempfile
 
-    from bpspark.io import table
+    from bpspark.io import state_dir, table
 
     key = (sf, fmt)
     if key not in _FORMAT_CACHE:
@@ -200,13 +200,11 @@ def scan_orc(spark: SparkSession, sf: str) -> DataFrame:
     also proves the roundtrip is lossless. quantity is integer-valued →
     BIGINT sum is order-independent exact."""
     import os as _os
-    import tempfile
 
+    from bpspark.io import state_dir
     from bpspark.io import table as _table
 
-    dst = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_orc_{_os.path.basename(sf.rstrip('/'))}", "lineitem"
-    )
+    dst = _os.path.join(state_dir("orc", sf), "lineitem")
     if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
         (
             _table(spark, sf, "lineitem")
@@ -244,11 +242,10 @@ def scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     import os as _os
     import tempfile
 
+    from bpspark.io import state_dir
     from bpspark.io import table as _table
 
-    base = _os.path.join(
-        tempfile.gettempdir(), f"bpspark_evo_{_os.path.basename(sf.rstrip('/'))}"
-    )
+    base = state_dir("evo", sf)
     o = _table(spark, sf, "orders")
     if not _os.path.exists(_os.path.join(base, "b2", "_SUCCESS")):
         (

@@ -364,7 +364,9 @@ def test_compaction_reduces_file_count(spark):
     import tempfile
 
     OPS["sink_compact_small_files"].fn(spark, SF_SMALL).count()
-    base = os.path.join(tempfile.gettempdir(), f"bpspark_compact_{os.path.basename(SF_SMALL.rstrip('/'))}")
+    from bpspark.io import state_dir
+
+    base = state_dir("compact", SF_SMALL)
     frag = glob.glob(os.path.join(base, "frag", "part-*.parquet"))
     packed = glob.glob(os.path.join(base, "packed", "part-*.parquet"))
     assert len(frag) in (16, 64) and 1 <= len(packed) <= 4
@@ -387,7 +389,9 @@ def test_range_layout_files_have_narrow_disjoint_spans(spark):
     import tempfile
 
     OPS["sink_range_partitioned"].fn(spark, SF_SMALL).count()
-    dst = os.path.join(tempfile.gettempdir(), f"bpspark_range_{os.path.basename(SF_SMALL.rstrip('/'))}")
+    from bpspark.io import state_dir
+
+    dst = state_dir("range", SF_SMALL)
     files = glob.glob(os.path.join(dst, "part-*.parquet"))
     assert len(files) >= 8
     import duckdb
@@ -447,9 +451,9 @@ def test_zorder_files_cluster_both_dims(spark):
     from pyspark.sql import functions as F
 
     OPS["sink_zorder_clustered"].fn(spark, SF_SMALL).count()
-    dst = os.path.join(
-        tempfile.gettempdir(), f"bpspark_zorder_{os.path.basename(SF_SMALL.rstrip('/'))}"
-    )
+    from bpspark.io import state_dir
+
+    dst = state_dir("zorder", SF_SMALL)
     z = spark.read.parquet(dst).withColumn("f", F.input_file_name())
     stats = z.groupBy("f").agg(
         F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
@@ -470,7 +474,7 @@ def test_mv_refresh_delta_pushdown_no_base_rescan(spark):
     full orders aggregation."""
     plan = plan_of(spark, "mv_incremental_refresh")
     assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan
-    assert "bpspark_mv_" in plan  # state parquet feeds the merge join
+    assert "bpspark_mv_v" in plan  # versioned state parquet feeds the merge join
     # exactly one orders scan (the delta side)
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
 
