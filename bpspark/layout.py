@@ -625,3 +625,63 @@ def sink_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
     dst = state_dir("scd2", sf)
     rows.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
+
+
+@op(
+    "join_temporal_validity",
+    sql="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               '1995-01-01' AS valid_from,
+               CASE WHEN c_custkey % 5 = 0 THEN '1997-01-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment || '_v2', '1997-01-01', NULL
+        FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.segment AS segment_at_order
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND substr(CAST(o.o_orderdate AS VARCHAR), 1, 10) >= d.valid_from
+     AND (d.valid_to IS NULL
+          OR substr(CAST(o.o_orderdate AS VARCHAR), 1, 10) < d.valid_to)
+    """,
+)
+def join_temporal_validity(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal (point-in-time) join — the read side of SCD2: every fact
+    row picks the dimension VERSION whose validity interval contains the
+    fact's event time, so history never leaks across versions. The plan
+    is an equi-join on the business key with the interval containment as
+    a residual predicate — shuffle key = custkey, never a range-only
+    cartesian; per-key fan-out = #versions of that key (2 here, single
+    digits in practice), so cost tracks facts, not facts×history.
+    ISO-date strings compare lexicographically, making the interval
+    predicate engine-portable. At 100 TB: bucket fact and dimension on
+    the key (zero-exchange), and keep version counts bounded by
+    compacting closed history (sink_merge_scd2 writes it)."""
+    c = table(spark, sf, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("1997-01-01")).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit("1997-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("od")
+    )
+    return (
+        o.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("od") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+        )
+        .select("o_orderkey", "o_custkey", F.col("segment").alias("segment_at_order"))
+    )

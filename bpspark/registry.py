@@ -67,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_exact", "profile_distribution_drift",
     "sink_zorder_clustered", "mv_incremental_refresh",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
-    "sink_merge_scd2", "stream_mv_refresh",
+    "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",
     "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",

@@ -91,3 +91,17 @@ def test_distribution_drift_statistic_shape(spark):
     for r in r1:
         assert r.n_ref > 0 and r.n_cur >= 0
         assert r.chi2_contrib >= 0
+
+
+def test_temporal_join_every_order_one_version(spark):
+    """Point-in-time join: every order matches exactly one dimension
+    version, and the version flips at the 1997 cutover for changed keys."""
+    from pyspark.sql import functions as F
+
+    from bpspark.io import table
+
+    rows = OPS["join_temporal_validity"].fn(spark, SF_SMALL).collect()
+    n_orders = table(spark, SF_SMALL, "orders").count()
+    assert len(rows) == n_orders  # exactly one version per order
+    flipped = [r for r in rows if r.segment_at_order.endswith("_v2")]
+    assert flipped and all(r.o_custkey % 5 == 0 for r in flipped)
