@@ -27,7 +27,14 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as ex:
+        # Only the NANOS-rejection case warrants the legacy conf — a
+        # transient failure (missing file, permissions) must re-raise
+        # untouched, or it would flip every later events read in the
+        # session to raw-nano LongType.
+        msg = str(ex)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -282,7 +282,31 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # channel's job — so collapse each signature group to its min-doc_id
     # representative before any pair emission. Bucket sizes are then bounded
     # by signature diversity, not corpus skew.
-    sig = raw_sig.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    # Identical-signature members are NOT necessarily exact text dups:
+    # a 64-bit simhash can collide for true near-dups whose weighted bit
+    # sums don't flip. Collapse in two steps so neither class is lost:
+    # (1) exact-text groups (simhash, text-hash) collapse to one
+    # representative — exact dups stay the exact-dedup channel's job and
+    # a B-sized boilerplate corpus emits ZERO pairs from here; (2) the
+    # signature group keeps one DISTINCT-TEXT representative per text,
+    # and cross-text members pair with the signature representative
+    # (O(distinct texts) per group), so hamming-0 near-dups still reach
+    # the jaccard re-rank instead of being silently dropped.
+    hashed = raw_sig.join(
+        docs.select("doc_id", F.sha2("text", 256).alias("thash")), "doc_id"
+    )
+    text_rep = hashed.groupBy("simhash", "thash").agg(F.min("doc_id").alias("doc_id"))
+    sig = text_rep.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    same_sig_pairs = (
+        text_rep.withColumnRenamed("doc_id", "member")
+        .join(sig.withColumnRenamed("doc_id", "rep"), "simhash")
+        .filter(F.col("member") != F.col("rep"))
+        .select(
+            F.least("rep", "member").alias("doc_a"),
+            F.greatest("rep", "member").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
     # 8 bands × 8 bits: by pigeonhole every pair with hamming <= 7 shares at
     # least one untouched band → guaranteed candidate generation at the <=7
     # verification threshold. (At larger corpus scales widen bands to cut
@@ -315,6 +339,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= 7)
+        .unionByName(same_sig_pairs)
+        .distinct()
     )
     # exact-jaccard re-rank of the hamming survivors (hashed shingle sets)
     sh = docs.select(
@@ -1229,11 +1255,14 @@ def _ivf_centroid_literal(e: DataFrame, train_iters: int = IVF_TRAIN_ITERS) -> t
     return _centroid_literal_from_rows(cents), len(cents)
 
 
-def _ivf_probe_assign(e: DataFrame, nprobe: int) -> DataFrame:
+def _ivf_probe_assign(e: DataFrame, nprobe: int, cent_lit=None) -> DataFrame:
     """Per-vector nearest-``nprobe`` centroids, computed entirely map-side
     against the literal quantizer: vec_id, embedding, norm, home_cent
-    (nearest), probe_cents (array of the nprobe nearest)."""
-    cent_lit, _k = _ivf_centroid_literal(e)
+    (nearest), probe_cents (array of the nprobe nearest). Pass a prebuilt
+    ``cent_lit`` to reuse one trained quantizer across calls (the recall
+    harness times queries, not training)."""
+    if cent_lit is None:
+        cent_lit, _k = _ivf_centroid_literal(e)
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
@@ -1264,7 +1293,7 @@ def _ivf_probe_assign(e: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
+def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5, cent_lit=None) -> DataFrame:
     """Approximate kNN graph over the WHOLE corpus (every vector is a
     query): IVF-bucketed candidate generation, one shuffle on cent_id.
 
@@ -1275,7 +1304,7 @@ def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
     are the residual risk, same as LSH buckets: with a trained (k-means)
     quantizer cluster sizes concentrate near n/k; a degenerate corpus
     needs the BUCKET_CAP discipline used by dedup_near_minhash."""
-    assigned = _ivf_probe_assign(e, nprobe)
+    assigned = _ivf_probe_assign(e, nprobe, cent_lit=cent_lit)
     home = assigned.select(
         F.col("home_cent").alias("cent_id"), "vec_id", "embedding", "norm"
     )
@@ -1440,7 +1469,7 @@ def doc_split_chunks(spark: SparkSession, sf: str) -> DataFrame:
     the output inherits the scan's partitioning). At 100 TB this is a
     map-only pass whose output is ~1.3× the input bytes."""
     d = table(spark, sf, "documents").select("doc_id", "text")
-    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(150))
+    starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150))
     return (
         d.select("doc_id", "text", F.explode(starts).alias("gs"))
         .select(
@@ -2126,7 +2155,7 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # chunk + pack
-    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(600))
+    starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(600))
     chunks = clean.select(
         "doc_id", F.posexplode(starts).alias("chunk_no", "start")
     ).select("doc_id", "chunk_no")
@@ -2195,7 +2224,9 @@ def _bpe_learn_impl(spark: SparkSession, sf: str) -> list:
 
     words = (
         table(spark, sf, "documents")
-        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        # same normalization as text_bpe_tokenize's apply step — train and
+        # inference MUST tokenize identically or learned merges can't fire
+        .select(F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wn"))
@@ -2423,7 +2454,7 @@ def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     0.96 at sf0.01 / 0.90 at sf0.001 (shorter docs truncate the
     excerpt); tests pin ≥ 0.85 on the small fixture."""
     d = table(spark, sf, "documents").select("doc_id", "text")
-    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(150))
+    starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150))
     chunks = d.select(
         "doc_id",
         F.explode(starts).alias("gs"),
@@ -2613,15 +2644,19 @@ def parse_ppm_stream(payload: bytes) -> list:
             raise ValueError(f"bad frame magic at {pos}")
         toks, p = [], pos + 2
         while len(toks) < 3:
-            while payload[p : p + 1].isspace():
+            while p < len(payload) and payload[p : p + 1].isspace():
                 p += 1
             start = p
-            while not payload[p : p + 1].isspace():
+            while p < len(payload) and not payload[p : p + 1].isspace():
                 p += 1
+            if start == p:  # ran off the end mid-header
+                raise ValueError(f"truncated frame header at {pos}")
             toks.append(int(payload[start:p]))
         p += 1  # single whitespace then raster
         w, h, _ = toks
         end = p + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated frame raster at {pos}")
         frames.append(decode_ppm(payload[pos:end]))
         pos = end
     return frames
@@ -2743,9 +2778,14 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
         "content_hash",
         F.col("s_hash").isNull().alias("is_novel"),
     )
-    # append novel hashes to the index (partition-targeted at scale)
+    # Demonstrate the index append (partition-targeted at scale) into a
+    # PER-PROCESS staging dir: the op itself must stay a pure function of
+    # (sf, code version) for the driver's repeated correctness runs, so the
+    # shared index is never mutated here — production would merge this
+    # staged append into the index as its own committed step.
+    append_stage = tempfile.mkdtemp(prefix="bpspark_dedupidx_append_")
     decisions.filter("is_novel").select("content_hash").write.mode("append").parquet(
-        idx_state + "_appendlog"
+        append_stage
     )
     return decisions
 

@@ -210,6 +210,10 @@ _FIXTURE_INGEST: dict[int, tuple[str, Ledgers, IngestResult]] = {}
 def _fixture_ingest(spark: SparkSession) -> tuple[str, Ledgers, IngestResult]:
     key = id(spark)
     if key not in _FIXTURE_INGEST:
+        # keep only the live session's entry: cached DataFrames pin their
+        # (possibly stopped) SparkSession's JVM state, so entries from
+        # earlier sessions in the same interpreter must not accumulate
+        _FIXTURE_INGEST.clear()
         d, ledgers = _fixture_ledgers(spark)
         res = ingest_batch(spark, f"{d}/drop", ledgers)
         res = IngestResult(

@@ -1435,11 +1435,11 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
         SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b
     )
     SELECT bucket, n_ref, n_cur,
-           ROUND(
+           CASE WHEN n_ref > 0 THEN ROUND(
              (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
              * (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
              / (n_ref * (t_cur / CAST(t_ref AS DOUBLE))), 6
-           ) AS chi2_contrib
+           ) END AS chi2_contrib
     FROM b, tot
     ORDER BY bucket
     """,
@@ -1473,8 +1473,15 @@ def profile_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
             "bucket",
             "n_ref",
             "n_cur",
-            F.round(
-                (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected, 6
+            # explicit NULL when the reference window is empty for a
+            # bucket (Spark's non-ANSI division nulls, DuckDB infs — make
+            # both engines agree on NULL)
+            F.when(
+                F.col("n_ref") > 0,
+                F.round(
+                    (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected,
+                    6,
+                ),
             ).alias("chi2_contrib"),
         )
         .orderBy("bucket")

@@ -584,7 +584,9 @@ def stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
             return
         part = batch_df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("v").alias("total_v"),
+            # sum(decimal(18,2)) widens to decimal(28,2); pin the state
+            # schema so EVERY version directory carries the same type
+            F.sum("v").cast("decimal(18,2)").alias("total_v"),
         )
         if state["cur"] is None:
             merged = part

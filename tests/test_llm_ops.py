@@ -399,3 +399,19 @@ def test_bpe_tokenize_compresses_never_expands(spark):
     assert all(r.n_tokens_bpe <= r.n_tokens_chars for r in rows)
     mean_comp = sum(r.compression for r in rows) / len(rows)
     assert mean_comp < 0.95, mean_comp
+
+
+def test_video_stream_parser_rejects_truncation():
+    """Truncated frame headers/rasters must raise, never hang (the
+    parser's loops are bounded by the payload length)."""
+    import pytest
+
+    from bpspark.llm_ops import parse_ppm_stream
+
+    good = b"P6\n2 2\n255\n" + bytes(12)
+    with pytest.raises(ValueError):
+        parse_ppm_stream(good + b"P6\n12")       # header cut off
+    with pytest.raises(ValueError):
+        parse_ppm_stream(good + b"P6\n2 2\n255\n" + bytes(5))  # raster short
+    with pytest.raises(ValueError):
+        parse_ppm_stream(b"XX" + good)            # bad magic

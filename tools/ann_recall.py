@@ -72,7 +72,7 @@ def main() -> None:
         )
     e = _with_norm(e).cache()
     n = e.count()
-    _lit, k_clusters = _ivf_centroid_literal(e)
+    cent_lit, k_clusters = _ivf_centroid_literal(e)  # train ONCE; reused below
 
     # exact ground truth for ALL vectors (feasible at test SFs; at real
     # scale the harness samples queries — sim_ivf_recall_eval does)
@@ -100,11 +100,11 @@ def main() -> None:
 
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
         t0 = time.perf_counter()
-        approx = _ivf_knn_graph(e, nprobe=nprobe)
+        approx = _ivf_knn_graph(e, nprobe=nprobe, cent_lit=cent_lit)
         hit_pairs = truth.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
         wall = time.perf_counter() - t0
         # candidate volume: sum over probed clusters of their home size
-        assigned = _ivf_probe_assign(e, nprobe)
+        assigned = _ivf_probe_assign(e, nprobe, cent_lit=cent_lit)
         sizes = (
             assigned.groupBy(F.col("home_cent").alias("cent_id"))
             .agg(F.count(F.lit(1)).alias("sz"))
