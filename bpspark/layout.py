@@ -685,3 +685,54 @@ def join_temporal_validity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_orderkey", "o_custkey", F.col("segment").alias("segment_at_order"))
     )
+
+
+@op(
+    "catalog_stats_cbo",
+    sql="""
+    SELECT 'row_count' AS stat, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_min', CAST(MIN(o_orderkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_max', CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_custkey_min', CAST(MIN(o_custkey) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_custkey_max', CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+    ORDER BY stat
+    """,
+)
+def catalog_stats_cbo(spark: SparkSession, sf: str) -> DataFrame:
+    """The statistics layer the cost-based optimizer runs on: save orders
+    as a catalog table, ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS,
+    and read the stored stats back out of the catalog (table row count
+    from DESCRIBE EXTENDED, per-column min/max from DESCRIBE EXTENDED
+    <col>). At 100 TB this is a scheduled maintenance job, and it is what
+    lets CBO pick join orders and broadcast decisions from real
+    cardinalities instead of file sizes (spark.sql.cbo.enabled). The
+    stored min/max/count are exact aggregates, so the DuckDB oracle
+    checks the CATALOG's answers against directly-computed ones — proving
+    the stats pipeline records truth, not estimates (ndv, which is
+    HLL-approximate, is deliberately not asserted)."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:10]
+    tbl = f"bp_stats_{tag}"
+    base = tempfile.mkdtemp(prefix="bpspark_cbostats_")
+    table(spark, sf, "orders").select("o_orderkey", "o_custkey").write.format(
+        "parquet"
+    ).option("path", f"{base}/{tbl}").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+
+    stats: list[tuple[str, str]] = []
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+        if r["col_name"] == "Statistics":
+            # "N bytes, M rows"
+            stats.append(("row_count", r["data_type"].split(",")[1].strip().split(" ")[0]))
+    for col in ("o_orderkey", "o_custkey"):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl} {col}").collect():
+            if r["info_name"] == "min":
+                stats.append((f"{col}_min", r["info_value"]))
+            elif r["info_name"] == "max":
+                stats.append((f"{col}_max", r["info_value"]))
+    return spark.createDataFrame(sorted(stats), "stat string, value string")
