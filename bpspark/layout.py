@@ -736,3 +736,45 @@ def catalog_stats_cbo(spark: SparkSession, sf: str) -> DataFrame:
             elif r["info_name"] == "max":
                 stats.append((f"{col}_max", r["info_value"]))
     return spark.createDataFrame(sorted(stats), "stat string, value string")
+
+
+@op("mv_sketch_refresh", sql=None)  # sketches are engine-specific; merge≡full test
+def mv_sketch_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MV over a HOLISTIC aggregate: exact distinct counts
+    don't merge (mv_incremental_refresh handles only algebraic sums/
+    counts), but HLL SKETCHES do — union-merging registers is lossless,
+    so sketch(base) ∪ sketch(delta) ≡ sketch(all). The MV stores one
+    binary sketch of distinct users per event_type (state ∝ |groups| ×
+    sketch size, never |users|); each refresh sketches ONLY the delta
+    and hll_union-merges into the state. Returns per-type estimates from
+    the merged state PLUS the full-recompute estimates side by side;
+    merged_est == full_est exactly (same registers) — asserted in tests.
+    This is how 100 TB pipelines maintain daily/all-time distincts
+    without ever rescanning history."""
+    ev = table(spark, sf, "events").select("event_type", "user_id", "event_id")
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        )
+
+    s, d = sketch(base).alias("s"), sketch(delta).alias("d")
+    merged = s.join(d, F.col("s.event_type") == F.col("d.event_type"), "full").select(
+        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias("event_type"),
+        F.when(F.col("s.sk").isNull(), F.col("d.sk"))
+        .when(F.col("d.sk").isNull(), F.col("s.sk"))
+        .otherwise(F.expr("hll_union(s.sk, d.sk)"))
+        .alias("sk"),
+    )
+    full = sketch(ev).select(
+        "event_type", F.expr("hll_sketch_estimate(sk)").alias("full_est")
+    )
+    return (
+        merged.select(
+            "event_type", F.expr("hll_sketch_estimate(sk)").alias("merged_est")
+        )
+        .join(full, "event_type")
+        .orderBy("event_type")
+    )

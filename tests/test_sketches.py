@@ -43,3 +43,15 @@ def test_count_min_overestimates_within_eps(spark):
         assert true <= r["est_count"] <= true + max(20, int(0.002 * n)), (
             r["event_type"], r["est_count"], true,
         )
+
+
+def test_sketch_mv_merge_equals_full_recompute(spark):
+    """HLL register union is lossless: the incrementally-merged sketch
+    estimate must equal the full-recompute estimate EXACTLY per group."""
+    from bpspark.registry import all_ops
+    from tests.conftest import SF_SMALL
+
+    rows = all_ops()["mv_sketch_refresh"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_est == r.full_est, r
