@@ -114,3 +114,55 @@ def test_logreg_gd_descends(spark):
     losses = [r["loss"] for r in rows]
     assert all(a > b for a, b in zip(losses, losses[1:])), losses
     assert rows[-1]["accuracy"] >= 0.5
+
+
+def test_min_label_cc_matches_union_find_on_random_graphs(spark):
+    """_min_label_cc (shared by dedup_cluster_cc and er_resolve_entities)
+    must agree with a reference union-find on arbitrary graphs —
+    deterministic seeds, several shapes (sparse, dense, chain, islands)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bpspark.llm_ops import _min_label_cc
+
+    def union_find(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min node id per component
+        comp = {}
+        for v in range(n):
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+    for seed, n, m in [(1, 30, 10), (2, 30, 60), (3, 24, 23), (4, 40, 0)]:
+        rng = random.Random(seed)
+        if seed == 3:  # chain: worst-case diameter
+            edges = [(i, i + 1) for i in range(n - 1)]
+        else:
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+        want = union_find(n, edges)
+        nodes = spark.range(n).select(F.col("id"))
+        if edges:
+            pairs = spark.createDataFrame(edges, "src long, dst long")
+        else:
+            pairs = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r.id: r.cluster_id
+            for r in _min_label_cc(nodes, pairs).collect()
+        }
+        assert got == want, f"seed={seed}: {got} != {want}"
