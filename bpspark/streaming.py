@@ -207,10 +207,15 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
         "ts", F.col("ts") - F.expr("INTERVAL 10 DAYS")
     )
 
-    emitted: list = []
+    # bounded driver state: only the RUNNING TOTAL of emitted window
+    # counts crosses to the driver (one aggregated row per micro-batch),
+    # never the window rows themselves — at 100× the window count the
+    # harness footprint is unchanged
+    totals = {"rows": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        emitted.extend(batch_df.collect())
+        s = batch_df.agg(F.sum("n_events")).collect()[0][0]
+        totals["rows"] += int(s or 0)
 
     def run_once() -> None:
         stream = (
@@ -239,10 +244,10 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
 
     add_file(on_time, "b1")
     run_once()
-    rows_after_b1 = sum(r.n_events for r in emitted)
+    rows_after_b1 = totals["rows"]
     add_file(late, "b2")
     run_once()
-    rows_after_b2 = sum(r.n_events for r in emitted)
+    rows_after_b2 = totals["rows"]
     return spark.createDataFrame(
         [(rows_after_b1, rows_after_b2, rows_after_b2 == rows_after_b1)],
         "rows_after_batch1 bigint, rows_after_batch2 bigint, late_rows_dropped boolean",
@@ -328,7 +333,7 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     half1 = ev.filter(F.col("event_id") % 2 == 0)
     half2 = ev.filter(F.col("event_id") % 2 == 1)
 
-    collected: dict[int, tuple[int, float]] = {}
+    updates_dir = f"{stage}/updates"
 
     def count_events(key, pdfs, state: GroupState):
         import pandas as pd  # runs in the Python worker
@@ -342,8 +347,10 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            collected[r.user_id] = (r.n_events, r.total_value)
+        # executor-side append, nothing to the driver: per-user update
+        # rows land in a parquet log; the final state is last-update-wins
+        # (max running count per user) read back distributed
+        batch_df.write.mode("append").parquet(updates_dir)
 
     def run_once() -> None:
         stream = (
@@ -378,9 +385,15 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     run_once()
     add_file(half2, "b2")
     run_once()
-    return spark.createDataFrame(
-        [(uid, n, tv) for uid, (n, tv) in sorted(collected.items())],
-        "user_id long, n_events long, total_value double",
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.read.parquet(updates_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
     )
 
 
