@@ -323,3 +323,86 @@ def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["null_keys"]), float(m["revenue"]))],
         "n_rows bigint, null_keys bigint, revenue double",
     )
+
+
+@op(
+    "pipeline_governed_batch",
+    sql="""
+    WITH dq AS (
+        SELECT COUNT(*) FILTER (WHERE o_totalprice <= 0)
+             + COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+             + COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+               AS viol
+        FROM orders
+    ),
+    olds AS (
+        SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    news AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    cdc AS (
+        SELECT COUNT(*) FILTER (WHERE olds.o_orderkey IS NULL) AS ins,
+               COUNT(*) FILTER (WHERE news.o_orderkey IS NULL) AS del,
+               COUNT(*) FILTER (WHERE olds.o_orderkey IS NOT NULL
+                                  AND news.o_orderkey IS NOT NULL
+                                  AND olds.price <> news.price) AS upd
+        FROM olds FULL OUTER JOIN news ON olds.o_orderkey = news.o_orderkey
+    ),
+    mv AS (
+        SELECT COUNT(*) AS groups FROM (
+            SELECT DISTINCT CAST(o_orderdate AS VARCHAR), o_orderpriority FROM orders
+        )
+    )
+    SELECT 'dq_violations' AS metric, CAST(viol AS BIGINT) AS value FROM dq
+    UNION ALL SELECT 'cdc_inserts', ins FROM cdc
+    UNION ALL SELECT 'cdc_deletes', del FROM cdc
+    UNION ALL SELECT 'cdc_updates', upd FROM cdc
+    UNION ALL SELECT 'mv_groups', groups FROM mv
+    ORDER BY metric
+    """,
+)
+def pipeline_governed_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Governed-batch flagship: the round-2 governance ops as ONE run —
+    (1) the DQ expectation gate (conditional counts, one orders scan;
+    a real pipeline quarantines when this is non-zero — reference R6/R9
+    flow), (2) the CDC change-set extraction (full-outer key diff,
+    output ∝ churn), (3) the incremental-MV refresh group count (work ∝
+    delta + groups). Emits the run report every production batch job
+    logs: one (metric, value) row per stage, all deterministic and
+    oracle-checked — composition changes nothing about each stage's
+    scale posture (their standalone ops assert the plan shapes)."""
+    from bpspark.io import table
+    from bpspark.layout import mv_incremental_refresh
+    from bpspark.relational_ext import cdc_snapshot_diff
+
+    o = table(spark, sf, "orders")
+    dq = o.agg(
+        (
+            F.count_if(F.col("o_totalprice") <= 0)
+            + F.count_if(~F.col("o_orderstatus").isin("F", "O", "P"))
+            + F.count_if(~F.col("o_orderpriority").rlike("^[1-5]-"))
+        ).alias("v")
+    ).select(F.lit("dq_violations").alias("metric"), F.col("v").cast("long").alias("value"))
+    cdc = cdc_snapshot_diff(spark, sf)
+    cdc_counts = cdc.agg(
+        F.count_if(F.col("change_type") == "I").alias("ins"),
+        F.count_if(F.col("change_type") == "D").alias("del"),
+        F.count_if(F.col("change_type") == "U").alias("upd"),
+    )
+    cdc_rows = cdc_counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("cdc_inserts").alias("metric"), F.col("ins").alias("value")),
+                F.struct(F.lit("cdc_deletes").alias("metric"), F.col("del").alias("value")),
+                F.struct(F.lit("cdc_updates").alias("metric"), F.col("upd").alias("value")),
+            )
+        ).alias("s")
+    ).select("s.metric", "s.value")
+    mv = mv_incremental_refresh(spark, sf).agg(F.count(F.lit(1)).alias("g")).select(
+        F.lit("mv_groups").alias("metric"), F.col("g").cast("long").alias("value")
+    )
+    return dq.unionByName(cdc_rows).unionByName(mv).orderBy("metric")

@@ -65,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-2 additions (oracle-backed, first driver row)
     "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
     "dedup_incremental_exact", "profile_distribution_drift",
-    "sink_zorder_clustered", "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
+    "sink_zorder_clustered", "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh", "pipeline_governed_batch",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",
