@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash", "text_stats", "text_quality_filter",
     "sim_cosine_topk", "dedup_near_minhash", "multimodal_columns",
     "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
+    "stream_session_dynamic_gap",
     "scan_binary_zip", "ingest_properties_zip", "sink_append_parquet",
     "stream_static_join", "stream_watermark_late", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table",

@@ -652,3 +652,58 @@ def stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
 # StreamingPythonRunner crashes at init. Custom stateful streaming is
 # covered by applyInPandasWithState (stream_stateful_counter) instead;
 # migrate when the runtime ships protobuf.
+
+
+def session_dynamic_gap_plan(events: DataFrame) -> DataFrame:
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@op(
+    "stream_session_dynamic_gap",
+    sql="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN INTERVAL '60 minutes' ELSE INTERVAL '15 minutes'
+               END AS gap
+        FROM events
+    ), marks AS (
+        SELECT user_id, ts, event_id, gap,
+               CASE WHEN LAG(ts + gap) OVER w IS NULL
+                         OR MAX(ts + gap) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            <= ts
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marks
+    )
+    SELECT user_id,
+           date_trunc('microseconds', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows whose gap is a PER-ROW expression (Spark's
+    session_window accepts a column): purchases keep a session alive for
+    60 min, everything else 15 min — the realistic engagement-dependent
+    timeout no fixed-gap sessionizer expresses. Semantics: a session's
+    end extends to max(event_ts + that event's gap); a new session
+    starts when the running max close-time is ≤ the next event's ts.
+    The oracle emulates exactly that with a running MAX(ts+gap) window.
+    Same merging-state-store execution as stream_session_window — state
+    per open session, watermark-evicted on a real stream."""
+    return session_dynamic_gap_plan(table(spark, sf, "events"))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from bpspark.io import table
 from bpspark.streaming import (
+    session_dynamic_gap_plan,
     events_stream,
     run_to_memory,
     session_window_plan,
@@ -38,6 +39,10 @@ def test_sliding_batch_equals_stream(spark):
 
 def test_session_batch_equals_stream(spark):
     assert not _batch_vs_stream(spark, session_window_plan)
+
+
+def test_session_dynamic_gap_batch_equals_stream(spark):
+    assert not _batch_vs_stream(spark, session_dynamic_gap_plan)
 
 
 def test_watermark_drops_late_rows(spark):
