@@ -2398,61 +2398,48 @@ def er_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
 _RAG_DIM = 256
 
 
-def _hashed_tf_vector(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
-    """Dense hashed term-frequency vector (dim 256) per row over
-    unigrams ∪ bigrams: tokenize, form word bigrams with the zip_with
-    slice trick (all codegen), md5-bucket every term (engine-portable,
-    same trick as text_feature_hashing), aggregate counts per
-    (row, bucket) — ONE shuffle — then densify via a map lookup over
-    the bucket range. Bigrams carry the word-order signal that makes
-    excerpt retrieval sharp on a small shared vocabulary.
-    Output: id_cols + vec array<double> + its L2 norm."""
-    toks = F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: F.length(t) > 0
-    )
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.expr(f"slice({'__toks'}, 2, greatest(size({'__toks'}) - 1, 0))"),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    tok = (
-        df.withColumn("__toks", toks)
-        .select(
-            *id_cols,
-            F.explode(F.concat(F.col("__toks"), bigrams)).alias("tok"),
-        )
-    )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(_RAG_DIM)
-    )
-    tf = tok.groupBy(*id_cols, bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    m = tf.groupBy(*id_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("m")
-    )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)).cast("double"),
-    )
-    out = m.select(*id_cols, vec.alias("vec"))
-    return out.withColumn("vnorm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+def _rag_tf_vec(text: str):
+    """Python twin of the engine's md5 hashing-trick featurizer: unigram ∪
+    bigram term frequencies over lowercased [a-z0-9]+ tokens, md5-bucketed
+    into a dense dim-256 float vector. Used inside the Arrow-batched
+    scorer (and on the driver for the bounded query set), so chunk and
+    query featurization are one code path."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    terms = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    v = np.zeros(_RAG_DIM, dtype=np.float64)
+    for t in terms:
+        v[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _RAG_DIM] += 1.0
+    return v
 
 
 @op("rag_retrieval_eval", sql=None)  # self-evaluating composition
 def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     """RAG retrieval self-evaluation: documents are chunked (size 200 /
-    stride 150, the doc_split_chunks shape), every chunk is embedded
-    with the engine-portable hashing-trick TF vector, and each query —
-    a 180-char excerpt of every 10th document — must retrieve a chunk
-    of ITS OWN source document at rank 1 (planted relevance, the
-    standard needle eval). Scale shape: chunk vectorization is map-side
-    + one (chunk,bucket) shuffle; the bounded query set broadcasts, so
-    the corpus streams through scoring unshuffled exactly like
-    sim_cosine_topk; top-3 per query is a window. Output is ONE row
-    (n_queries, hits_at_1, hit_rate_at_1, mean_top1_cosine) — measured
-    0.96 at sf0.01 / 0.90 at sf0.001 (shorter docs truncate the
-    excerpt); tests pin ≥ 0.85 on the small fixture."""
+    stride 150, the doc_split_chunks shape) and each excerpt query (180
+    chars of every 10th document) must retrieve a chunk of ITS OWN
+    source document at rank 1 — the needle eval. Scoring is an
+    Arrow-batched numpy matmul inside mapInPandas: the (tiny) query
+    matrix rides the closure, each chunk batch computes
+    (batch × dim) · (dim × queries) with BLAS and emits only its
+    per-query best row — the corpus streams through MAP-ONLY, and the
+    final reduce sees #batches × #queries rows. Three formulations were
+    built and measured at sf0.1: (1) dense JVM higher-order-fold cosine
+    — 44 s (CodegenFallback per pair); (2) sparse inverted-index join —
+    OOM without stop-word pruning (common terms cost |chunks|×|queries|
+    rows per term) and recall collapse WITH pruning, because on this
+    small-vocabulary corpus the needle signal is the full TF fingerprint
+    across common terms, exactly what pruning removes; (3) this numpy
+    path — ~4 s, full-fingerprint cosine, the standard vectorized-batch
+    scorer when no term is individually discriminative. Output is ONE
+    row (n_queries, hits_at_1, hit_rate_at_1, mean_top1_cosine); tests
+    pin hit_rate ≥ 0.85 on the small fixture."""
+    import numpy as np
+
     d = table(spark, sf, "documents").select("doc_id", "text")
     starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150))
     chunks = d.select(
@@ -2463,29 +2450,45 @@ def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("gs") / 150).cast("long").alias("chunk_idx"),
         F.col("text").substr(F.col("gs") + 1, F.lit(200)).alias("chunk_text"),
     )
-    cvec = _hashed_tf_vector(chunks, ["doc_id", "chunk_idx"], "chunk_text")
-    queries = d.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("query_doc"),
-        F.col("text").substr(61, 180).alias("qtext"),
+    q_rows = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.col("text").substr(61, 180).alias("qtext"))
+        .collect()  # bounded query set (1-in-10 docs) — the broadcast side
     )
-    qvec = _hashed_tf_vector(queries, ["query_doc"], "qtext").select(
-        "query_doc",
-        F.col("vec").alias("qvec"),
-        F.col("vnorm").alias("qnorm"),
-    )
-    scored = cvec.join(F.broadcast(qvec)).select(
-        "query_doc",
-        "doc_id",
-        "chunk_idx",
-        (
-            _dot(F.col("vec"), F.col("qvec"))
-            / (F.col("vnorm") * F.col("qnorm"))
-        ).alias("cosine"),
+    q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
+    qm = np.stack([_rag_tf_vec(r["qtext"]) for r in q_rows])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack([_rag_tf_vec(t) for t in pdf["chunk_text"]])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            s = m @ qm.T  # (batch, queries)
+            # deterministic per-batch argmax: ties break to the first
+            # (lowest doc_id, chunk_idx) row because np.argmax is first-hit
+            # over the batch, which is already sorted by (doc_id, chunk_idx)
+            best = s.argmax(axis=0)
+            yield pd.DataFrame(
+                {
+                    "query_doc": q_ids,
+                    "doc_id": pdf["doc_id"].to_numpy()[best],
+                    "chunk_idx": pdf["chunk_idx"].to_numpy()[best],
+                    "cosine": s[best, np.arange(len(q_ids))],
+                }
+            )
+
+    per_batch_best = chunks.orderBy("doc_id", "chunk_idx").mapInPandas(
+        score_batches,
+        "query_doc long, doc_id long, chunk_idx long, cosine double",
     )
     w = Window.partitionBy("query_doc").orderBy(
         F.col("cosine").desc(), F.col("doc_id"), F.col("chunk_idx")
     )
-    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    top1 = per_batch_best.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
     return top1.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.count_if(F.col("doc_id") == F.col("query_doc")).alias("hits_at_1"),

@@ -509,13 +509,14 @@ def test_er_blocking_never_cartesian(spark):
     assert "nat" in plan and "bal" in plan
 
 
-def test_rag_scoring_broadcasts_queries(spark):
-    """Retrieval scoring must broadcast the bounded query set so the
-    chunk corpus streams through unshuffled (sim_cosine_topk's plan
-    discipline)."""
+def test_rag_scoring_is_map_only_over_chunks(spark):
+    """Retrieval scoring must stream the chunk corpus through an
+    Arrow-batched MapInPandas (the query matrix rides the closure — no
+    join, no shuffle of chunk×query pairs); the only exchange after
+    scoring carries #batches×#queries best-rows."""
     plan = plan_of(spark, "rag_retrieval_eval")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastExchange") >= 1
+    assert "MapInPandas" in plan
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
