@@ -2839,3 +2839,74 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             F.size(F.split(col, " ")) / base_tokens.cast("double"), 4
         ).alias("compression"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# training-mixture construction
+# ---------------------------------------------------------------------------
+
+@op(
+    "sample_temperature_mixture",
+    sql="""
+    WITH dc AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               CAST(FLOOR(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_u
+        FROM dc
+    )
+    SELECT lang, n_docs, weight_u,
+           CAST(n_docs * 1000000 // SUM(n_docs) OVER () AS BIGINT) AS natural_ppm,
+           CAST(weight_u * 1000000 // SUM(weight_u) OVER () AS BIGINT) AS tempered_ppm,
+           CAST(weight_u * 10000 // SUM(weight_u) OVER () AS BIGINT) AS quota_10k
+    FROM w
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted domain mixture plan — the multilingual-corpus
+    rebalancing step: sampling share per domain ∝ count^α with α = 1/2,
+    which upsamples low-resource domains relative to their natural share
+    (α=1 ⇒ natural; α=0 ⇒ uniform). Emits per-domain natural vs tempered
+    shares and an integer quota for a 10k-doc epoch.
+
+    Determinism discipline: sqrt is IEEE-correctly-rounded in both
+    engines, so ``floor(sqrt(n)·1e6)`` is a bit-stable BIGINT micro-unit
+    weight; every later step (total, ppm shares, quotas) is pure integer
+    arithmetic — no float summation order anywhere. Scale: one count-agg
+    shuffle of |domains| groups; the empty-frame window totals touch only
+    the tiny domain table. Applying the plan is a separate seeded
+    ``sampleBy`` over the corpus with fractions quota/n_docs — a map-only
+    scan predicate, no shuffle (tests pin the application invariants)."""
+    dc = (
+        table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = dc.withColumn(
+        "weight_u", F.floor(F.sqrt("n_docs") * F.lit(1000000)).cast("bigint")
+    )
+    return w.select(
+        "lang",
+        "n_docs",
+        "weight_u",
+        F.expr("n_docs * 1000000 div sum(n_docs) over ()").alias("natural_ppm"),
+        F.expr("weight_u * 1000000 div sum(weight_u) over ()").alias("tempered_ppm"),
+        F.expr("weight_u * 10000 div sum(weight_u) over ()").alias("quota_10k"),
+    )
+
+
+def temperature_mixture_sample(spark: SparkSession, sf: str, epoch_docs: int = 10000, seed: int = 42) -> DataFrame:
+    """Apply a temperature-mixture plan: per-domain seeded Bernoulli
+    sampling at fraction quota/n_docs via ``sampleBy`` — a map-only
+    predicate on the scan (zero shuffle; the plan table is tiny and rides
+    the closure). Engine-specific sampler ⇒ not oracle-checkable; the
+    mixture-plan op above carries the oracle and tests pin the applied
+    sample's per-domain counts to binomial bounds."""
+    plan = sample_temperature_mixture(spark, sf).collect()
+    fractions = {
+        r["lang"]: min(1.0, r["quota_10k"] * (epoch_docs / 10000) / r["n_docs"])
+        for r in plan
+    }
+    d = table(spark, sf, "documents")
+    return d.sampleBy("lang", fractions=fractions, seed=seed)

@@ -433,3 +433,55 @@ def stream_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@op(
+    "scan_xml",
+    sql="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_xml(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source/sink roundtrip (Spark 4's built-in XML data source —
+    the spark-xml package merged into spark-sql): the documents metadata
+    projection is written once per sf_dir as multi-file XML
+    (``rowTag=doc``), read BACK with a pinned schema (no sampling
+    inference pass over 100 TB), and aggregated. The oracle aggregates
+    the parquet original, so the check proves the XML writer/parser
+    round-trip is lossless, entity-escaping included. The reference's
+    Alfresco world is XML-config-driven (module.properties,
+    *-context.xml — SURVEY §2.1 R1); this is the engine's native path
+    for XML record corpora. Scale: one task per XML file split;
+    text stays OUT of the XML profile (prose belongs in parquet/JSONL —
+    same rationale as scan_csv)."""
+    import os as _os
+
+    from bpspark.io import state_dir
+    from bpspark.io import table as _table
+
+    dst = _os.path.join(state_dir("xml", sf), "documents")
+    if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        (
+            _table(spark, sf, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .save(dst)
+        )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .load(dst)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

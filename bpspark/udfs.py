@@ -300,3 +300,89 @@ def udf_sql_registered(spark: SparkSession, sf: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 7 = 0
         """
     )
+
+
+def _key_fold_arrow_body(k):
+    """arrow_udf body: xorshift-fold the key and bucket mod 97 — pure
+    pyarrow.compute integer kernels (C++, vectorized), no pandas."""
+    import pyarrow.compute as pc
+
+    folded = pc.bit_wise_xor(pc.shift_right(k, 13), k)
+    # pyarrow.compute has no modulo kernel: x % m == x - (x // m) * m for
+    # the non-negative int64 keys here (pc.divide truncates on integers)
+    return pc.subtract(folded, pc.multiply(pc.divide(folded, 97), 97))
+
+
+@op(
+    "udf_scalar_arrow",
+    sql="""
+    SELECT o_orderkey,
+           CAST(xor(o_orderkey >> 13, o_orderkey) % 97 AS BIGINT) AS fold_bucket
+    FROM orders
+    """,
+)
+def udf_scalar_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar Arrow UDF (Spark 4 ``arrow_udf``) — the vectorized scalar
+    path one step below pandas_udf: the body receives a raw
+    ``pyarrow.Array`` (no pandas Series wrapping, no index bookkeeping),
+    so a columnar integer kernel pays only Arrow transfer. The body
+    computes an exact xorshift fold (``(k >> 13) ^ k mod 97``) so the
+    DuckDB oracle replays it bit-for-bit in SQL arithmetic. Scale: same
+    executor-side Python worker model as pandas UDFs — Arrow batches
+    stream per core; the projection ships one int64 column each way."""
+    from pyspark.sql.functions import arrow_udf
+
+    fold = arrow_udf(_key_fold_arrow_body, "bigint")
+    o = table(spark, sf, "orders").select("o_orderkey")
+    return o.select("o_orderkey", fold("o_orderkey").alias("fold_bucket"))
+
+
+@op(
+    "udtf_analyze_dynamic",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) >= 1
+                THEN string_split(text, ' ')[1] END AS w0,
+           CASE WHEN len(string_split(text, ' ')) >= 2
+                THEN string_split(text, ' ')[2] END AS w1,
+           CASE WHEN len(string_split(text, ' ')) >= 3
+                THEN string_split(text, ' ')[3] END AS w2
+    FROM documents
+    """,
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output schema
+    is COMPUTED AT PLAN TIME from the constant ``n`` argument — analyze()
+    receives the literal and emits one ``wN`` string column per requested
+    word, so callers pick their arity in SQL and Catalyst sees a fully
+    typed schema (column pruning and downstream codegen work as if the
+    schema were static). The class is function-local on purpose: the UDTF
+    planner's Python worker runs before addPyFile state is guaranteed, so
+    the class must pickle BY VALUE (see stream_python_datasource for the
+    same constraint). Split semantics are single-space (Python
+    ``split(' ')`` ≡ DuckDB ``string_split``), keeping the oracle exact."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class WordCols:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            fields = [StructField("doc_id", LongType())]
+            fields += [StructField(f"w{i}", StringType()) for i in range(int(n.value))]
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, doc_id, text, n):
+            words = (text or "").split(" ")
+            yield tuple(
+                [doc_id] + [words[i] if i < len(words) else None for i in range(int(n))]
+            )
+
+    spark.udtf.register("bpspark_word_cols", udtf(WordCols))
+    table(spark, sf, "documents").createOrReplaceTempView("bpspark_docs_udtf")
+    return spark.sql(
+        """
+        SELECT t.* FROM bpspark_docs_udtf,
+        LATERAL bpspark_word_cols(doc_id, text, 3) t
+        """
+    )

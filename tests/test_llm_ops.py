@@ -415,3 +415,35 @@ def test_video_stream_parser_rejects_truncation():
         parse_ppm_stream(good + b"P6\n2 2\n255\n" + bytes(5))  # raster short
     with pytest.raises(ValueError):
         parse_ppm_stream(b"XX" + good)            # bad magic
+
+
+def test_temperature_mixture_plan_and_application(spark):
+    """α=1/2 tempering must (a) hand every low-resource domain a larger
+    share than its natural share (and the largest domain a smaller one),
+    (b) hand out ppm shares that sum to ≤1e6 (floor division), and (c)
+    applying the plan via seeded sampleBy must land each domain's count
+    within 5σ binomial bounds of its quota."""
+    from bpspark.llm_ops import sample_temperature_mixture, temperature_mixture_sample
+
+    plan = {r["lang"]: r for r in sample_temperature_mixture(spark, SF_SMALL).collect()}
+    assert sum(r["tempered_ppm"] for r in plan.values()) <= 1_000_000
+    biggest = max(plan.values(), key=lambda r: r["n_docs"])
+    smallest = min(plan.values(), key=lambda r: r["n_docs"])
+    if biggest["n_docs"] != smallest["n_docs"]:
+        assert biggest["tempered_ppm"] < biggest["natural_ppm"]
+        assert smallest["tempered_ppm"] > smallest["natural_ppm"]
+
+    sampled = (
+        temperature_mixture_sample(spark, SF_SMALL, epoch_docs=300, seed=7)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r["lang"]: r["count"] for r in sampled}
+    for lang, r in plan.items():
+        quota = r["quota_10k"] * 300 / 10000
+        frac = min(1.0, quota / r["n_docs"])
+        sigma = (r["n_docs"] * frac * (1 - frac)) ** 0.5
+        assert abs(got.get(lang, 0) - min(quota, r["n_docs"])) <= 5 * sigma + 1, (
+            f"{lang}: got {got.get(lang, 0)}, quota {quota}"
+        )
