@@ -46,7 +46,7 @@ HEADLINE = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeat", type=int, default=2)  # best-of-2: first run pays JVM JIT
+    ap.add_argument("--repeat", type=int, default=3)  # best-of-3: first run pays JVM JIT; run-to-run host noise is ±20-30%
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
@@ -85,8 +85,24 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_records_per_s": ingest_rps,
+        "calib_sec": _machine_calibration(spark),
     }
     print(json.dumps(out))
+
+
+def _machine_calibration(spark) -> float:
+    """Fixed, data-independent CPU calibration job: sum over a 200M-row
+    range with per-row arithmetic, best-of-2. Identical work every round,
+    so cross-round headline comparisons can be normalized for host drift
+    (observed ±20-30% between runs/VMs — see BASELINE.md, which records
+    the first measured value; earlier rounds have no calib figure)."""
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _ingest_throughput(spark) -> int:
