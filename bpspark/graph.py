@@ -180,3 +180,65 @@ def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     nodes = e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_BFS_ROUNDS = 6
+
+
+@op(
+    "graph_shortest_paths",
+    sql=f"""
+    WITH RECURSIVE {_KNN_EDGES_SQL},
+    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    lm AS (SELECT DISTINCT src AS node FROM ed ORDER BY node LIMIT 3),
+    bfs AS (
+        SELECT node AS landmark, node, 0 AS dist FROM lm
+        UNION
+        SELECT bfs.landmark, ed.dst AS node, bfs.dist + 1 AS dist
+        FROM bfs JOIN ed ON ed.src = bfs.node
+        WHERE bfs.dist < {_BFS_ROUNDS}
+    ),
+    md AS (SELECT landmark, node, MIN(dist) AS dist FROM bfs GROUP BY landmark, node)
+    SELECT landmark, dist, COUNT(*) AS n_nodes FROM md GROUP BY landmark, dist
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS shortest paths from 3 landmark nodes (the smallest
+    supplier keys) over the bounded-degree similarity graph, emitted as a
+    per-landmark distance histogram. The distributed-BFS shape: the
+    symmetrized edge list is hash-partitioned on src ONCE and cached
+    (loop-invariant); each round joins only the FRONTIER (nodes first
+    reached last round — monotonically shrinking) against it, and an
+    anti-join against the visited set guarantees every node keeps its
+    first (= minimal) distance. 6 bounded rounds ⇒ 6 co-partitioned
+    shuffles total; per-round state is |new nodes|, never |paths| — the
+    oracle's recursive CTE enumerates (landmark, node, dist) rows with
+    UNION dedup and MIN-collapses, provably the same map. Landmark count
+    and round bound are literals on both sides, keeping the check exact
+    at any sf."""
+    e = _knn_supplier_edges(spark, sf)
+    ed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("src")
+        .cache()
+    )
+    lm = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+        .select(F.col("node").alias("landmark"), "node", F.lit(0).alias("dist"))
+    )
+    visited = lm.localCheckpoint()
+    frontier = visited
+    for i in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            frontier.join(ed, frontier.node == ed.src)
+            .select("landmark", F.col("dst").alias("node"), F.lit(i).alias("dist"))
+            .distinct()
+        )
+        new = nxt.join(visited, ["landmark", "node"], "left_anti").localCheckpoint()
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return visited.groupBy("landmark", "dist").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -68,7 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_exact", "profile_distribution_drift",
     "sink_zorder_clustered", "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh", "pipeline_governed_batch",
     "scan_xml", "udf_scalar_arrow", "udtf_analyze_dynamic",
-    "sample_temperature_mixture",
+    "sample_temperature_mixture", "graph_shortest_paths",
+    "stream_outer_interval_join",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

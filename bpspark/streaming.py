@@ -707,3 +707,79 @@ def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
     Same merging-state-store execution as stream_session_window — state
     per open session, watermark-evicted on a real stream."""
     return session_dynamic_gap_plan(table(spark, sf, "events"))
+
+
+@op(
+    "stream_outer_interval_join",
+    sql="""
+    SELECT e1.event_id AS a_event_id, e2.event_id AS b_event_id, e1.user_id
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.event_id % 2 = 1
+     AND e2.ts >= e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    WHERE e1.event_id % 2 = 0
+    """,
+)
+def stream_outer_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard streaming case:
+    unmatched left rows can only be emitted with NULL right columns once
+    the watermark PROVES no match can still arrive (state eviction), so
+    null emission is driven by watermark advancement, not data. The
+    replay harness appends a far-future sentinel pair (user_id -1) to the
+    staged events; after the data batch the watermark jumps past every
+    real event's join horizon and Spark's no-data micro-batch evicts all
+    remaining left state, flushing the null-extended rows — making the
+    memory-sink result COMPLETE and therefore equal to the batch LEFT
+    JOIN oracle (the sentinel is filtered back out post-join). Scale:
+    symmetric hash join state is bounded by rate × (watermark + interval)
+    on both sides — the only outer-join form that survives an unbounded
+    stream."""
+    stage = tempfile.mkdtemp(prefix="bpspark_ssoj_")
+    src = f"{stage}/src"
+    ev = table(spark, sf, "events").select("event_id", "ts", "user_id")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # Sentinel ids must pass BOTH parity filters or the un-advanced side
+    # pins the GLOBAL watermark (min of the two sides) at max_real - 1h
+    # and the last hour's unmatched left rows are never evicted. Spark's
+    # % keeps the dividend sign (-1 % 2 == -1), so negative ids silently
+    # miss the odd filter — use large positive ids clear of real ones.
+    sentinel = spark.createDataFrame(
+        [(10_000_000_000, max_ts, -1), (10_000_000_001, max_ts, -1)],
+        "event_id long, ts timestamp, user_id long",
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        "user_id",
+    )
+    # sentinel parity: 10_000_000_000 even (left side), ..._001 odd (right).
+    # Staged as ONE file on purpose: if the file source split the replay
+    # across micro-batches, real events in later batches would arrive
+    # behind the sentinel-advanced watermark and be dropped as late input
+    # (observed: 7/5000 rows lost at sf0.01 with a multi-file stage).
+    ev.unionByName(sentinel).coalesce(1).write.parquet(src)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def side(parity: int, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_id") % 2 == parity)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    left, right = side(0, "a"), side(1, "b")
+    joined = left.join(
+        right,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "leftOuter",
+    ).select("a_event_id", "b_event_id", F.col("a_user_id").alias("user_id"))
+    return run_to_memory(joined).filter(F.col("user_id") != -1)
