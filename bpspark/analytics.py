@@ -1450,3 +1450,61 @@ def q_repeat_purchase_30d(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_quick_reorders"))
     )
+
+
+# Multi-feature OLS via normal equations — ONE SQL text evaluated by BOTH
+# engines (Spark and the DuckDB oracle), so every IEEE double operation has
+# an identical expression tree and the solved coefficients match
+# bit-for-bit. The moment sums are exact: each product of exact-decimal
+# columns (price 2dp, discount 2dp, integer-valued quantity) is exactly
+# representable in double, snapped to DECIMAL(18,4) before SUM (associative
+# integer arithmetic — order-independent at any parallelism).
+_LINREG_SQL = """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s2y
+        FROM lineitem
+    ),
+    d AS (
+        SELECT n, sx1, sx2, s11, s12, s22, sy, s1y, s2y,
+               (n * (s11 * s22 - s12 * s12)
+                - sx1 * (sx1 * s22 - s12 * sx2)
+                + sx2 * (sx1 * s12 - s11 * sx2)) AS det
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ((sy * (s11 * s22 - s12 * s12)
+             - sx1 * (s1y * s22 - s12 * s2y)
+             + sx2 * (s1y * s12 - s11 * s2y)) / det) AS beta_intercept,
+           ((n * (s1y * s22 - s12 * s2y)
+             - sy * (sx1 * s22 - s12 * sx2)
+             + sx2 * (sx1 * s2y - s1y * sx2)) / det) AS beta_quantity,
+           ((n * (s11 * s2y - s1y * s12)
+             - sx1 * (sx1 * s2y - s1y * sx2)
+             + sy * (sx1 * s12 - s11 * sx2)) / det) AS beta_discount
+    FROM d
+"""
+
+
+@op("ml_linreg_normal", sql=_LINREG_SQL)
+def ml_linreg_normal(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-feature linear regression by normal equations, fully inside
+    the engine: ŷ(extendedprice) = β₀ + β₁·quantity + β₂·discount. ONE
+    distributed pass computes the 9 exact moment sums (XᵀX and XᵀY for
+    d=2 features + intercept) with map-side partial aggregation — the
+    treeAggregate shape with zero driver-side math; the 3×3 Cramer solve
+    is a projection on the single reduced row. This is the closed-form
+    path that beats iterative GD (ml_logreg_gd) whenever d is small
+    enough that XᵀX fits a row — the common case for tabular features.
+    At 100 TB the cost is exactly one scan + one 9-number reduction.
+    The oracle runs the IDENTICAL SQL text, so the IEEE arithmetic of
+    the solve matches bit-for-bit (see _LINREG_SQL note)."""
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_LINREG_SQL)

@@ -778,3 +778,84 @@ def mv_sketch_refresh(spark: SparkSession, sf: str) -> DataFrame:
         .join(full, "event_type")
         .orderBy("event_type")
     )
+
+
+def time_travel_read(spark: SparkSession, sf: str, version: int) -> DataFrame:
+    """Read snapshot ``version`` of the time-travel table (see
+    sink_time_travel). Versions are immutable copy-on-write parquet dirs
+    under one root with a JSON manifest — the same mechanism a table
+    format's transaction log provides, minus compaction."""
+    import json
+    import os as _os
+
+    root = state_dir("ttravel", sf)
+    with open(_os.path.join(root, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(manifest[str(version)]["path"])
+
+
+@op(
+    "sink_time_travel",
+    sql="""
+    WITH v1 AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderkey) AS last_order
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey
+    ),
+    v2 AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_orderkey) AS last_order
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    )
+    SELECT v2.o_custkey,
+           COALESCE(v1.n_orders, 0) AS n_v1,
+           v2.n_orders AS n_v2,
+           v2.n_orders - COALESCE(v1.n_orders, 0) AS new_orders
+    FROM v2 LEFT JOIN v1 ON v1.o_custkey = v2.o_custkey
+    """,
+)
+def sink_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot versioning + time travel on plain parquet: each write is
+    an immutable version directory plus an atomically-rewritten JSON
+    manifest (version → path, cutover) — the read side picks any recorded
+    version (``time_travel_read``), which is exactly what a table
+    format's ``VERSION AS OF`` does with its transaction log. The op
+    materializes two snapshots of the per-customer order summary (1996
+    and 1998 cutovers), then answers a cross-version query — v2 LEFT
+    JOIN time-traveled v1 — without re-reading the source. Scale:
+    snapshots are ordinary partitioned writes; the manifest is O(#versions)
+    driver-side JSON; cross-version joins co-partition on the key like
+    any other join. The oracle recomputes both snapshots from source,
+    proving the traveled read is byte-faithful."""
+    import json
+    import os as _os
+
+    root = state_dir("ttravel", sf)
+    cuts = {1: "1996-01-01", 2: "1998-01-01"}
+    manifest_path = _os.path.join(root, "_manifest.json")
+    if not _os.path.exists(manifest_path):
+        o = table(spark, sf, "orders")
+        manifest: dict[str, dict] = {}
+        for v, cut in cuts.items():
+            dst = _os.path.join(root, f"v{v}")
+            (
+                o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+                .groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.max("o_orderkey").alias("last_order"),
+                )
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            manifest[str(v)] = {"path": dst, "cutover": cut}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        _os.replace(tmp, manifest_path)  # atomic manifest swap = commit
+    v1 = time_travel_read(spark, sf, 1).alias("v1")
+    v2 = time_travel_read(spark, sf, 2).alias("v2")
+    return v2.join(v1, F.col("v1.o_custkey") == F.col("v2.o_custkey"), "left").select(
+        F.col("v2.o_custkey").alias("o_custkey"),
+        F.coalesce(F.col("v1.n_orders"), F.lit(0)).alias("n_v1"),
+        F.col("v2.n_orders").alias("n_v2"),
+        (F.col("v2.n_orders") - F.coalesce(F.col("v1.n_orders"), F.lit(0))).alias("new_orders"),
+    )

@@ -105,3 +105,47 @@ def test_temporal_join_every_order_one_version(spark):
     assert len(rows) == n_orders  # exactly one version per order
     flipped = [r for r in rows if r.segment_at_order.endswith("_v2")]
     assert flipped and all(r.o_custkey % 5 == 0 for r in flipped)
+
+
+def test_time_travel_versions_isolated(spark):
+    """Reading version 1 after version 2 exists must return the 1996
+    snapshot untouched (immutability), and v1 counts must be <= v2."""
+    from bpspark.layout import sink_time_travel, time_travel_read
+
+    sink_time_travel(spark, SF_SMALL).count()  # materialize both versions
+    v1 = {r["o_custkey"]: r["n_orders"] for r in time_travel_read(spark, SF_SMALL, 1).collect()}
+    v2 = {r["o_custkey"]: r["n_orders"] for r in time_travel_read(spark, SF_SMALL, 2).collect()}
+    assert set(v1) <= set(v2), "customers can only be added over time"
+    assert all(v1[k] <= v2[k] for k in v1), "order counts are monotone"
+
+
+def test_linreg_normal_least_squares_optimality(spark):
+    """The fitted plane's SSE can never exceed the intercept-only model's
+    (OLS optimality) — a data-independent invariant on top of the
+    bit-exact oracle check. (The synthetic price is independent of
+    quantity, so coefficient signs are NOT asserted.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bpspark.analytics import ml_linreg_normal
+    from bpspark.io import table
+
+    row = ml_linreg_normal(spark, SF_SMALL).collect()[0]
+    assert all(
+        math.isfinite(row[c]) for c in ("beta_intercept", "beta_quantity", "beta_discount")
+    )
+    li = table(spark, SF_SMALL, "lineitem")
+    pred = (
+        F.lit(row["beta_intercept"])
+        + F.lit(row["beta_quantity"]) * F.col("l_quantity")
+        + F.lit(row["beta_discount"]) * F.col("l_discount")
+    )
+    stats = li.agg(
+        F.sum((F.col("l_extendedprice") - pred) ** 2).alias("sse_model"),
+        F.sum(F.col("l_extendedprice") ** 2).alias("syy"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    sse_mean = stats["syy"] - stats["sy"] ** 2 / stats["n"]
+    assert stats["sse_model"] <= sse_mean * (1 + 1e-9)
