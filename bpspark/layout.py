@@ -859,3 +859,81 @@ def sink_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v2.n_orders").alias("n_v2"),
         (F.col("v2.n_orders") - F.coalesce(F.col("v1.n_orders"), F.lit(0))).alias("new_orders"),
     )
+
+
+@op(
+    "sink_vacuum_retention",
+    sql="""
+    SELECT 2 AS version, COUNT(*) AS n_customers FROM (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey
+    )
+    UNION ALL
+    SELECT 3 AS version, COUNT(*) AS n_customers FROM (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    )
+    """,
+)
+def sink_vacuum_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention vacuum over the snapshot-version mechanism
+    (sink_time_travel's manifest pattern, own state root): three
+    snapshot versions are written, then versions beyond the retention
+    window (keep latest 2) are DELETED from disk and dropped from the
+    manifest in one atomic swap — manifest first, files after, so a
+    concurrent time-travel reader either sees the old manifest (files
+    still present) or the new one (pruned versions unlisted). The op
+    re-reads every surviving version from disk and reports its row
+    count; the oracle recomputes the kept snapshots from source, so the
+    check proves both that the right versions survived and that vacuum
+    never corrupted them. Scale: vacuum is driver-side manifest surgery
+    + O(#pruned-files) deletes; data is never rewritten."""
+    import json
+    import os as _os
+    import shutil
+
+    root = state_dir("ttvac", sf)
+    cuts = {1: "1996-01-01", 2: "1997-01-01", 3: "1998-01-01"}
+    retention = 2
+    manifest_path = _os.path.join(root, "_manifest.json")
+    if not _os.path.exists(manifest_path):
+        o = table(spark, sf, "orders")
+        manifest: dict[str, dict] = {}
+        for v, cut in cuts.items():
+            dst = _os.path.join(root, f"v{v}")
+            (
+                o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            manifest[str(v)] = {"path": dst, "cutover": cut}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        _os.replace(tmp, manifest_path)
+    # vacuum: keep the latest `retention` versions (idempotent)
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    keep = sorted(manifest, key=int)[-retention:]
+    pruned = {v: m for v, m in manifest.items() if v not in keep}
+    if pruned:
+        kept_manifest = {v: manifest[v] for v in keep}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(kept_manifest, fh)
+        _os.replace(tmp, manifest_path)  # commit BEFORE deleting files
+        for m in pruned.values():
+            shutil.rmtree(m["path"], ignore_errors=True)
+        manifest = kept_manifest
+    frames = [
+        spark.read.parquet(m["path"]).agg(
+            F.lit(int(v)).alias("version"), F.count(F.lit(1)).alias("n_customers")
+        )
+        for v, m in sorted(manifest.items(), key=lambda kv: int(kv[0]))
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

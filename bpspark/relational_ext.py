@@ -1486,3 +1486,79 @@ def profile_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@op(
+    "join_spatial_grid",
+    sql="""
+    WITH c AS (
+        SELECT c_custkey,
+               ((c_custkey * 9301 + 49297) % 10000) / 100.0 AS x,
+               ((c_custkey * 6121 + 33331) % 10000) / 100.0 AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               ((s_suppkey * 7873 + 12345) % 10000) / 100.0 AS x,
+               ((s_suppkey * 4391 + 54321) % 10000) / 100.0 AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+    FROM c JOIN s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 4.0
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial ε-distance join via grid bucketing — the scale pattern for
+    'points within ε of each other' without a cartesian: square cells of
+    side ε (=2.0), the SMALL side replicated to its 3×3 cell
+    neighborhood (9× tiny), then a plain EQUI-join on the cell key and
+    an exact distance residual. Each point lives in exactly one cell, so
+    no pair is emitted twice. Shuffle key = cell id ⇒ cost ∝ points ×
+    local density, never |A|×|B|; at 100 TB you pick ε-sized cells so a
+    cell's neighborhood fits an executor, exactly as here. Coordinates
+    are deterministic LCG-derived 2dp grid positions (synthetic — the
+    testdata has no geo columns); ε=2.0 divides 2dp coordinates exactly,
+    so cell = floor(x/2) has no boundary jitter, and the distance math
+    is the identical IEEE expression tree on both engines. Oracle: the
+    brute-force theta join — proving the grid join finds exactly the
+    same pair set."""
+    c = table(spark, sf, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 9301 + 49297) % 10000) / 100.0).alias("x"),
+        (((F.col("c_custkey") * 6121 + 33331) % 10000) / 100.0).alias("y"),
+    )
+    s = table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7873 + 12345) % 10000) / 100.0).alias("x"),
+        (((F.col("s_suppkey") * 4391 + 54321) % 10000) / 100.0).alias("y"),
+    )
+    cgrid = c.select(
+        "c_custkey", "x", "y",
+        F.floor(F.col("x") / 2).cast("int").alias("cx"),
+        F.floor(F.col("y") / 2).cast("int").alias("cy"),
+    )
+    sgrid = (
+        s.select(
+            "s_suppkey", F.col("x").alias("sx"), F.col("y").alias("sy"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "s_suppkey", "sx", "sy", "dx",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select(
+            "s_suppkey", "sx", "sy",
+            (F.floor(F.col("sx") / 2).cast("int") + F.col("dx")).alias("cx"),
+            (F.floor(F.col("sy") / 2).cast("int") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        cgrid.join(F.broadcast(sgrid), ["cx", "cy"])
+        .filter(dist2 <= 4.0)
+        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+    )

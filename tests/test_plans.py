@@ -565,3 +565,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spatial_grid_join_is_equi_not_cartesian(spark):
+    """The ε-distance spatial join must execute as a broadcast HASH join
+    on the grid-cell key with the distance check as a residual — never a
+    cartesian/nested-loop over the two point sets."""
+    plan = plan_of(spark, "join_spatial_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
