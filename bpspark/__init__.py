@@ -35,6 +35,7 @@ def load_all() -> None:
     import bpspark.udfs  # noqa: F401
     import bpspark.sql_features  # noqa: F401
     import bpspark.graph  # noqa: F401
+    import bpspark.lineage  # noqa: F401
 
 
 def ensure_worker_imports(spark) -> None:

@@ -1562,3 +1562,49 @@ def join_spatial_grid(spark: SparkSession, sf: str) -> DataFrame:
         .filter(dist2 <= 4.0)
         .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
     )
+
+
+@op(
+    "fn_winsorize",
+    sql="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           LEAST(GREATEST(e.value, q.lo), q.hi) AS value_capped,
+           CAST(e.value < q.lo OR e.value > q.hi AS INT) AS was_clipped
+    FROM events e JOIN q ON e.event_type = q.event_type
+    """,
+)
+def fn_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization (outlier capping): clamp each event's value to its
+    event-type's [P05, P95] — the robust-statistics prep step that keeps
+    heavy-tailed metrics from dominating downstream means/regressions.
+    Two-phase plan like ts_anomaly_iqr: the per-type quantile frame is
+    |event types| rows, broadcast back onto the fact scan, so the fact
+    table shuffles once for the quantile agg and the capping itself is a
+    map-only projection. Exact interpolated percentiles are identical
+    doubles in both engines and LEAST/GREATEST are pure comparisons —
+    bit-deterministic. At 100 TB swap F.percentile for approx_percentile
+    (same plan) when ±ε on the fence is acceptable."""
+    ev = table(spark, sf, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_capped"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+            .cast("int")
+            .alias("was_clipped"),
+        )
+    )

@@ -783,3 +783,68 @@ def stream_outer_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "leftOuter",
     ).select("a_event_id", "b_event_id", F.col("a_user_id").alias("user_id"))
     return run_to_memory(joined).filter(F.col("user_id") != -1)
+
+
+@op("stream_scd_join", sql=None)
+def stream_scd_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream ⋈ SLOWLY-CHANGING dimension via per-batch dim refresh — the
+    broadcast-state pattern: a plain stream-static join resolves the dim
+    ONCE at plan time and never sees updates, so inside foreachBatch the
+    dim is RE-READ (and re-broadcast) at every micro-batch, giving each
+    batch the dim version current at its processing time. The harness
+    stages events as two files processed as two batches
+    (maxFilesPerTrigger=1, mod-time ordered); the foreachBatch body joins
+    the current dim, sinks the tagged rows, then APPLIES the pending dim
+    update — so wave-1 rows must carry v1 labels and wave-2 rows v2
+    (pinned by tests/test_streaming.py). Rows-only: output depends on
+    batch boundaries by design. Scale: the dim re-read is one small
+    broadcast per micro-batch; facts never shuffle."""
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="bpspark_scdj_")
+    src, out, dim_cur = f"{stage}/src", f"{stage}/out", f"{stage}/dim_current"
+    ev = table(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
+    cutoff = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    os.makedirs(src)
+    for i, wave in enumerate(
+        (ev.filter(F.col("event_id") <= cutoff), ev.filter(F.col("event_id") > cutoff))
+    ):
+        wdir = f"{stage}/w{i}"
+        wave.coalesce(1).write.parquet(wdir)
+        part = next(p for p in os.listdir(wdir) if p.endswith(".parquet"))
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(f"{wdir}/{part}", dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    types = ev.select("event_type").distinct()
+
+    def write_dim(version: str) -> None:
+        types.select(
+            "event_type", F.concat(F.lit(version + "_"), F.col("event_type")).alias("dim_label")
+        ).write.mode("overwrite").parquet(dim_cur)
+
+    write_dim("v1")
+
+    def handle(batch: DataFrame, bid: int) -> None:
+        d = spark.read.parquet(dim_cur)
+        (
+            batch.join(F.broadcast(d), "event_type")
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        write_dim("v2")  # the dim update lands between batches
+
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{stage}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "event_type", "dim_label", "batch_id"
+    )

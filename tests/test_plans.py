@@ -575,3 +575,33 @@ def test_spatial_grid_join_is_equi_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_column_lineage_shapes(spark):
+    """Lineage extraction must resolve alias chains through joins,
+    scalar expressions, and window functions down to leaf table.column
+    pairs (plan analysis only — nothing executes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bpspark.io import table
+    from bpspark.lineage import column_lineage
+
+    li = table(spark, SF_SMALL, "lineitem")
+    q = li.filter(F.col("l_quantity") > 10).select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    assert column_lineage(q, SF_SMALL) == [
+        ("net", "lineitem", "l_discount"),
+        ("net", "lineitem", "l_extendedprice"),
+        ("ok", "lineitem", "l_orderkey"),
+    ]
+    w = li.select(
+        "l_suppkey",
+        F.sum("l_quantity").over(Window.partitionBy("l_suppkey")).alias("sq"),
+    )
+    lin = column_lineage(w, SF_SMALL)
+    # the windowed sum depends on BOTH the summed column and its partition key
+    assert ("sq", "lineitem", "l_quantity") in lin
+    assert ("sq", "lineitem", "l_suppkey") in lin

@@ -130,3 +130,20 @@ def test_stream_python_datasource_resumes_exactly_once(spark):
     rows = all_ops()["stream_python_datasource"].fn(spark, SF_SMALL).collect()
     seqs = sorted(r.seq for r in rows)
     assert seqs == list(range(400))
+
+
+def test_scd_join_each_batch_sees_current_dim(spark):
+    """Wave-1 rows must be labeled with dim version v1 and wave-2 rows
+    with v2 — proving the foreachBatch dim re-read actually picks up the
+    update that landed between micro-batches (a plan-time static join
+    would label every row v1)."""
+    from bpspark.registry import all_ops
+
+    rows = all_ops()["stream_scd_join"].fn(spark, SF_SMALL).collect()
+    assert rows, "no output"
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], set()).add(r["dim_label"].split("_")[0])
+    assert len(by_batch) == 2, f"expected 2 micro-batches, got {sorted(by_batch)}"
+    assert by_batch[0] == {"v1"}
+    assert by_batch[1] == {"v2"}
