@@ -485,3 +485,104 @@ def scan_xml(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@op(
+    "sink_python_datasource",
+    sql="SELECT c_custkey, c_acctbal FROM customer",
+)
+def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource writer API — the
+    write-side twin of scan_python_datasource: ``writer()`` returns a
+    DataSourceWriter whose ``write(iterator)`` runs ONE TASK PER INPUT
+    PARTITION on executors (each emitting its own JSONL shard —
+    distributed by construction, no driver funnel), executor commit
+    messages carry the shard names back, and the driver-side ``commit()``
+    writes the manifest only after every task reported success — the
+    same two-phase commit contract as any production sink. The op writes
+    the customer balance projection through the custom sink, reads the
+    shards back, and the oracle checks the round trip against the source
+    table (shortest-repr JSON doubles parse back bit-identical).
+    Function-local classes on purpose: writer workers pickle them BY
+    VALUE (see stream_python_datasource)."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark >= 4.0 required for the Python DataSource API")
+    import tempfile as _tf
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    from bpspark.io import table
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, shard: str) -> None:
+            self.shard = shard
+
+    class _JsonlShardWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.path = options["path"]
+
+        def write(self, rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            shard = f"shard-{_uuid.uuid4().hex}.json"
+            tmp = _os.path.join(self.path, "_tmp-" + shard)
+            n = 0
+            with open(tmp, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps({"c_custkey": r[0], "c_acctbal": r[1]}) + "\n"
+                    )
+                    n += 1
+            _os.replace(tmp, _os.path.join(self.path, shard))
+            return _ShardCommit(shard)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+
+            manifest = sorted(m.shard for m in messages)
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                _json.dump(manifest, fh)
+
+        def abort(self, messages):  # pragma: no cover - failure path
+            pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bpspark_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlShardWriter(self.options)
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:  # already registered in this session
+        pass
+    out = _tf.mkdtemp(prefix="bpspark_pyds_sink_")
+    (
+        table(spark, sf, "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartition(4)
+        .write.format("bpspark_jsonl_sink")
+        .mode("append")
+        .option("path", out)
+        .save()
+    )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, "_MANIFEST.json")) as fh:
+        shards = _json.load(fh)
+    assert len(shards) == 4, f"expected 4 shard tasks, got {len(shards)}"
+    return (
+        spark.read.schema("c_custkey bigint, c_acctbal double")
+        .json([_os.path.join(out, s) for s in shards])
+        .select("c_custkey", "c_acctbal")
+    )
