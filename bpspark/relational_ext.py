@@ -1608,3 +1608,72 @@ def fn_winsorize(spark: SparkSession, sf: str) -> DataFrame:
             .alias("was_clipped"),
         )
     )
+
+
+@op(
+    "join_interval_overlap",
+    sql="""
+    WITH a AS (
+        SELECT event_id AS a_id, user_id, ts AS a_start,
+               ts + INTERVAL 30 MINUTE AS a_end
+        FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT event_id AS b_id, user_id, ts AS b_start,
+               ts + INTERVAL 30 MINUTE AS b_end
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT a.a_id, b.b_id, a.user_id
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval OVERLAP join (both sides are time ranges — the
+    genuinely hard range join) without a cartesian and without a
+    post-hoc DISTINCT: each interval is exploded to the 1-hour buckets
+    it spans, the join runs as an EQUI-join on (user, bucket) with the
+    overlap residual, and each overlapping pair is emitted EXACTLY ONCE
+    by keeping only the bucket where both intervals first coexist —
+    bucket == max(floor(a_start), floor(b_start)) — a pure filter, so
+    no dedup shuffle is ever needed. 30-min intervals × 1h buckets ⇒
+    ≤2 replicas per row regardless of data size; shuffle key
+    (user, bucket) bounds fan-out by local temporal density, the same
+    posture as join_spatial_grid in time. Oracle: the brute theta
+    overlap join."""
+    ev = table(spark, sf, "events").select("event_id", "user_id", "ts")
+    HOUR = 3600
+
+    def side(parity: int, p: str) -> DataFrame:
+        base = ev.filter(F.col("event_id") % 2 == parity).select(
+            F.col("event_id").alias(f"{p}_id"),
+            "user_id",
+            F.col("ts").alias(f"{p}_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{p}_end"),
+        )
+        start_b = F.floor(F.unix_timestamp(f"{p}_start") / HOUR).cast("long")
+        # INCLUSIVE end bucket on purpose: unix_timestamp truncates to
+        # seconds, so an exclusive-end (-1) bucket list can miss a
+        # sub-second overlap straddling an hour boundary; the inclusive
+        # form over-replicates by at most one bucket and coverage of
+        # bucket == max(a_b0, b_b0) is then provable for every
+        # micro-precision overlap
+        end_b = F.floor(F.unix_timestamp(f"{p}_end") / HOUR).cast("long")
+        return base.select(
+            "*",
+            start_b.alias(f"{p}_b0"),
+            F.explode(F.sequence(start_b, end_b)).alias("bucket"),
+        )
+
+    a, b = side(0, "a"), side(1, "b")
+    first_shared = F.greatest(F.col("a_b0"), F.col("b_b0"))
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            & (F.col("bucket") == first_shared)
+        )
+        .select("a_id", "b_id", "user_id")
+    )

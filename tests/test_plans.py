@@ -605,3 +605,13 @@ def test_column_lineage_shapes(spark):
     # the windowed sum depends on BOTH the summed column and its partition key
     assert ("sq", "lineitem", "l_quantity") in lin
     assert ("sq", "lineitem", "l_suppkey") in lin
+
+
+def test_interval_overlap_join_is_equi_not_cartesian(spark):
+    """Interval×interval overlap must run as an equi-join on
+    (user, bucket) with the overlap residual — no cartesian/BNLJ —
+    and the emit-once bucket filter makes a post-join dedup unnecessary
+    (no extra Exchange after the join)."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
