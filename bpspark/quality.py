@@ -1,0 +1,233 @@
+"""Corpus-statistics quality scoring — LM perplexity, repetition signals,
+random projection.
+
+Round-2 additions to the LLM-data-pipeline family (SURVEY §2.3 north star:
+"text analysis / quality scoring" — the CCNet/Gopher-style filters a
+training-data pipeline runs before dedup). Reference provenance: the
+reference validates each record against a dimension before ingest
+(``MetadataIngestionServiceImpl.java:112-116`` — genre membership); these
+ops are the corpus-statistics generalisation of that gate: score every
+document against a model *trained on the corpus itself*, then filter.
+
+All three are pure DataFrame plans (no Python in the scalar path) with
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.llm_ops import _word_shingles
+from bpspark.registry import op
+
+
+@op(
+    "text_perplexity_ngram",
+    sql="""
+    WITH big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS c1
+           FROM big GROUP BY w1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(-ln(CAST(x.c2 AS DOUBLE) / y.c1)), 6) / COUNT(*) AS avg_nll
+    FROM big b
+    JOIN c2 x USING (bigram)
+    JOIN c1 y ON string_split(b.bigram, ' ')[1] = y.w1
+    GROUP BY b.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_perplexity_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (CCNet-style
+    perplexity quality signal): train a word-bigram MLE model on the corpus
+    itself, score each doc by mean -ln p(w2|w1). Low = fluent/common
+    phrasing, high = gibberish or boilerplate-unlike text — the standard
+    "head/middle/tail" quality split for pretraining data.
+
+    Plan shape: ONE bigram explode feeds both the model (two hash
+    aggregates: bigram counts, bigram-start counts) and the scoring join.
+    The count tables are vocabulary-sized, not corpus-sized — at 100 TB
+    the bigram-count aggregate collapses map-side (partial agg) to
+    |vocab²-observed| rows, and scoring is a shuffle join on the bigram
+    key (AQE broadcasts it when the vocab fits, which a word-level vocab
+    usually does). No Python anywhere; ln() stays in codegen. Scoring in-
+    corpus means every bigram has count ≥1 — no smoothing term needed (an
+    out-of-corpus scorer would add add-k smoothing to the same plan).
+    Float stability vs the oracle: ROUND(SUM,6)/COUNT, same convention as
+    embedding_centroid_per_label."""
+    d = table(spark, sf, "documents")
+    big = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        big.select(F.split("bigram", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        big.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(c2, "bigram")
+        .join(c1, "w1")
+        .withColumn("nll", -F.log(F.col("c2").cast("double") / F.col("c1")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.sum("nll"), 6) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@op(
+    "text_repetition_signals",
+    sql="""
+    WITH g5 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    s5 AS (
+        SELECT doc_id, COUNT(*) AS n5,
+               ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+                   AS dup5_frac
+        FROM g5 GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram),
+    s2 AS (
+        SELECT doc_id,
+               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_share
+        FROM bc GROUP BY doc_id
+    )
+    SELECT s5.doc_id, s5.n5, s5.dup5_frac, s2.top_bigram_share
+    FROM s5 JOIN s2 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters, word-level: per doc (a) duplicate
+    5-gram fraction (1 - distinct/total) and (b) most-frequent-bigram share
+    of all bigrams. High values mean templated/looping text — the
+    repetition rules every pretraining corpus applies before dedup (they
+    catch within-document repetition that near-dedup, which compares
+    *across* documents, cannot).
+
+    Plan shape: two explode→hash-aggregate pipelines keyed by doc_id
+    (5-grams: count + count-distinct in one aggregate; bigrams: per-
+    (doc,bigram) count then per-doc max/sum), joined on doc_id. Both
+    aggregates partially combine map-side; the shuffle key is doc_id, so
+    data volume through the shuffle is O(#docs · distinct-grams-per-doc),
+    never corpus-global state. Ratios are single divisions of exact
+    integers — deterministic vs the oracle without sum-order concerns."""
+    d = table(spark, sf, "documents")
+    g5 = d.select("doc_id", F.explode(_word_shingles(F.col("text"), 5)).alias("gram"))
+    s5 = g5.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n5"),
+        F.round(
+            1.0 - F.count_distinct("gram").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup5_frac"),
+    )
+    bc = (
+        d.select("doc_id", F.explode(_word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s2 = bc.groupBy("doc_id").agg(
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_share")
+    )
+    return s5.join(s2, "doc_id").orderBy("doc_id")
+
+
+# Deterministic ±1 "random" sign for the JL projection: bit 16 of one LCG
+# step seeded by the flattened (input_dim, output_dim) index. Stand-in for a
+# seeded Gaussian/Rademacher matrix — Rademacher signs satisfy the JL lemma
+# (Achlioptas 2001) and are exactly reproducible in ANSI SQL, which a float
+# Gaussian draw is not. (A linear-in-(i,j) formula like (a·i + b·j) % 2 with
+# odd a, b is NOT usable here: it collapses to parity(i+j), a rank-1 matrix.)
+_D_IN, _D_OUT = 64, 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    x = (1103515245 * (i * _D_OUT + j) + 12345) % 2**31
+    return 1 if (x >> 16) & 1 == 0 else -1
+
+
+@op(
+    "embedding_random_projection",
+    sql=f"""
+    SELECT vec_id, j AS out_dim,
+           ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE) *
+                     (CASE WHEN ((1103515245 * (i * {_D_OUT} + j) + 12345)
+                                 % 2147483648 // 65536) % 2 = 0
+                           THEN 1 ELSE -1 END)), 6) / 4.0 AS val
+    FROM embeddings, range({_D_IN}) t(i), range({_D_OUT}) u(j)
+    GROUP BY vec_id, j
+    ORDER BY vec_id, out_dim
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64→16 via a
+    deterministic Rademacher (±1) projection matrix, scaled by 1/√16 —
+    the cheap preprocessing step before LSH/IVF indexing when raw
+    embedding dims are wide (distances preserved within (1±ε), Achlioptas
+    2001). Long-format output (vec_id, out_dim, val) keeps the oracle
+    free of array-typed cells.
+
+    Plan shape: entirely map-side — explode the 16 output dims first
+    (one Generate over a literal int array), then one 64-term codegen sum
+    of element_at(embedding)·element_at(sign-row literal, out_dim)
+    products. Computing all 16 sums *before* the explode would be a
+    1024-term expression tree — janino fails to compile the Generate's
+    consume method and the whole stage silently falls back to
+    interpreted; explode-first keeps each generated method at 64 terms
+    and inside whole-stage codegen. No shuffle anywhere: at 100 TB this
+    is the ideal operator shape — embarrassingly parallel, scan-bound.
+    The sign matrix is baked into the plan as literals (64 rows × 16
+    signs); a learned/larger projection matrix would broadcast instead.
+    Float stability: ROUND(SUM,6) then exact /4 (2⁻²), per the
+    centroid-op convention; Spark folds the 64 terms in index order,
+    matching the oracle's per-group accumulation to well below the
+    rounding grain."""
+    e = table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    j = F.col("out_dim")
+
+    # term i: emb[i] · signrow_i[out_dim], sign rows as 16-wide literals
+    terms = [
+        F.element_at(emb, i + 1).cast("double")
+        * F.element_at(
+            F.array(*[F.lit(float(_jl_sign(i, jj))) for jj in range(_D_OUT)]),
+            j + 1,
+        )
+        for i in range(_D_IN)
+    ]
+    val = F.round(reduce(lambda a, b: a + b, terms), 6) / F.lit(4.0)
+    return (
+        e.select(
+            "vec_id",
+            F.explode(F.array(*[F.lit(jj) for jj in range(_D_OUT)])).alias("out_dim"),
+            emb,
+        )
+        .select("vec_id", j.cast("long").alias("out_dim"), val.alias("val"))
+        .orderBy("vec_id", "out_dim")
+    )

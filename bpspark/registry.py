@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_spatial_grid", "sink_vacuum_retention", "fn_winsorize",
     "stream_scd_join", "meta_column_lineage", "sink_python_datasource",
     "api_pandas_on_spark", "join_interval_overlap",
+    "text_perplexity_ngram", "text_repetition_signals",
+    "embedding_random_projection",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

@@ -615,3 +615,24 @@ def test_interval_overlap_join_is_equi_not_cartesian(spark):
     plan = plan_of(spark, "join_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    """The JL projection must be embarrassingly parallel: literal ±1 sign
+    sums + a 16-wide posexplode, all inside the scan stage — any Exchange
+    (other than the final presentation sort's) means the matmul fell out
+    of the map side."""
+    plan = plan_of(spark, "embedding_random_projection")
+    tree = plan.split("\n\n")[0]
+    # one rangepartitioning exchange for the deterministic output order only
+    assert tree.count("Exchange") <= 1
+    assert "hashpartitioning" not in tree
+    assert "Generate" in tree  # the posexplode
+
+
+def test_perplexity_model_aggregates_are_partial(spark):
+    """Bigram-LM training counts must partially aggregate map-side (the
+    shuffle carries distinct bigrams, not corpus positions): each of the
+    two count tables shows a partial+final HashAggregate pair."""
+    plan = plan_of(spark, "text_perplexity_ngram")
+    assert plan.count("HashAggregate") >= 4
