@@ -421,17 +421,20 @@ def stream_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         pass
     stage = _tf.mkdtemp(prefix="bpspark_pyfeed_")
     sink, ckpt = f"{stage}/sink", f"{stage}/ckpt"
-    for _ in range(2):  # second run must RESUME from the committed offset
-        q = (
-            spark.readStream.format("bpspark_bookfeed")
-            .load()
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    from bpspark.streaming import harness_shuffle
+
+    with harness_shuffle(spark):
+        for _ in range(2):  # second run must RESUME from the committed offset
+            q = (
+                spark.readStream.format("bpspark_bookfeed")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.read.parquet(sink)
 
 

@@ -24,6 +24,7 @@ forever. Session windows use Spark's native session_window operator
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -33,6 +34,29 @@ from pyspark.sql import functions as F
 
 from bpspark.io import table
 from bpspark.registry import op
+
+
+@contextlib.contextmanager
+def harness_shuffle(spark: SparkSession, n: int = 8):
+    """Clamp ``spark.sql.shuffle.partitions`` for the duration of a replay
+    harness's streaming query, restoring the caller's value afterwards.
+
+    A streaming query's STATE STORE count is fixed at first start from the
+    session's shuffle-partition setting, and every micro-batch (including
+    no-data watermark batches) pays per-partition state-store open/commit
+    I/O — on the driver's vanilla session (200 partitions) that overhead
+    is ~6× the useful work at harness scale (measured: the outer interval
+    join replay runs 26.8 s at 32 partitions, 8.7 s at 4). Harness queries
+    always start from a FRESH checkpoint, so the clamp never conflicts
+    with restored state. Production deployments size this to the cluster
+    instead (state partitions ≈ executor cores × small factor)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 BINFILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
@@ -71,15 +95,16 @@ def run_to_memory(stream_df: DataFrame, *, output_mode: str = "append") -> DataF
     deployments write to a table sink with the same checkpoint semantics."""
     name = f"bpspark_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bpspark_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with harness_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -228,14 +253,15 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "n_events")
         )
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with harness_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def add_file(df: DataFrame, name: str) -> None:
         tmp = f"{stage}/{name}_tmp"
@@ -365,14 +391,15 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
         )
-        q = (
-            stream.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with harness_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     import glob as _glob
 
@@ -440,13 +467,14 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             .option("pathGlobFilter", "*.zip")
             .load(drop)
         )
-        q = (
-            stream.writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with harness_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(process_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()
     for n in names[5:]:
@@ -627,16 +655,17 @@ def stream_mv_refresh(spark: SparkSession, sf: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(nxt)
         state["cur"], state["n"] = nxt, state["n"] + 1
 
-    q = (
-        spark.readStream.schema("user_id long, event_type string, v decimal(18,2)")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{stage}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with harness_shuffle(spark):
+        q = (
+            spark.readStream.schema("user_id long, event_type string, v decimal(18,2)")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state["cur"] is not None
     return spark.read.parquet(state["cur"]).select(
         "user_id",
@@ -835,16 +864,17 @@ def stream_scd_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         write_dim("v2")  # the dim update lands between batches
 
-    q = (
-        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", f"{stage}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with harness_shuffle(spark):
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select(
         "event_id", "event_type", "dim_label", "batch_id"
     )
