@@ -2169,16 +2169,28 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    stages = [
-        ("0_raw", docs),
-        ("1_quality", quality),
-        ("2_exact_dedup", exact),
-        ("3_near_dedup", near),
-        ("4_decontaminated", clean),
-        ("5_chunks", chunks),
-        ("6_packs", packs),
-    ]
-    counts = [(name, df.count()) for name, df in stages]
+    # The funnel runs one action per stage, and each stage's plan contains
+    # every stage before it — without materialization the minhash subtree
+    # alone would execute 4× (near, clean, chunks, packs). Persist the two
+    # frames that cap the expensive subtrees, exactly like a production run
+    # materializes stage outputs between curation phases; MEMORY_AND_DISK
+    # so a 100 TB stage spills instead of OOMing executors.
+    near = near.persist()
+    clean = clean.persist()
+    try:
+        stages = [
+            ("0_raw", docs),
+            ("1_quality", quality),
+            ("2_exact_dedup", exact),
+            ("3_near_dedup", near),
+            ("4_decontaminated", clean),
+            ("5_chunks", chunks),
+            ("6_packs", packs),
+        ]
+        counts = [(name, df.count()) for name, df in stages]
+    finally:
+        near.unpersist()
+        clean.unpersist()
     return spark.createDataFrame(counts, "stage string, n_rows bigint")
 
 
