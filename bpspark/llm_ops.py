@@ -1073,6 +1073,17 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
 N_PLANES = 8  # 256 LSH buckets; multi-probe widens recall
 
 
+def _lit_double_array(vals) -> F.Column:
+    """array<double> literal built as ONE parsed SQL expression. Building
+    literal arrays with per-element ``F.lit()`` costs a Py4J driver
+    round-trip per element — measured ~1 ms each, so a 64-float weight
+    vector costs ~70 ms and a 1024-word bitmap ~2 s of pure plan-build
+    time before Spark sees the query (join_bloom_prefilter spent 80% of
+    its wall clock there). A single ``F.expr`` string is one round-trip
+    regardless of length."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def _plane_weights(p: int, dim: int = 64) -> list[float]:
     """Deterministic ±1 hyperplane from blake2b bits — no RNG, so the
     bucketing is stable across runs/engines/partitionings."""
@@ -1095,7 +1106,7 @@ def _embeddings_with_planted_twins(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.zip_with(
             F.col("embedding"),
-            F.array(*[F.lit(0.03 * w) for w in noise]),
+            _lit_double_array(0.03 * w for w in noise),
             lambda x, n: (x.cast("double") + n).cast("float"),
         ).alias("embedding"),
     )
@@ -1121,7 +1132,7 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate(
             F.zip_with(
                 F.col("embedding"),
-                F.array(*[F.lit(w) for w in _plane_weights(p)]),
+                _lit_double_array(_plane_weights(p)),
                 lambda x, wgt: x.cast("double") * wgt,
             ),
             F.lit(0.0),
@@ -1182,7 +1193,7 @@ def _centroid_literal_from_rows(cents: list[tuple[int, list[float]]]):
         *[
             F.struct(
                 F.lit(int(cid)).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in emb]).alias("c_emb"),
+                _lit_double_array(emb).alias("c_emb"),
                 F.lit(math.sqrt(sum(float(x) * float(x) for x in emb)) or 1.0).alias("c_norm"),
             )
             for cid, emb in cents

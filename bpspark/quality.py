@@ -213,11 +213,13 @@ def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     j = F.col("out_dim")
 
     # term i: emb[i] · signrow_i[out_dim], sign rows as 16-wide literals
+    # (one parsed expr per row — see llm_ops._lit_double_array)
+    from bpspark.llm_ops import _lit_double_array
+
     terms = [
         F.element_at(emb, i + 1).cast("double")
         * F.element_at(
-            F.array(*[F.lit(float(_jl_sign(i, jj))) for jj in range(_D_OUT)]),
-            j + 1,
+            _lit_double_array(_jl_sign(i, jj) for jj in range(_D_OUT)), j + 1
         )
         for i in range(_D_IN)
     ]
@@ -225,7 +227,7 @@ def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.select(
             "vec_id",
-            F.explode(F.array(*[F.lit(jj) for jj in range(_D_OUT)])).alias("out_dim"),
+            F.explode(F.sequence(F.lit(0), F.lit(_D_OUT - 1))).alias("out_dim"),
             emb,
         )
         .select("vec_id", j.cast("long").alias("out_dim"), val.alias("val"))
