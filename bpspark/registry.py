@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_scd_join", "meta_column_lineage", "sink_python_datasource",
     "api_pandas_on_spark", "join_interval_overlap",
     "text_perplexity_ngram", "text_repetition_signals",
-    "embedding_random_projection",
+    "embedding_random_projection", "scan_data_skipping_minmax",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

@@ -636,3 +636,32 @@ def test_perplexity_model_aggregates_are_partial(spark):
     two count tables shows a partial+final HashAggregate pair."""
     plan = plan_of(spark, "text_perplexity_ngram")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_minmax_manifest_actually_skips_files(spark):
+    """The manifest-pruned read must schedule a strict subset of the
+    range-clustered files (planning-time skipping), and the result must
+    equal the same query over ALL files (no false negatives)."""
+    import glob
+    import os
+
+    from bpspark.io import state_dir
+    from pyspark.sql import functions as F
+
+    df = OPS["scan_data_skipping_minmax"].fn(spark, SF_SMALL)
+    got = {r["l_returnflag"]: (r["n"], r["revenue"]) for r in df.collect()}
+    dst = state_dir("skipidx", SF_SMALL)
+    all_files = glob.glob(os.path.join(dst, "part-*.parquet"))
+    read_files = {os.path.basename(f) for f in df.inputFiles()}
+    assert len(read_files) < len(all_files), (len(read_files), len(all_files))
+    full = (
+        spark.read.parquet(dst)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-05-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    want = {r["l_returnflag"]: (r["n"], r["revenue"]) for r in full.collect()}
+    assert got == want
