@@ -69,13 +69,22 @@ def _docs_with_planted_neardups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _word_shingles(text_col, n: int = 3):
-    """n-word shingles as an array column (JVM higher-order fns only)."""
+    """n-word shingles as an array column (JVM higher-order fns only).
+
+    Guard for docs shorter than n words: ``sequence(1, k)`` with k < 1
+    generates a DESCENDING [1, 0, ...] (Spark infers step -1, it does not
+    return empty), so ``element_at(words, 0)`` would throw — short docs
+    must short-circuit to an empty array, matching DuckDB's
+    ``range(1, len-n+2)`` which IS empty when stop ≤ start."""
     words = F.split(text_col, " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-    )
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 N_HASHES = 64

@@ -233,3 +233,76 @@ def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", j.cast("long").alias("out_dim"), val.alias("val"))
         .orderBy("vec_id", "out_dim")
     )
+
+
+_SUBSTR_W = 20
+_SUBSTR_CONCAT = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_SUBSTR_W))
+
+
+@op(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - {_SUBSTR_W - 2}),
+                                     i -> {_SUBSTR_CONCAT})) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM g LEFT JOIN dup d USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup,
+           ROUND(CAST(n_dup AS DOUBLE) / n_grams, 6) AS dup_frac
+    FROM per
+    WHERE n_dup > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication (the fixed-window form of Lee et al.'s
+    'Deduplicating Training Data Makes Language Models Better' exact
+    substring dedup): count, per document, the 20-word windows that occur
+    verbatim anywhere else in the corpus — near-dedup keeps documents,
+    THIS finds the copy-pasted passages inside kept documents (licenses,
+    navigation chrome, quoted boilerplate) that document-level methods
+    structurally miss. Docs with n_dup=0 are filtered out (the common
+    case — keeps the output the audit record of affected docs).
+
+    Plan shape: one 20-gram explode → corpus-wide gram count (partial
+    agg map-side; shuffle carries distinct grams) → self semi-join of
+    gram rows against the duplicated-gram set on the gram key → per-doc
+    count. A full suffix-array (variable-length longest-match, as in the
+    paper) is a different algorithm class; the fixed-W window is the
+    standard scalable approximation — any duplicated substring of
+    length ≥ W contains a duplicated W-window, so recall at ≥W length
+    is exact; only the reported span extent is approximate. At 100 TB
+    the gram table is the cost center — shuffle volume ∝ corpus tokens —
+    so production runs hash the gram (8-byte key through the shuffle)
+    exactly as dedup_near_minhash hashes shingles; strings are kept here
+    so the DuckDB oracle is byte-identical."""
+    d = table(spark, sf, "documents")
+    g = d.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), _SUBSTR_W)).alias("gram")
+    )
+    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    flagged = g.join(dup.select("gram"), "gram", "left_semi")
+    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nd = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        per.join(nd, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") / F.col("n_grams"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
