@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "api_pandas_on_spark", "join_interval_overlap",
     "text_perplexity_ngram", "text_repetition_signals",
     "embedding_random_projection", "scan_data_skipping_minmax",
+    "dedup_substring_spans", "udtf_table_partition_by",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

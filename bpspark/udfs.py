@@ -386,3 +386,69 @@ def udtf_analyze_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         LATERAL bpspark_word_cols(doc_id, text, 3) t
         """
     )
+
+
+@op(
+    "udtf_table_partition_by",
+    sql="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def udtf_table_partition_by(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument and input-partitioning clause:
+    ``lang_stats(TABLE(docs) PARTITION BY lang ORDER BY doc_id)`` — the
+    engine shuffles rows by the PARTITION BY key, streams each partition
+    through ONE UDTF instance in doc_id order (eval per row), and
+    terminate() emits the per-partition summary. This is the API for
+    whole-group Python logic that a scalar UDF can't express and
+    applyInPandas shouldn't (no need to materialize the group as one
+    pandas frame — rows stream through, state stays O(aggregate), here a
+    median buffer). Scale: one shuffle on the partition key, same as any
+    groupBy; per-instance state is the op's own accumulator, so memory is
+    bounded by what the UDTF keeps, not the partition size. The exact
+    median needs the value buffer — the honest trade vs an approx sketch."""
+    import statistics
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="lang string, n_docs bigint, median_chars double, "
+        "first_doc bigint, last_doc bigint"
+    )
+    class LangStats:
+        def __init__(self):
+            self._lang = None
+            self._chars = []
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._chars.append(row["n_chars"])
+            if self._first is None:
+                self._first = row["doc_id"]
+            self._last = row["doc_id"]
+
+        def terminate(self):
+            if self._chars:
+                yield (
+                    self._lang,
+                    len(self._chars),
+                    float(statistics.median(self._chars)),
+                    self._first,
+                    self._last,
+                )
+
+    spark.udtf.register("bpspark_lang_stats", LangStats)
+    table(spark, sf, "documents").createOrReplaceTempView("_udtf_part_docs")
+    out = spark.sql(
+        """
+        SELECT * FROM bpspark_lang_stats(
+            TABLE(_udtf_part_docs) PARTITION BY lang ORDER BY doc_id
+        )
+        """
+    )
+    return out.orderBy("lang")
