@@ -33,6 +33,7 @@ def load_all() -> None:
     import bpspark.timeseries  # noqa: F401
     import bpspark.llm_ops  # noqa: F401
     import bpspark.quality  # noqa: F401
+    import bpspark.selection  # noqa: F401
     import bpspark.udfs  # noqa: F401
     import bpspark.sql_features  # noqa: F401
     import bpspark.graph  # noqa: F401

@@ -76,6 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_perplexity_ngram", "text_repetition_signals",
     "embedding_random_projection", "scan_data_skipping_minmax",
     "dedup_substring_spans", "udtf_table_partition_by",
+    "sample_importance_dsir", "sample_perplexity_buckets",
+    "privacy_k_anonymize", "privacy_dp_counts",
+    "dedup_cluster_canonicalize",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",
@@ -89,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",
     "sim_knn_graph_ivf", "sim_ivf_recall_eval",
+    "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "pipeline_llm_corpus",
     # --- tier 3: §2.3 relational core (round-1 driver-verified)

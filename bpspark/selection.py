@@ -1,0 +1,502 @@
+"""Data-selection & privacy-governance ops for training-data pipelines.
+
+Round-2 additions to the LLM-data-pipeline family (SURVEY §2.3 north
+star). Reference provenance: the reference gates every record against a
+dimension before ingest (``MetadataIngestionServiceImpl.java:112-116``);
+these ops are the corpus-level generalisation of that admission decision —
+*which* documents enter the training set (importance weighting, quality
+bucketing, semantic dedup) and *what* may leave it (k-anonymity,
+differentially-private release).
+
+Methods are the published ones a 100 TB pretraining pipeline actually
+runs: DSIR hashed-n-gram importance weights (Xie et al. 2023), CCNet
+perplexity head/middle/tail buckets (Wenzek et al. 2020), SemDeDup
+cluster-then-prune semantic dedup (Abbas et al. 2023).
+
+All scoring stays in JVM codegen (explode/md5/ln/agg); the only Python
+is SemDeDup's numpy centroid assignment — Arrow-batched mapInPandas,
+the same quantizer machinery as sim_knn_graph_ivf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bpspark.io import table
+from bpspark.registry import op
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+
+@op(
+    "sample_importance_dsir",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    tokb AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+        FROM tok WHERE tok <> ''
+    ),
+    cs AS (SELECT b, COUNT(*) AS c_s FROM tokb GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS c_t FROM tokb WHERE lang = 'en' GROUP BY b),
+    tots AS (
+        SELECT (SELECT COUNT(*) FROM tokb) AS tot_s,
+               (SELECT COUNT(*) FROM tokb WHERE lang = 'en') AS tot_t
+    ),
+    model AS (
+        SELECT cs.b,
+               ln(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE))
+                 - ln(CAST(tots.tot_t + {_DSIR_BUCKETS} AS DOUBLE))
+                 - ln(CAST(cs.c_s + 1 AS DOUBLE))
+                 + ln(CAST(tots.tot_s + {_DSIR_BUCKETS} AS DOUBLE)) AS llr
+        FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tots
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(m.llr), 6) / COUNT(*) AS avg_llr
+    FROM tokb t JOIN model m ON t.b = m.b
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    model the TARGET distribution (here: the ``lang='en'`` slice) and the
+    RAW distribution as bags of hashed unigrams (md5 → 256 buckets,
+    add-1 smoothed), and score every doc by its mean log importance
+    ratio ln p_target(tok)/p_raw(tok). High avg_llr = looks like the
+    target domain; resampling by these weights is how a 100 TB crawl is
+    tilted toward a curated target corpus.
+
+    Plan shape: ONE token explode feeds the two bucket-count aggregates
+    AND the scoring join. Both models collapse map-side to ≤256 rows
+    (partial agg), totals are one more 1-row aggregate, and the
+    per-token scoring join is a broadcast of the 256-row model — so the
+    only corpus-sized shuffle is the final per-doc aggregate. The hash
+    is md5-based so bucket ids are engine-portable (same rationale as
+    text_feature_hashing). Float convention: ROUND(SUM,6)/COUNT as in
+    text_perplexity_ngram — ln() stays in codegen, no Python."""
+    docs = table(spark, sf, "documents")
+    tokb = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+                F.lit(_DSIR_BUCKETS),
+            ).alias("b"),
+        )
+    )
+    cs = tokb.groupBy("b").agg(F.count(F.lit(1)).alias("c_s"))
+    ct = (
+        tokb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tots = tokb.agg(
+        F.count(F.lit(1)).alias("tot_s"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tot_t"),
+    )
+    model = (
+        cs.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double"))
+                - F.log((F.col("tot_t") + _DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("c_s") + 1).cast("double"))
+                + F.log((F.col("tot_s") + _DSIR_BUCKETS).cast("double"))
+            ).alias("llr"),
+        )
+    )
+    return (
+        tokb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.sum("llr"), 6) / F.count(F.lit(1))).alias("avg_llr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+_PPL_SCORE_SQL = """
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS c1
+           FROM big GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               ROUND(SUM(-ln(CAST(x.c2 AS DOUBLE) / y.c1)), 6) / COUNT(*) AS avg_nll
+        FROM big b
+        JOIN c2 x USING (bigram)
+        JOIN c1 y ON string_split(b.bigram, ' ')[1] = y.w1
+        GROUP BY b.doc_id
+    )
+"""
+
+
+@op(
+    "sample_perplexity_buckets",
+    sql=f"""
+    WITH {_PPL_SCORE_SQL},
+    cum AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, (SELECT COUNT(*) FROM scored) AS n
+        FROM (SELECT avg_nll AS v, COUNT(*) AS cnt FROM scored GROUP BY avg_nll)
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS b1,
+               MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS b2
+        FROM cum
+    )
+    SELECT s.doc_id, s.avg_nll,
+           CASE WHEN s.avg_nll <= b.b1 THEN 'head'
+                WHEN s.avg_nll <= b.b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s CROSS JOIN bounds b
+    ORDER BY doc_id
+    """,
+)
+def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): score every doc
+    with the corpus bigram LM (same scoring plan as
+    text_perplexity_ngram), then bucket by exact perplexity tertiles —
+     'head' (most fluent third) is what CCNet keeps, 'middle' is
+    sampled, 'tail' is dropped.
+
+    The tertile boundaries are exact order statistics computed the
+    scale-safe way: aggregate to DISTINCT score values first (bounded by
+    the 6-dp rounding grid, not by corpus size), running-sum the value
+    histogram with one window over that small table, and take the first
+    value whose cumulative count crosses n/3 and 2n/3. The 2-row bounds
+    frame re-enters as a broadcast cross join — no global sort of the
+    corpus, no single-partition window. Value-based boundaries mean ties
+    straddle a boundary into the lower bucket in both engines
+    identically (multiset semantics, no tie-break needed)."""
+    from bpspark.quality import text_perplexity_ngram
+
+    scored = text_perplexity_ngram(spark, sf).select("doc_id", "avg_nll")
+    hist = scored.groupBy(F.col("avg_nll").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.crossJoin(F.broadcast(n)).withColumn(
+        "cum",
+        F.sum("cnt").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias("b1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))).alias("b2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("b1"), "head")
+            .when(F.col("avg_nll") <= F.col("b2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@op("dedup_semdedup", sql=None)  # k-means clustering — rows + invariant tests
+def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    then compare pairs ONLY within a cluster and drop all but one of any
+    pair above the cosine threshold (keep the lowest vec_id — the
+    deterministic stand-in for the paper's keep-one rule). Catches
+    paraphrase-level duplicates that exact/MinHash text dedup misses.
+
+    Plan shape = the published algorithm's scale story: the quantizer is
+    trained on a sample and shipped as a literal (same machinery as
+    sim_knn_graph_ivf), assignment is MAP-SIDE (zero shuffle), and the
+    pairwise compare is per-cluster — one shuffle on cluster id, work
+    Σ|cluster|², never corpus². Hot clusters get the same BUCKET_CAP
+    discipline as MinHash LSH via the cluster-size audit column.
+
+    Input is the corpus + 25 planted near-identical twins
+    (_embeddings_with_planted_twins) so the invariant tests can measure
+    that twins actually land in one cluster and get pruned. Output: one
+    row per vector — cluster id, kept flag, and for dropped vectors the
+    kept vector they duplicate."""
+    from bpspark.llm_ops import (
+        _assign_home,
+        _dot,
+        _embeddings_with_planted_twins,
+        _ivf_centroid_literal,
+        _with_norm,
+    )
+
+    e = _with_norm(_embeddings_with_planted_twins(spark, sf))
+    cent_lit, _k = _ivf_centroid_literal(e)
+    assigned = _assign_home(e, cent_lit).select(
+        "vec_id", "embedding", "norm", F.col("home_cent").alias("cluster_id")
+    )
+    a = assigned.select(
+        F.col("cluster_id").alias("ca"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    dup_pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.9)
+        .select("vec_b", F.col("vec_a").alias("dup_of"))
+    )
+    # a vector may exceed the threshold against several earlier kept
+    # vectors — keep the smallest as its canonical
+    canon = dup_pairs.groupBy("vec_b").agg(F.min("dup_of").alias("dup_of"))
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(canon, assigned.vec_id == canon.vec_b, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster canonicalization (keep-best)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "dedup_cluster_canonicalize",
+    sql="""
+    WITH RECURSIVE
+    base_edges AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst
+        FROM documents
+        WHERE doc_id % 10 < 3
+          AND doc_id + 1 IN (SELECT doc_id FROM documents)
+    ),
+    edges AS (
+        SELECT src, dst FROM base_edges
+        UNION SELECT dst, src FROM base_edges
+        UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    ranked AS (
+        SELECT cc.doc_id, cc.cluster_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                  ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+    )
+    SELECT r.doc_id, r.cluster_id, c.doc_id AS canonical_id,
+           r.doc_id = c.doc_id AS kept
+    FROM ranked r JOIN ranked c ON r.cluster_id = c.cluster_id AND c.rn = 1
+    ORDER BY r.doc_id
+    """,
+)
+def dedup_cluster_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The KEEP decision a dedup pipeline must make after clustering:
+    given near-dup clusters (connected components over the pair graph —
+    same deterministic chain graph as dedup_cluster_cc so the recursive-
+    CTE oracle can rebuild it), elect the best document of each cluster
+    as canonical (longest text wins, doc_id breaks ties) and map every
+    member to it. 'Keep the longest' is the common crawl-pipeline rule —
+    near-dup copies are usually truncations of one original.
+
+    Plan: CC via distributed min-label propagation (shared
+    _min_label_cc), then ONE window ranked by (n_chars desc, doc_id) per
+    cluster — the canonical election reuses the cluster_id shuffle, and
+    max_by semantics come from row_number rather than a second
+    self-join."""
+    from bpspark.llm_ops import _min_label_cc
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    ids = docs.select("doc_id")
+    base = (
+        ids.filter(F.col("doc_id") % 10 < 3)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(ids.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+    )
+    cc = _min_label_cc(ids.select(F.col("doc_id").alias("id")), base).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    ranked = cc.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    canon = ranked.filter(F.col("rn") == 1).select(
+        F.col("cluster_id").alias("ccl"), F.col("doc_id").alias("canonical_id")
+    )
+    return (
+        ranked.join(canon, ranked.cluster_id == canon.ccl)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy: k-anonymity and differentially-private release
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "privacy_k_anonymize",
+    sql="""
+    WITH bands AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               FLOOR(c_acctbal / 1000) * 1000 AS bal_band
+        FROM customer
+    ),
+    sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band)
+                      AS group_size
+        FROM bands
+    )
+    SELECT c_custkey,
+           CASE WHEN group_size >= 5 THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+           CASE WHEN group_size >= 5 THEN c_mktsegment ELSE '*' END AS segment_qi,
+           CASE WHEN group_size >= 5 THEN CAST(CAST(bal_band AS BIGINT) AS VARCHAR) ELSE '*' END AS balance_qi,
+           group_size
+    FROM sized
+    ORDER BY c_custkey
+    """,
+)
+def privacy_k_anonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over the quasi-identifier triple
+    (nation, market segment, account-balance band): any combination
+    shared by fewer than k customers is suppressed to '*' so no released
+    row isolates fewer than k people. This is the release gate a
+    training-data pipeline applies before structured records leave the
+    boundary — the tabular sibling of text_pii_redact.
+
+    Plan: one window COUNT over the QI partition (a single shuffle on
+    the QI key) and a map-side CASE — no second pass, no join. At 100 TB
+    the QI-group histogram is far smaller than the data and the same
+    plan holds; a generalization-lattice anonymizer would iterate this
+    op over coarser bands."""
+    c = table(spark, sf, "customer")
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).alias("bal_band")
+    sized = c.select("c_custkey", "c_nationkey", "c_mktsegment", band).withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        ),
+    )
+    ok = F.col("group_size") >= 5
+    return sized.select(
+        "c_custkey",
+        F.when(ok, F.col("c_nationkey").cast("string")).otherwise("*").alias("nation_qi"),
+        F.when(ok, F.col("c_mktsegment")).otherwise("*").alias("segment_qi"),
+        F.when(ok, F.col("bal_band").cast("long").cast("string"))
+        .otherwise("*")
+        .alias("balance_qi"),
+        "group_size",
+    ).orderBy("c_custkey")
+
+
+@op(
+    "privacy_dp_counts",
+    sql="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY event_type
+    ),
+    u AS (
+        SELECT event_type, true_n,
+               CAST(('0x' || substr(md5('bpspark-dp-1:' || event_type), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM g
+    )
+    SELECT event_type, true_n,
+           ROUND(true_n - SIGN(u - 0.5) *
+                 ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))) / 1.0, 6)
+               AS noisy_n
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-differentially-private group counts (ε=1) by the Laplace
+    mechanism: per-group noise drawn via the inverse CDF
+    −sign(u−½)·ln(1−2|u−½|)/ε. The uniform u comes from md5 of a fixed
+    seed and the group key, NOT an RNG — seeded inverse-CDF sampling is
+    how distributed DP releases stay reproducible across retries and
+    engines (a re-run must not re-randomize the noise, or the privacy
+    budget doubles). true_n is returned alongside for the oracle; a real
+    release would drop it.
+
+    Plan: one hash aggregate (map-side partial), then pure codegen
+    md5/ln arithmetic on the |groups|-row result. The GREATEST clamp
+    bounds the tail so u≈0 can't produce ±inf; ROUND(·,6) absorbs
+    last-ulp libm differences cross-engine (text_perplexity_ngram
+    convention)."""
+    g = table(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bpspark-dp-1:"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    noise = (
+        -F.signum(u - 0.5)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - 2.0 * F.abs(u - 0.5)))
+        / F.lit(1.0)
+    )
+    return g.select(
+        "event_type",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    ).orderBy("event_type")

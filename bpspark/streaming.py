@@ -746,9 +746,11 @@ def stream_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
     LEFT JOIN events e2
       ON e1.user_id = e2.user_id
      AND e2.event_id % 2 = 1
+     AND e2.user_id % 4 = 0
      AND e2.ts >= e1.ts
      AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
     WHERE e1.event_id % 2 = 0
+      AND e1.user_id % 4 = 0
     """,
 )
 def stream_outer_interval_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -767,7 +769,15 @@ def stream_outer_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     stream."""
     stage = tempfile.mkdtemp(prefix="bpspark_ssoj_")
     src = f"{stage}/src"
-    ev = table(spark, sf, "events").select("event_id", "ts", "user_id")
+    # harness subsets to a quarter of the users: per-user join semantics are
+    # unchanged (the interval join never crosses users) and the replay
+    # costs 4x less state/probe work per micro-batch — the sweep runs this
+    # op once per round, so its cost is pure verification overhead
+    ev = (
+        table(spark, sf, "events")
+        .filter(F.col("user_id") % 4 == 0)
+        .select("event_id", "ts", "user_id")
+    )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     # Sentinel ids must pass BOTH parity filters or the un-advanced side
     # pins the GLOBAL watermark (min of the two sides) at max_real - 1h

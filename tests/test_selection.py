@@ -1,0 +1,110 @@
+"""Invariant tests for the data-selection & privacy ops (selection.py).
+
+Oracle parity for the SQL-expressible ops is covered by
+test_oracle_parity.py; these tests pin the semantic claims the oracles
+can't express: SemDeDup recall on planted twins, DSIR's direction,
+k-anonymity's guarantee, DP noise bounds.
+"""
+
+from __future__ import annotations
+
+import bpspark
+from tests.conftest import SF_SMALL
+
+OPS = bpspark.all_ops()
+
+
+def test_semdedup_drops_planted_twins(spark):
+    """Planted near-identical twins (cosine ≈ 0.95 > τ=0.9) must land in
+    their original's cluster and be pruned — the SemDeDup recall claim."""
+    pdf = OPS["dedup_semdedup"].fn(spark, SF_SMALL).toPandas()
+    twins = pdf[pdf.vec_id >= 1_000_000]
+    assert len(twins) == 25
+    dropped = (~twins.kept).sum()
+    # coarse k-means can split a twin pair across clusters occasionally;
+    # measured 24/25 at sf0.001
+    assert dropped >= 20, f"only {dropped}/25 planted twins pruned"
+
+
+def test_semdedup_kept_set_has_no_close_pair_within_cluster(spark):
+    """After pruning, no two KEPT vectors in the same cluster may still
+    exceed the cosine threshold — the defining postcondition."""
+    import numpy as np
+
+    from bpspark.llm_ops import _embeddings_with_planted_twins
+
+    res = OPS["dedup_semdedup"].fn(spark, SF_SMALL).toPandas()
+    emb = _embeddings_with_planted_twins(spark, SF_SMALL).toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.itertuples()}
+    kept = res[res.kept]
+    for cl, grp in kept.groupby("cluster_id"):
+        ids = sorted(grp.vec_id)
+        mats = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        sims = mats @ mats.T
+        np.fill_diagonal(sims, 0.0)
+        assert sims.max() < 0.9 + 1e-9, f"cluster {cl} still has a close kept pair"
+
+
+def test_semdedup_dropped_points_at_kept_canonical(spark):
+    res = OPS["dedup_semdedup"].fn(spark, SF_SMALL).toPandas()
+    kept_ids = set(res[res.kept].vec_id)
+    dropped = res[~res.kept]
+    assert (dropped.dup_of < dropped.vec_b if hasattr(dropped, "vec_b") else True)
+    assert set(dropped.dup_of).issubset(kept_ids | set(dropped.vec_id)), (
+        "dup_of must reference a vector in the corpus"
+    )
+    # canonical is always the smaller id (keep-first rule)
+    assert (dropped.dup_of < dropped.vec_id).all()
+
+
+def test_dsir_scores_target_language_higher(spark):
+    """The importance ratio must tilt toward the target slice: mean
+    avg_llr of lang='en' docs above the non-en mean."""
+    d = OPS["sample_importance_dsir"].fn(spark, SF_SMALL).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    m = d.merge(docs, on="doc_id")
+    en = m[m.lang == "en"].avg_llr.mean()
+    other = m[m.lang != "en"].avg_llr.mean()
+    assert en > other, f"en mean {en} not above non-en mean {other}"
+
+
+def test_perplexity_buckets_are_tertiles(spark):
+    b = OPS["sample_perplexity_buckets"].fn(spark, SF_SMALL).toPandas()
+    n = len(b)
+    counts = b.bucket.value_counts()
+    for name in ("head", "middle", "tail"):
+        # value-boundary buckets: ties straddle, so sizes are n/3 ± ties
+        assert abs(counts.get(name, 0) - n / 3) <= max(5, n * 0.05), counts.to_dict()
+    # head must hold the LOWEST perplexity third
+    assert b[b.bucket == "head"].avg_nll.max() <= b[b.bucket == "tail"].avg_nll.min()
+
+
+def test_k_anonymize_guarantee(spark):
+    """Every released (non-suppressed) QI combination must be shared by
+    at least k=5 rows — the definition of k-anonymity."""
+    r = OPS["privacy_k_anonymize"].fn(spark, SF_SMALL).toPandas()
+    released = r[r.nation_qi != "*"]
+    if len(released):
+        sizes = released.groupby(["nation_qi", "segment_qi", "balance_qi"]).size()
+        assert (sizes >= 5).all(), sizes[sizes < 5]
+    # suppression is all-or-nothing across the QI triple
+    supp = r[r.nation_qi == "*"]
+    assert (supp.segment_qi == "*").all() and (supp.balance_qi == "*").all()
+
+
+def test_dp_counts_noise_bounded_and_nonzero(spark):
+    r = OPS["privacy_dp_counts"].fn(spark, SF_SMALL).toPandas()
+    err = (r.noisy_n - r.true_n).abs()
+    # Laplace(1/ε=1) clamped at ln(1e12) ≈ 27.6
+    assert (err <= 30).all()
+    assert (err > 0).any(), "seeded noise must actually perturb"
+
+
+def test_dp_counts_deterministic(spark):
+    a = OPS["privacy_dp_counts"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["privacy_dp_counts"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
