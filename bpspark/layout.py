@@ -1021,3 +1021,144 @@ def scan_data_skipping_minmax(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _conf_scope(spark: SparkSession, settings: dict):
+    """Set session confs, returning a restore closure — ops that need a
+    non-default optimizer conf must restore it before returning, or the
+    conf would leak into every later op the driver runs in the same
+    session. Used with try/finally around an EAGER collect (a lazily
+    returned plan would be optimized after restore, losing the conf)."""
+    saved = {}
+    for k, v in settings.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+
+    def restore() -> None:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+    return restore
+
+
+@op(
+    "scan_agg_pushdown",
+    sql="""
+    SELECT COUNT(*) AS cnt,
+           MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+           MIN(l_orderkey) AS okmin, MAX(l_orderkey) AS okmax
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from file
+    footer statistics without decoding a single data page
+    (``spark.sql.parquet.aggregatePushdown`` on the v2 parquet source —
+    the plan shows ``PushedAggregation: [COUNT(*), MIN(..), ..]`` and an
+    empty ReadSchema; asserted in tests/test_plans.py). At 100 TB this
+    is the difference between a full-table scan and reading ~1 KB of
+    footer per file — the table-stats query pattern behind
+    catalog_stats_cbo, answered by the scan itself.
+
+    The one-row result is collected EAGERLY inside a conf scope: the v2
+    source + pushdown confs must not leak into other ops' plans (the
+    events reader depends on the default v1 path for nanosAsLong), and a
+    lazily-returned plan would be optimized only after the confs were
+    restored. Same bounded-collect pattern as catalog_stats_cbo."""
+    restore = _conf_scope(
+        spark,
+        {
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.sources.useV1SourceList": "",
+        },
+    )
+    try:
+        row = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("l_quantity").alias("qmin"),
+                F.max("l_quantity").alias("qmax"),
+                F.min("l_orderkey").alias("okmin"),
+                F.max("l_orderkey").alias("okmax"),
+            )
+            .collect()[0]
+        )
+    finally:
+        restore()
+    return spark.createDataFrame(
+        [row], "cnt bigint, qmin double, qmax double, okmin bigint, okmax bigint"
+    )
+
+
+def runtime_bloom_join_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The shuffle-join-with-runtime-bloom plan (shared by the op and the
+    plan test): lineitem ⋈ urgent-orders with broadcast disabled, so
+    Catalyst's InjectRuntimeFilter adds a ``might_contain(bloom)``
+    predicate on the lineitem SCAN, built from the filtered orders side
+    at runtime — rows that can't join are dropped before the shuffle."""
+    o = table(spark, sf, "orders")
+    l = table(spark, sf, "lineitem")
+    sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        l.join(sel, l.l_orderkey == sel.o_orderkey, "inner")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+RUNTIME_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # injection requires a probable SHUFFLE join (a broadcast join's
+    # application side is already cheap) and an application-side scan
+    # above the size threshold — local test data is far below the 10 GB
+    # production default, so the threshold is dropped to exercise the path
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@op(
+    "join_runtime_bloom_filter",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalyst's AUTOMATIC runtime bloom-filter join pruning
+    (InjectRuntimeFilter): the engine-native sibling of
+    join_bloom_prefilter's hand-built bitmap. With a selective filter on
+    the creation side, the optimizer plants a bloom-filter subquery on
+    the fact side's scan — ``might_contain(xxhash64(l_orderkey))``
+    visible in the plan (asserted in tests/test_plans.py) — so
+    non-joining lineitem rows die at the scan instead of crossing the
+    shuffle. At 100 TB this is the first-line defense for selective
+    fact⋈dim shuffle joins; results are exact (bloom false positives are
+    removed by the real join, false negatives are impossible).
+
+    Eager collect inside a conf scope, because the bloom confs (and the
+    disabled broadcast threshold that forces the shuffle-join shape on
+    local test data) must not leak into other ops — see _conf_scope."""
+    restore = _conf_scope(spark, RUNTIME_BLOOM_CONFS)
+    try:
+        rows = runtime_bloom_join_plan(spark, sf).collect()
+    finally:
+        restore()
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n bigint, revenue double"
+    )

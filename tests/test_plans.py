@@ -665,3 +665,51 @@ def test_minmax_manifest_actually_skips_files(spark):
     )
     want = {r["l_returnflag"]: (r["n"], r["revenue"]) for r in full.collect()}
     assert got == want
+
+
+def test_scan_agg_pushdown_reads_only_footers(spark):
+    """With the v2 parquet source + aggregatePushdown, COUNT/MIN/MAX must
+    be answered by the scan (PushedAggregation) — no data columns read."""
+    from bpspark.layout import _conf_scope
+    import pyspark.sql.functions as F
+
+    restore = _conf_scope(
+        spark,
+        {
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.sources.useV1SourceList": "",
+        },
+    )
+    try:
+        df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        restore()
+    assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_scan(spark):
+    """InjectRuntimeFilter must plant might_contain(bloom) on the
+    lineitem side of the shuffle join when the orders side is
+    selectively filtered."""
+    from bpspark.layout import RUNTIME_BLOOM_CONFS, _conf_scope, runtime_bloom_join_plan
+
+    restore = _conf_scope(spark, RUNTIME_BLOOM_CONFS)
+    try:
+        df = runtime_bloom_join_plan(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        restore()
+    assert "might_contain" in plan, plan
+    # bloom pruning must precede the exchange: no broadcast fallback
+    assert "BroadcastHashJoin" not in plan
