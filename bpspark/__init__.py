@@ -34,6 +34,7 @@ def load_all() -> None:
     import bpspark.llm_ops  # noqa: F401
     import bpspark.quality  # noqa: F401
     import bpspark.selection  # noqa: F401
+    import bpspark.search  # noqa: F401
     import bpspark.udfs  # noqa: F401
     import bpspark.sql_features  # noqa: F401
     import bpspark.graph  # noqa: F401

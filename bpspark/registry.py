@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymize", "privacy_dp_counts",
     "dedup_cluster_canonicalize",
     "scan_agg_pushdown", "join_runtime_bloom_filter", "sql_group_by_all",
+    "text_inverted_index_search", "text_bm25_rank",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",
