@@ -1162,3 +1162,121 @@ def join_runtime_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag string, n bigint, revenue double"
     )
+
+
+@op(
+    "maintenance_backfill_stale_partitions",
+    sql="""
+    WITH stale_years AS (
+        SELECT DISTINCT YEAR(o_orderdate) AS order_year
+        FROM orders
+        WHERE o_orderkey % 7 = 0 AND YEAR(o_orderdate) >= 1997
+    )
+    SELECT YEAR(o.o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price,
+           YEAR(o.o_orderdate) IN (SELECT order_year FROM stale_years)
+               AS was_backfilled
+    FROM orders o
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def maintenance_backfill_stale_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-wise BACKFILL with staleness DETECTION — the maintenance
+    job that keeps a silver table honest: fingerprint every partition of
+    silver against the same fingerprint computed from source, rewrite
+    ONLY the partitions that disagree (dynamic partition overwrite), and
+    leave the rest untouched. The harness simulates a historical load
+    bug (years ≥1997 missed every 7th order); detection must flag
+    exactly those year-partitions and the repair must converge silver to
+    source.
+
+    The fingerprint is an order-independent SUM of per-row xxhash64
+    values (as DECIMAL(38,0) so ANSI overflow can't bite) — one
+    aggregate per side, shuffle carries |years| rows. Detection cost is
+    two scans producing a years-sized frame; the rewrite touches only
+    stale partitions — at 100 TB the difference between re-running the
+    pipeline and repairing 3 of 80 partitions. The oracle states the
+    converged table + the stale-partition set declaratively; a test
+    pins that non-stale partition files are physically untouched."""
+    df, _silver, _stale = backfill_stale_partitions_run(spark, sf)
+    return df
+
+
+def backfill_stale_partitions_run(
+    spark: SparkSession, sf: str, on_staged=None
+) -> tuple[DataFrame, str, list]:
+    """Implementation of maintenance_backfill_stale_partitions, returning
+    (result, silver_dir, stale_years) so tests can inspect the physical
+    layout; ``on_staged(silver_dir)`` fires after the buggy initial load,
+    before detection/repair (the untouched-files test snapshots there)."""
+    src = table(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    # The buggy initial load is re-staged on EVERY call so the op is a
+    # pure function of its inputs (a healed silver from a previous run
+    # would make detection find nothing and flip was_backfilled):
+    # years >= 1997 silently missed every o_orderkey%7==0 order.
+    silver = tempfile.mkdtemp(prefix="bpspark_backfill_")
+    stale_load = src.filter(
+        ~((F.col("order_year") >= 1997) & (F.col("o_orderkey") % 7 == 0))
+    )
+    stale_load.write.mode("overwrite").partitionBy("order_year").parquet(silver)
+    if on_staged is not None:
+        on_staged(silver)
+
+    def fingerprints(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_year").agg(
+            F.sum(
+                F.xxhash64("o_orderkey", "o_custkey", "o_totalprice").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    cur = spark.read.parquet(silver)
+    diff = (
+        fingerprints(src)
+        .withColumnRenamed("fp", "fp_src")
+        .withColumnRenamed("n", "n_src")
+        .join(
+            fingerprints(cur)
+            .withColumnRenamed("fp", "fp_silver")
+            .withColumnRenamed("n", "n_silver"),
+            "order_year",
+            "full",
+        )
+        .filter(
+            (F.col("fp_src") != F.col("fp_silver"))
+            | F.col("fp_silver").isNull()
+            | (F.col("n_src") != F.col("n_silver"))
+        )
+        .select("order_year")
+    )
+    stale_years = [r["order_year"] for r in diff.collect()]  # |years|-bounded
+    if stale_years:
+        (
+            src.filter(F.col("order_year").isin(stale_years))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("order_year")
+            .parquet(silver)
+        )
+    healed = spark.read.parquet(silver)
+    result = (
+        healed.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn(
+            "was_backfilled",
+            F.col("order_year").isin(stale_years)
+            if stale_years
+            else F.lit(False),
+        )
+        .orderBy("order_year")
+    )
+    return result, silver, stale_years

@@ -713,3 +713,43 @@ def test_runtime_bloom_filter_injected_on_fact_scan(spark):
     assert "might_contain" in plan, plan
     # bloom pruning must precede the exchange: no broadcast fallback
     assert "BroadcastHashJoin" not in plan
+
+
+def test_backfill_touches_only_stale_partitions(spark):
+    """The repair write must leave non-stale year partitions physically
+    untouched (same files, same mtimes) — the whole point of
+    partition-wise backfill."""
+    import os
+
+    from bpspark.layout import backfill_stale_partitions_run
+
+    snap = {}
+
+    def take_snapshot(silver):
+        for year_dir in os.listdir(silver):
+            if not year_dir.startswith("order_year="):
+                continue
+            d = os.path.join(silver, year_dir)
+            snap[year_dir] = sorted(
+                (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+    result, silver, stale_years = backfill_stale_partitions_run(
+        spark, SF_SMALL, on_staged=take_snapshot
+    )
+    result.collect()
+    assert stale_years, "harness must simulate at least one stale partition"
+    stale_dirs = {f"order_year={y}" for y in stale_years}
+    for year_dir, before in snap.items():
+        d = os.path.join(silver, year_dir)
+        after = sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        if year_dir in stale_dirs:
+            assert after != before, f"stale {year_dir} was not rewritten"
+        else:
+            assert after == before, f"non-stale {year_dir} was touched"
