@@ -1508,3 +1508,66 @@ def ml_linreg_normal(spark: SparkSession, sf: str) -> DataFrame:
     the solve matches bit-for-bit (see _LINREG_SQL note)."""
     table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_LINREG_SQL)
+
+
+@op(
+    "q_marketing_attribution",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_ts
+        FROM events
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END,
+                    'none') AS attributed_type,
+           COUNT(*) AS n_purchases
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY attributed_type
+    ORDER BY attributed_type
+    """,
+)
+def q_marketing_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRIOR non-purchase event within a 7-day window ('none'
+    when cold). The canonical event-sequence analytics primitive —
+    conversion credit, induced-demand measurement, and the same
+    carry-forward window shape as ts_gapfill_locf.
+
+    Plan: ONE shuffle on user_id feeds the IGNORE-NULLS last_value
+    window (running carry of the latest touch — no self-join, no
+    per-purchase scan-back), then a tiny group count on the attributed
+    type. At 100 TB: shuffle ∝ events, window state O(1) per user,
+    final aggregate |event types| rows."""
+    ev = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.struct("ts", "event_type"))
+    seq = ev.withColumn("touch", F.last(touch, ignorenulls=True).over(w))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.col("touch.event_type"),
+                ),
+                F.lit("none"),
+            ).alias("attributed_type")
+        )
+        .groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("attributed_type")
+    )
