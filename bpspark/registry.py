@@ -82,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_agg_pushdown", "join_runtime_bloom_filter", "sql_group_by_all",
     "text_inverted_index_search", "text_bm25_rank",
     "profile_partition_skew", "maintenance_backfill_stale_partitions",
-    "q_marketing_attribution",
+    "q_marketing_attribution", "stream_state_introspection",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

@@ -888,3 +888,63 @@ def stream_scd_join(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "event_type", "dim_label", "batch_id"
     )
+
+
+@op(
+    "stream_state_introspection",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_state_introspection(spark: SparkSession, sf: str) -> DataFrame:
+    """Operational state-store introspection (Spark 4 ``statestore`` /
+    ``state-metadata`` readers): run a stateful streaming aggregation to
+    completion, then read its CHECKPOINTED STATE back as a DataFrame and
+    return the flattened per-key state rows. The oracle is the batch
+    aggregate of the same input — for a complete replay, the state IS
+    the aggregate, so this proves checkpoint state is externally
+    auditable and byte-faithful (the debugging/repair workflow for a
+    production stateful job: inspect hot keys, verify totals, locate a
+    poisoned group WITHOUT touching the running query).
+
+    The state-metadata probe is asserted inside the op (operator name +
+    partition count); integer measures (count, sum of bigint) keep the
+    state values engine-exact. Scale: the statestore reader is one task
+    per state partition — reading 100 TB of job state parallelizes like
+    any other scan, and the read is against the checkpoint, never the
+    live store."""
+    ev = table(spark, sf, "events").select("event_type", "user_id")
+    src = tempfile.mkdtemp(prefix="bpspark_ssintro_src_")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="bpspark_ssintro_ckpt_")
+    with harness_shuffle(spark):
+        q = (
+            spark.readStream.schema("event_type string, user_id long")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"))
+            .writeStream.format("memory")
+            .queryName(f"bpspark_ssintro_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert meta and meta[0]["operatorName"] == "stateStoreSave", meta
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
