@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_inverted_index_search", "text_bm25_rank",
     "profile_partition_skew", "maintenance_backfill_stale_partitions",
     "q_marketing_attribution", "stream_state_introspection",
+    "udf_sql_declared", "q_exchange_reuse_self_join",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",

@@ -1680,3 +1680,35 @@ def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("a_id", "b_id", "user_id")
     )
+
+
+@op(
+    "q_exchange_reuse_self_join",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_pairs
+    FROM per_cust a JOIN per_cust b
+      ON a.n = b.n AND a.o_custkey < b.o_custkey
+    """,
+)
+def q_exchange_reuse_self_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-join of one aggregate with itself (customers with identical
+    order counts, counted as oriented pairs) — the plan-shape point is
+    EXCHANGE REUSE: Spark computes the per-customer aggregate ONCE and
+    feeds both join sides from the same shuffle output (ReusedExchange
+    in the final adaptive plan, pinned by tests/test_plans.py). At
+    100 TB the difference is one pass over orders instead of two — the
+    optimizer dedupes identical subplans automatically when the plan is
+    built from a SHARED DataFrame object, which is why the engine
+    constructs the aggregate once and aliases it, never re-derives it."""
+    agg = table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = agg.select(F.col("o_custkey").alias("ck_a"), F.col("n").alias("n_a"))
+    b = agg.select(F.col("o_custkey").alias("ck_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, (F.col("n_a") == F.col("n_b")) & (F.col("ck_a") < F.col("ck_b")))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

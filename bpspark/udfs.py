@@ -452,3 +452,46 @@ def udtf_table_partition_by(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     return out.orderBy("lang")
+
+
+@op(
+    "udf_sql_declared",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_sql_declared(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-DEFINED scalar functions (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr`` — SPARK-44076): business logic declared once in the catalog as
+    SQL and reused across queries, with NONE of the Python-UDF cost —
+    the body is inlined at resolution time, so the optimizer folds,
+    pushes, and codegens it exactly like a hand-written expression (no
+    serialization boundary, no Arrow transfer, no Python worker). This
+    is the right home for shared semantic definitions (here: TPC-H
+    disc_price/charge) on a 100 TB warehouse; the oracle replays the
+    inlined arithmetic directly."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bp_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bp_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN bp_disc_price(p, d) * (1 + t)"
+    )
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(bp_disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               ROUND(SUM(bp_charge(l_extendedprice, l_discount, l_tax)), 2) AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -753,3 +753,28 @@ def test_backfill_touches_only_stale_partitions(spark):
             assert after != before, f"stale {year_dir} was not rewritten"
         else:
             assert after == before, f"non-stale {year_dir} was touched"
+
+
+def test_exchange_reuse_in_final_adaptive_plan(spark):
+    """The self-joined aggregate must reuse ONE shuffle for both sides —
+    ReusedExchange in the executed (AQE-final) plan."""
+    df = OPS["q_exchange_reuse_self_join"].fn(spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan during execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_sql_declared_udf_stays_jvm_side(spark):
+    """A CREATE FUNCTION ... RETURN body must inline — no Python
+    evaluation node anywhere in the plan."""
+    df = OPS["udf_sql_declared"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan, plan
+    assert "BatchEvalPython" not in plan
