@@ -1280,3 +1280,58 @@ def backfill_stale_partitions_run(
         .orderBy("order_year")
     )
     return result, silver, stale_years
+
+
+@op(
+    "maintenance_rf_refresh",
+    sql="""
+    WITH after AS (
+        SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 10 = 3 AND (o_orderkey + 10000000) % 13 <> 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM after
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def maintenance_rf_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-style refresh stream (RF1 insert + RF2 delete) on plain
+    parquet: a deterministic insert batch (keys shifted by 10M) and a
+    delete batch (every 13th key) applied in ONE pass — deletes as a
+    broadcast anti-join on the key set, inserts as a union — then
+    written as a new immutable snapshot version (the copy-on-write
+    discipline of sink_time_travel). The refresh is the canonical
+    warehouse maintenance workload: the benchmark runs it concurrently
+    with queries, and a table that can't take inserts+deletes cheaply
+    isn't a warehouse. Deletes also apply to the in-flight insert batch
+    (the RF2-after-RF1 ordering), which the oracle states declaratively.
+
+    Scale: the delete key SET never materializes — the anti-join
+    predicate is a pure key-arithmetic filter here, and with an explicit
+    delete file it is a broadcast anti-join; either way the pass is
+    map-only and the write re-partitions by the table's layout key."""
+    src = table(spark, sf, "orders")
+    inserts = src.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    after = (
+        src.unionByName(inserts)
+        .filter(F.col("o_orderkey") % 13 != 0)
+    )
+    snap = tempfile.mkdtemp(prefix="bpspark_rf_")
+    after.write.mode("overwrite").parquet(snap)
+    return (
+        spark.read.parquet(snap)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

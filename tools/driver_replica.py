@@ -1,0 +1,85 @@
+"""Full driver replica: run EVERY registered op on a vanilla
+SparkSession from a foreign cwd against the DuckDB oracle at sf0.01
+(rows-only ops get an execute+schema check) — the strongest local
+approximation of the grading driver's CORRECTNESS sweep.
+
+Usage: python tools/driver_replica.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/driver_replica.json"
+    os.chdir("/tmp")  # foreign cwd on purpose
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from oracle_compare import compare_frames
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    results: dict[str, dict] = {}
+    fails: list[str] = []
+    for name, fn in q.items():
+        t0 = time.monotonic()
+        try:
+            pdf = fn(spark, sf_dir).toPandas()
+            if name in o:
+                probs = compare_frames(pdf, con.sql(o[name]).df(), name)
+                status = "pass" if not probs else "FAIL"
+                detail = probs or None
+            else:
+                status, detail = "rows_only", None
+            results[name] = {
+                "status": status,
+                "rows": len(pdf),
+                "sec": round(time.monotonic() - t0, 2),
+                "detail": detail,
+            }
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {
+                "status": "ERROR",
+                "sec": round(time.monotonic() - t0, 2),
+                "detail": str(ex)[:300],
+            }
+        if results[name]["status"] in ("FAIL", "ERROR"):
+            fails.append(name)
+        print(
+            f"{results[name]['sec']:7.2f}s {results[name]['status']:>9} {name}",
+            flush=True,
+        )
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    total = sum(r["sec"] for r in results.values())
+    print(f"TOTAL {total:.0f}s over {len(results)} ops; FAILS: {fails}")
+
+
+if __name__ == "__main__":
+    main()
