@@ -948,3 +948,67 @@ def stream_state_introspection(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@op(
+    "stream_chained_stateful",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def stream_chained_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query —
+    watermarked dedup feeding a tumbling event-time aggregate. Chaining
+    stateful operators is the capability production pipelines need for
+    "dedup at the edge, aggregate downstream" in ONE checkpointed query
+    (historically Spark required two queries with an intermediate sink);
+    each operator keeps its own state store and the watermark drives
+    both evictions.
+
+    Harness: the staged input is the events table DOUBLED (every row
+    twice — at-least-once delivery), plus a far-future sentinel that
+    advances the watermark past every real event so append mode flushes
+    ALL real windows (same sentinel discipline as
+    stream_outer_interval_join). The dedup stage must collapse the
+    duplicates exactly, so the oracle is simply the hourly count over
+    the ORIGINAL events — any dedup leak or window loss breaks the
+    hash. Scale: dedup state ∝ rate × watermark (keys expire), window
+    state ∝ open windows; both shuffle on their own keys."""
+    ev = table(spark, sf, "events").select("event_id", "ts", "user_id")
+    src = tempfile.mkdtemp(prefix="bpspark_chain_src_")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10_000_000_000, max_ts, -1)],
+        "event_id long, ts timestamp, user_id long",
+    ).select("event_id", (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"), "user_id")
+    # one file so no real event arrives behind the sentinel-advanced watermark
+    ev.unionByName(ev).unionByName(sentinel).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ckpt = tempfile.mkdtemp(prefix="bpspark_chain_ckpt_")
+    with harness_shuffle(spark):
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .filter(F.col("user_id") != -1)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        name = f"bpspark_chain_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("window_start")
