@@ -447,3 +447,42 @@ def test_temperature_mixture_plan_and_application(spark):
         assert abs(got.get(lang, 0) - min(quota, r["n_docs"])) <= 5 * sigma + 1, (
             f"{lang}: got {got.get(lang, 0)}, quota {quota}"
         )
+
+
+def test_ivf_index_persist_recall_and_pruning(spark):
+    """The persisted-index query path must (a) recall the planted twins
+    (vec_id+1M twins are each other's top neighbor at cosine ~0.95) and
+    (b) physically scan ONLY the probed clusters' partition files."""
+    from bpspark import llm_ops
+    from tests.conftest import SF_SMALL
+
+    res = OPS["sim_ivf_index_persist"].fn(spark, SF_SMALL).toPandas()
+    # recall floor on planted twins among the 10 queries: twin id = q+1M
+    hits = sum(
+        1
+        for q in range(10)
+        if ((res.query_id == q) & (res.neighbor_id == q + 1_000_000)).any()
+    )
+    assert hits >= 8, f"only {hits}/10 twins recalled from the persisted index"
+    # pruning: the scan of the partitioned corpus must touch a strict
+    # subset of cluster dirs
+    from bpspark.io import state_dir
+    import os
+
+    corpus = os.path.join(state_dir("ivfidx", SF_SMALL), "corpus")
+    all_clusters = {d for d in os.listdir(corpus) if d.startswith("cluster_id=")}
+    # a SINGLE query probes nprobe=2 clusters -> the corpus scan must carry
+    # a partition-pruning predicate on cluster_id (inputFiles() is logical
+    # and ignores pruning, so assert on the physical scan instead)
+    import contextlib, io as _io
+
+    df = llm_ops._ivf_index_query(spark, SF_SMALL, [0])
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert len(all_clusters) > 2
+    assert any("cluster_id" in ln and " IN " in ln for ln in scan_lines), plan
