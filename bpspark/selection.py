@@ -500,3 +500,116 @@ def privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
         "true_n",
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl front door)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "dedup_url_canonicalized",
+    sql="""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&utm_campaign=x' || doc_id || '&id=' || (doc_id % 50)
+                       ELSE '?id=' || (doc_id % 50) END
+               || CASE WHEN doc_id % 2 = 0 THEN '#section' || doc_id ELSE '' END
+                   AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(url, '#.*$', '') AS nofrag
+        FROM raw
+    ),
+    split AS (
+        SELECT doc_id,
+               lower(string_split(nofrag, '://')[1]) AS scheme,
+               lower(string_split(string_split(nofrag, '://')[2], '/')[1]) AS host,
+               regexp_replace(string_split(nofrag, '?')[1],
+                              '^[a-zA-Z]+://[^/]+', '') AS path,
+               COALESCE(string_split(nofrag, '?')[2], '') AS query
+        FROM parts
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path ||
+               CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+        FROM (
+            SELECT doc_id, scheme, host, path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS cq
+            FROM split
+        )
+    )
+    SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonicalized(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl pipeline's FRONT DOOR (runs
+    before any fetch or text dedup): scheme/host lowercased, fragment
+    stripped, tracking params (utm_*) removed, surviving query params
+    SORTED — then exact-dedup on the canonical form. The harness
+    synthesizes per-doc URLs with deliberate mixed case, utm noise, and
+    fragments so distinct raw strings collapse to shared canonicals
+    (mod-arithmetic collisions), which the oracle reproduces exactly.
+
+    Everything is codegen string surgery (split / lower / regexp /
+    array_sort / array_join) — no backreference regex (Spark `$1` vs
+    RE2 `\\1` would fork the engines), no UDF. The final groupBy ships a
+    uniform canonical-string key: one shuffle, skew-free. At 100 TB
+    (billions of URLs) this is the cheapest dedup tier by orders of
+    magnitude — every URL it collapses never costs a fetch, a parse, or
+    a MinHash signature downstream."""
+    d = table(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/Path/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x"), F.col("doc_id").cast("string"),
+                F.lit("&id="), (F.col("doc_id") % 50).cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string"))),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("#section"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.element_at(F.split(nofrag, "://"), 1))
+    host = F.lower(F.element_at(F.split(F.element_at(F.split(nofrag, "://"), 2), "/"), 1))
+    path = F.regexp_replace(
+        F.element_at(F.split(nofrag, "\\?"), 1), "^[a-zA-Z]+://[^/]+", ""
+    )
+    query = F.coalesce(F.element_at(F.split(nofrag, "\\?"), 2), F.lit(""))
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike("^utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
