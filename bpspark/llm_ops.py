@@ -3051,3 +3051,142 @@ def _ivf_index_query(spark: SparkSession, sf: str, query_ids: list, nprobe: int 
         .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
         .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
     )
+
+
+PQ_M, PQ_K = 4, 8  # 4 subspaces x 16 dims, 8 centroids each -> 4x3 bits/vector
+
+
+def _pq_train(spark: SparkSession, e: DataFrame, m: int = PQ_M, k: int = PQ_K):
+    """Train product-quantization codebooks: split the d-dim space into
+    ``m`` contiguous subspaces and run 2 distributed Lloyd rounds — ALL
+    subspaces per round in ONE job (the corpus explodes to (vec,
+    subspace) rows, assignment is map-side against the combined
+    codebook literal, new means are one groupBy(subspace, code, dim)
+    aggregate; only m×k×(d/m) doubles reach the driver per round).
+    Means are rounded to 9dp so re-training on the same data yields
+    identical codebooks regardless of partition-sum order. Returns
+    [m][k][d/m] python lists (the shippable codebook: 4×8×16 floats)."""
+    d = len(e.select("embedding").first()["embedding"])
+    sub_d = d // m
+
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("embedding", s * sub_d + 1, sub_d).alias("sub"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+
+    seed_rows = (
+        e.filter(F.col("vec_id") % 61 == 0).orderBy("vec_id").limit(k).collect()
+    )
+    books = [
+        [[float(x) for x in r["embedding"][s * sub_d : (s + 1) * sub_d]] for r in seed_rows]
+        for s in range(m)
+    ]
+
+    def combined_lit(bks):
+        per_s = []
+        for cents in bks:
+            cent_structs = ",".join(
+                "struct(%d as cid, array(%s) as c)" % (i, ",".join(f"{v!r}D" for v in c))
+                for i, c in enumerate(cents)
+            )
+            per_s.append(f"array({cent_structs})")
+        return F.expr("array(" + ",".join(per_s) + ")")
+
+    def dist(c):
+        return F.aggregate(
+            F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    for _ in range(2):
+        cents_here = F.element_at(combined_lit(books), F.col("s") + 1)
+        scored = F.array_sort(
+            F.transform(cents_here, lambda c: F.struct(dist(c["c"]).alias("d"), c["cid"].alias("cid")))
+        )[0]
+        assigned = subs.withColumn("code", scored["cid"])
+        means = (
+            assigned.select("s", "code", F.posexplode("sub"))
+            .groupBy("s", "code", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), 9).alias("mu"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .collect()
+        )
+        new = {(int(r["s"]), int(r["code"])): [float(x["mu"]) for x in r["pm"]] for r in means}
+        books = [
+            [new.get((s, i), books[s][i]) for i in range(k)] for s in range(m)
+        ]
+    return books
+
+
+@op("embedding_pq_encode", sql=None)  # trained codebooks — invariant tests
+def embedding_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization (the IVF-PQ compression layer): the 64-dim
+    space splits into 4×16-dim subspaces, each with its own 8-centroid
+    Lloyd codebook, and every vector is encoded as 4 small codes — 12
+    bits instead of 256 bytes, the compression that makes billion-vector
+    ANN indexes fit in memory (Jégou et al., PQ for nearest neighbor
+    search). Scalar int8 (embedding_quantize_int8) compresses 4×; PQ
+    compresses ~170× and still supports asymmetric distance scoring
+    against the codebook.
+
+    Plan: codebook training is 2 distributed Lloyd rounds per subspace
+    (driver sees only k×16 floats per round); ENCODING is one map-only
+    projection against the codebook literal — zero shuffles, the shape
+    that encodes 100 TB of vectors in a single pass. Output is long-form
+    (vec_id, subspace, code) plus the per-subspace reconstruction
+    distance rounded to 6dp. Tests pin: code range, determinism across
+    runs, twin-code agreement on planted near-dups, and reconstruction
+    MSE ≪ the codebook-mean baseline."""
+    e = _embeddings_with_planted_twins(spark, sf).select("vec_id", "embedding")
+    books = _pq_train(spark, e)
+    sub_d = 64 // PQ_M
+    per_s = []
+    for cents in books:
+        cent_structs = ",".join(
+            "struct(%d as cid, array(%s) as c)" % (i, ",".join(f"{v!r}D" for v in c))
+            for i, c in enumerate(cents)
+        )
+        per_s.append(f"array({cent_structs})")
+    lit = F.expr("array(" + ",".join(per_s) + ")")
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("embedding", s * sub_d + 1, sub_d).alias("sub"),
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("subspace"), F.col("x.sub").alias("sub"))
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = F.array_sort(
+        F.transform(
+            F.element_at(lit, F.col("subspace") + 1),
+            lambda c: F.struct(dist(c["c"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )[0]
+    return (
+        subs.select(
+            "vec_id",
+            "subspace",
+            scored["cid"].alias("code"),
+            F.round(scored["d"], 6).alias("recon_dist"),
+        )
+        .orderBy("vec_id", "subspace")
+    )

