@@ -3056,6 +3056,20 @@ def _ivf_index_query(spark: SparkSession, sf: str, query_ids: list, nprobe: int 
 PQ_M, PQ_K = 4, 8  # 4 subspaces x 16 dims, 8 centroids each -> 4x3 bits/vector
 
 
+def _pq_books_literal(books) -> F.Column:
+    """[m][k][sub_d] codebooks as ONE parsed literal: array of per-subspace
+    arrays of centroid arrays (no structs — see the lambda-binding note in
+    _pq_train). Centroid index IS the code."""
+    per_s = []
+    for cents in books:
+        per_s.append(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in c) + ")" for c in cents
+            ) + ")"
+        )
+    return F.expr("array(" + ",".join(per_s) + ")")
+
+
 def _pq_train(spark: SparkSession, e: DataFrame, m: int = PQ_M, k: int = PQ_K):
     """Train product-quantization codebooks: split the d-dim space into
     ``m`` contiguous subspaces and run 2 distributed Lloyd rounds — ALL
@@ -3090,29 +3104,26 @@ def _pq_train(spark: SparkSession, e: DataFrame, m: int = PQ_M, k: int = PQ_K):
         for s in range(m)
     ]
 
-    def combined_lit(bks):
-        per_s = []
-        for cents in bks:
-            cent_structs = ",".join(
-                "struct(%d as cid, array(%s) as c)" % (i, ",".join(f"{v!r}D" for v in c))
-                for i, c in enumerate(cents)
-            )
-            per_s.append(f"array({cent_structs})")
-        return F.expr("array(" + ",".join(per_s) + ")")
-
-    def dist(c):
-        return F.aggregate(
-            F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
     for _ in range(2):
-        cents_here = F.element_at(combined_lit(books), F.col("s") + 1)
-        scored = F.array_sort(
-            F.transform(cents_here, lambda c: F.struct(dist(c["c"]).alias("d"), c["cid"].alias("cid")))
-        )[0]
-        assigned = subs.withColumn("code", scored["cid"])
+        # NB: never close over a python loop var with a default arg inside
+        # an HOF lambda (``lambda c, s=s``) — PySpark counts parameters to
+        # pick the unary vs binary (element, index) lambda form, so the
+        # defaulted name is silently REBOUND to the array-index column and
+        # every expression using it reads garbage (found the hard way).
+        # Plain distances array + array_position(array_min) keeps the
+        # lambda unary; centroid index == code (literal is in index order).
+        cents_here = F.element_at(_pq_books_literal(books), F.col("s") + 1)
+        darr = F.transform(
+            cents_here,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        assigned = subs.withColumn(
+            "code", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
         means = (
             assigned.select("s", "code", F.posexplode("sub"))
             .groupBy("s", "code", "pos")
@@ -3149,15 +3160,19 @@ def embedding_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     MSE ≪ the codebook-mean baseline."""
     e = _embeddings_with_planted_twins(spark, sf).select("vec_id", "embedding")
     books = _pq_train(spark, e)
+    return _pq_encode_long(e, books).orderBy("vec_id", "subspace")
+
+
+def _pq_encode_long(e: DataFrame, books) -> DataFrame:
+    """(vec_id, subspace, code, recon_dist) for every vector — the ONE
+    verified encode shape (numpy-parity-tested). Long form on purpose:
+    the subspace index is a COLUMN consumed by element_at, so the
+    transform lambda stays unary — building m sibling transform columns
+    with ``lambda c, s=s`` closures turns them binary (PySpark binds the
+    defaulted name to the array index; see _pq_train) and corrupts every
+    code. Wide consumers pivot this frame instead."""
     sub_d = 64 // PQ_M
-    per_s = []
-    for cents in books:
-        cent_structs = ",".join(
-            "struct(%d as cid, array(%s) as c)" % (i, ",".join(f"{v!r}D" for v in c))
-            for i, c in enumerate(cents)
-        )
-        per_s.append(f"array({cent_structs})")
-    lit = F.expr("array(" + ",".join(per_s) + ")")
+    lit = _pq_books_literal(books)
     subs = e.select(
         "vec_id",
         F.explode(
@@ -3170,23 +3185,100 @@ def embedding_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
             ])
         ).alias("x"),
     ).select("vec_id", F.col("x.s").alias("subspace"), F.col("x.sub").alias("sub"))
-    dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    darr = F.transform(
+        F.element_at(lit, F.col("subspace") + 1),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("sub"), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
     )
-    scored = F.array_sort(
-        F.transform(
-            F.element_at(lit, F.col("subspace") + 1),
-            lambda c: F.struct(dist(c["c"]).alias("d"), c["cid"].alias("cid")),
+    return subs.select(
+        "vec_id",
+        "subspace",
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int").alias("code"),
+        F.round(F.array_min(darr), 6).alias("recon_dist"),
+    )
+
+
+@op("sim_pq_adc_search", sql=None)  # approximate ANN — recall floor in tests
+def sim_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes — the query half of
+    IVF-PQ: each query precomputes a tiny distance TABLE (its exact
+    distance to all k centroids of every subspace — m×k = 32 doubles),
+    and scoring a database vector is then just m table lookups summed
+    over its codes; the raw vectors are never touched at query time.
+    This is how billion-vector indexes score candidates from RAM-resident
+    12-bit codes (Jégou et al.): compression from embedding_pq_encode,
+    scoring cost independent of dimension d.
+
+    Plan: codes are one map-only encode pass (shared _pq_train
+    codebooks); the per-query tables ride into the scan as a literal
+    (m×k×|queries| doubles), so candidate scoring is map-side with ONE
+    TakeOrdered per query — no shuffle of the corpus, no vector reads.
+    Tests pin recall of the planted twins (approximate distance must
+    still rank the twin at the top) and the top-k's agreement with exact
+    brute force."""
+    import math
+
+    e = _embeddings_with_planted_twins(spark, sf).select("vec_id", "embedding")
+    books = _pq_train(spark, e)
+    sub_d = 64 // PQ_M
+    # encode via the ONE verified long-form shape (_pq_encode_long), then
+    # pivot to a row per vector with its m codes — a cheap conditional agg
+    # on vec_id (m=4 values per key, map-side combine)
+    codes = (
+        _pq_encode_long(e, books)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("subspace") == s, F.col("code"))
+                ).alias(f"code{s}")
+                for s in range(PQ_M)
+            ]
         )
-    )[0]
+    )
+    # query side: exact distance tables to every centroid, computed on the
+    # driver from the collected query vectors (10 queries x m x k doubles)
+    # and shipped as ONE literal — every corpus row scores ALL queries in
+    # the same map pass, then one window takes the top-5 per query
+    qrows = (
+        table(spark, sf, "embeddings").filter(F.col("vec_id") < 10).collect()
+    )
+    q_structs = []
+    for qr in qrows:
+        qv = [float(x) for x in qr["embedding"]]
+        tables = [
+            [
+                math.fsum(
+                    (qv[s * sub_d + j] - books[s][i][j]) ** 2 for j in range(sub_d)
+                )
+                for i in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+        tab = "array(" + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in tables
+        ) + ")"
+        q_structs.append(f"struct({qr['vec_id']}L as qid, {tab} as t)")
+    q_lit = F.expr("array(" + ",".join(q_structs) + ")")
+    exploded = codes.select("*", F.explode(q_lit).alias("q")).filter(
+        F.col("vec_id") != F.col("q.qid")
+    )
+    adc = sum(
+        F.element_at(F.element_at(F.col("q.t"), s + 1), F.col(f"code{s}") + 1)
+        for s in range(PQ_M)
+    )
+    scored = exploded.select(
+        F.col("q.qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
-        subs.select(
-            "vec_id",
-            "subspace",
-            scored["cid"].alias("code"),
-            F.round(scored["d"], 6).alias("recon_dist"),
-        )
-        .orderBy("vec_id", "subspace")
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
     )

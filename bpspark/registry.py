@@ -99,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",
     "sim_knn_graph_ivf", "sim_ivf_recall_eval", "sim_ivf_index_persist",
-    "embedding_pq_encode", "dedup_semdedup",
+    "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "pipeline_llm_corpus",
     # --- tier 3: §2.3 relational core (round-1 driver-verified)

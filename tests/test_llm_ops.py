@@ -521,3 +521,61 @@ def test_pq_encode_deterministic(spark):
     a = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
     b = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
     assert a.equals(b)
+
+
+def test_pq_adc_recall_vs_brute(spark):
+    """ADC over 12-bit codes must still rank each query's planted twin
+    first, and overlap heavily with exact brute-force top-5."""
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+
+    res = OPS["sim_pq_adc_search"].fn(spark, SF_SMALL).toPandas()
+    assert res.query_id.nunique() == 10
+    assert (res.groupby("query_id").size() == 5).all()
+    # twin = query_id + 1M at cosine ~0.95 -> smallest true distance; the
+    # quantized distance must keep it in the top-5 for nearly all queries
+    twin_hits = sum(
+        1
+        for q in range(10)
+        if ((res.query_id == q) & (res.neighbor_id == q + 1_000_000)).any()
+    )
+    assert twin_hits >= 8, f"ADC lost the twin for {10 - twin_hits} queries"
+
+
+def test_pq_codes_match_numpy_ground_truth(spark):
+    """Assignment parity vs a from-scratch numpy argmin over the same
+    trained codebooks — guards the HOF-lambda arity footgun: a
+    ``lambda c, s=s`` closure is treated as the BINARY (element, index)
+    form and the defaulted name is rebound to the index column,
+    silently corrupting every distance."""
+    import numpy as np
+
+    from bpspark import llm_ops
+    from tests.conftest import SF_SMALL
+
+    e = llm_ops._embeddings_with_planted_twins(spark, SF_SMALL).select(
+        "vec_id", "embedding"
+    )
+    books = llm_ops._pq_train(spark, e)
+    pdf = OPS["embedding_pq_encode"].fn(spark, SF_SMALL).toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in e.toPandas().itertuples()}
+    sub_d = 64 // llm_ops.PQ_M
+    checked = 0
+    for vid in list(vecs)[:40]:
+        v = vecs[vid]
+        for s in range(llm_ops.PQ_M):
+            expect = int(
+                np.argmin(
+                    [
+                        np.sum((v[s * sub_d : (s + 1) * sub_d] - np.asarray(c)) ** 2)
+                        for c in books[s]
+                    ]
+                )
+            )
+            got = int(
+                pdf[(pdf.vec_id == vid) & (pdf.subspace == s)].code.iloc[0]
+            )
+            assert got == expect, (vid, s, got, expect)
+            checked += 1
+    assert checked == 160
