@@ -101,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_knn_graph_ivf", "sim_ivf_recall_eval", "sim_ivf_index_persist",
     "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
-    "ml_logreg_gd", "pipeline_llm_corpus",
+    "ml_logreg_gd", "pipeline_llm_corpus", "pipeline_web_corpus",
     # --- tier 3: §2.3 relational core (round-1 driver-verified)
     "scan_parquet", "project_rename_cast", "project_map_keys",
     "filter_comparison", "filter_boolean_logic", "filter_isin",

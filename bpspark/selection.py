@@ -569,41 +569,7 @@ def dedup_url_canonicalized(spark: SparkSession, sf: str) -> DataFrame:
     magnitude — every URL it collapses never costs a fetch, a parse, or
     a MinHash signature downstream."""
     d = table(spark, sf, "documents").select("doc_id")
-    url = F.concat(
-        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(".COM/Path/"), (F.col("doc_id") % 50).cast("string"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("?utm_source=feed&utm_campaign=x"), F.col("doc_id").cast("string"),
-                F.lit("&id="), (F.col("doc_id") % 50).cast("string"),
-            ),
-        ).otherwise(F.concat(F.lit("?id="), (F.col("doc_id") % 50).cast("string"))),
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.lit("#section"), F.col("doc_id").cast("string")),
-        ).otherwise(F.lit("")),
-    )
-    nofrag = F.regexp_replace(url, "#.*$", "")
-    scheme = F.lower(F.element_at(F.split(nofrag, "://"), 1))
-    host = F.lower(F.element_at(F.split(F.element_at(F.split(nofrag, "://"), 2), "/"), 1))
-    path = F.regexp_replace(
-        F.element_at(F.split(nofrag, "\\?"), 1), "^[a-zA-Z]+://[^/]+", ""
-    )
-    query = F.coalesce(F.element_at(F.split(nofrag, "\\?"), 2), F.lit(""))
-    cq = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(query, "&"),
-                lambda p: (p != "") & ~p.rlike("^utm_"),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
-    )
+    canonical = _canonicalize_url(_synthetic_url(F.col("doc_id")))
     return (
         d.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")
@@ -613,3 +579,170 @@ def dedup_url_canonicalized(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+def _synthetic_url(doc_col) -> F.Column:
+    """Deterministic raw URL per doc (mixed case + utm noise + fragment) —
+    shared by dedup_url_canonicalized and pipeline_web_corpus."""
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"), (doc_col % 7).cast("string"),
+        F.lit(".COM/Path/"), (doc_col % 50).cast("string"),
+        F.when(
+            doc_col % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x"), doc_col.cast("string"),
+                F.lit("&id="), (doc_col % 50).cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("?id="), (doc_col % 50).cast("string"))),
+        F.when(
+            doc_col % 2 == 0,
+            F.concat(F.lit("#section"), doc_col.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _canonicalize_url(url) -> F.Column:
+    """Canonical form: scheme/host lowercase, fragment stripped, utm_*
+    params dropped, surviving params sorted. No backreference regex."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.element_at(F.split(nofrag, "://"), 1))
+    host = F.lower(
+        F.element_at(F.split(F.element_at(F.split(nofrag, "://"), 2), "/"), 1)
+    )
+    path = F.regexp_replace(
+        F.element_at(F.split(nofrag, "\\?"), 1), "^[a-zA-Z]+://[^/]+", ""
+    )
+    query = F.coalesce(F.element_at(F.split(nofrag, "\\?"), 2), F.lit(""))
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(F.split(query, "&"), lambda p: (p != "") & ~p.rlike("^utm_"))
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )
+
+
+@op("pipeline_web_corpus", sql=None)  # composed flagship — stage funnel
+def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The published web-corpus curation recipe (CCNet / RefinedWeb order)
+    as ONE composed pipeline: URL canonical dedup (front door, before
+    anything touches text) → language gate → heuristic quality gates →
+    perplexity TAIL drop (LM trained on the survivors themselves) →
+    normalized exact dedup → MinHash near-dedup. Returns the per-stage
+    funnel — the audit record that tells you where your corpus went.
+
+    Stage logic reuses the standalone ops' exact predicates/parameters
+    (canonicalization from dedup_url_canonicalized, quality gates from
+    text_quality_filter, LM scoring from text_perplexity_ngram, LSH
+    params from dedup_near_minhash) so their tests and oracle checks
+    transfer. 100 TB posture: URL dedup is the cheapest tier and runs
+    FIRST (a collapsed URL never costs a parse, a score, or a
+    signature); the perplexity model tables are vocab-sized broadcasts;
+    every dedup stage shuffles a uniform hash key. The two expensive
+    frames are persisted across the funnel's counting actions exactly as
+    pipeline_llm_corpus does (spill-safe, not recomputed per stage)."""
+    from bpspark.llm_ops import minhash_candidate_pairs
+
+    docs = table(spark, sf, "documents")
+
+    # 1. URL canonical dedup — keep min doc_id per canonical URL
+    with_url = docs.withColumn(
+        "curl", _canonicalize_url(_synthetic_url(F.col("doc_id")))
+    )
+    url_keep = with_url.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    url_stage = docs.join(url_keep.select("doc_id"), "doc_id", "left_semi")
+
+    # 2. language gate
+    lang_stage = url_stage.filter(F.col("lang") == "en")
+
+    # 3. heuristic quality gates (text_quality_filter's predicates)
+    toks = F.split(F.col("text"), " ")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+        / F.length("text")
+    )
+    quality_stage = lang_stage.filter(
+        F.length("text").between(100, 2000)
+        & (F.size(toks) >= 20)
+        & (alpha_ratio > 0.9)
+    )
+
+    # 4. perplexity tail drop: bigram LM trained on the survivors, keep
+    # docs at or below the 2/3 boundary (head+middle; CCNet drops tail)
+    from bpspark.llm_ops import _word_shingles
+
+    big = quality_stage.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    c2 = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        big.select(F.split("bigram", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        big.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .join(c2, "bigram")
+        .join(c1, "w1")
+        .withColumn("nll", -F.log(F.col("c2").cast("double") / F.col("c1")))
+        .groupBy("doc_id")
+        .agg((F.round(F.sum("nll"), 6) / F.count(F.lit(1))).alias("avg_nll"))
+    )
+    hist = scored.groupBy(F.col("avg_nll").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.crossJoin(F.broadcast(n)).withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    b2 = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))).alias("b2")
+    )
+    keep_ids = (
+        scored.crossJoin(F.broadcast(b2))
+        .filter(F.col("avg_nll") <= F.col("b2"))
+        .select("doc_id")
+    )
+    ppl_stage = quality_stage.join(keep_ids, "doc_id", "left_semi").persist()
+
+    # 5. normalized exact dedup (dedup_exact_normalized's canonical rule)
+    clean_text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    exact_keep = (
+        ppl_stage.select("doc_id", F.md5(clean_text).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    exact_stage = ppl_stage.join(
+        exact_keep.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+
+    # 6. MinHash near-dedup (same LSH params as dedup_near_minhash)
+    pairs = minhash_candidate_pairs(exact_stage.select("doc_id", "text"))
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near_stage = exact_stage.join(losers, "doc_id", "left_anti")
+
+    try:
+        stages = [
+            ("0_raw", docs),
+            ("1_url_dedup", url_stage),
+            ("2_langid", lang_stage),
+            ("3_quality", quality_stage),
+            ("4_perplexity_head_middle", ppl_stage),
+            ("5_exact_dedup", exact_stage),
+            ("6_near_dedup", near_stage),
+        ]
+        counts = [(name, df.count()) for name, df in stages]
+    finally:
+        ppl_stage.unpersist()
+        exact_stage.unpersist()
+    return spark.createDataFrame(counts, "stage string, n_rows bigint")

@@ -108,3 +108,29 @@ def test_dp_counts_deterministic(spark):
     a = OPS["privacy_dp_counts"].fn(spark, SF_SMALL).toPandas()
     b = OPS["privacy_dp_counts"].fn(spark, SF_SMALL).toPandas()
     assert a.equals(b)
+
+
+def test_web_corpus_funnel_monotone_and_stage_parity(spark):
+    """The web-corpus funnel must be non-increasing stage to stage, and
+    its URL-dedup stage must agree with the standalone op's keep set."""
+    pdf = OPS["pipeline_web_corpus"].fn(spark, SF_SMALL).toPandas()
+    counts = dict(zip(pdf.stage, pdf.n_rows))
+    order = [
+        "0_raw", "1_url_dedup", "2_langid", "3_quality",
+        "4_perplexity_head_middle", "5_exact_dedup", "6_near_dedup",
+    ]
+    assert list(pdf.stage) == order
+    vals = [counts[s] for s in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), counts
+    assert vals[-1] > 0
+    # URL stage == number of canonical groups from the standalone op
+    url_groups = OPS["dedup_url_canonicalized"].fn(spark, SF_SMALL).count()
+    assert counts["1_url_dedup"] == url_groups
+    # perplexity stage keeps ~2/3 (value-boundary ties may push it over)
+    assert counts["4_perplexity_head_middle"] <= counts["3_quality"]
+
+
+def test_web_corpus_deterministic(spark):
+    a = OPS["pipeline_web_corpus"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["pipeline_web_corpus"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
