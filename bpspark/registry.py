@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_marketing_attribution", "stream_state_introspection",
     "udf_sql_declared", "q_exchange_reuse_self_join",
     "maintenance_rf_refresh", "stream_chained_stateful",
+    "stream_session_timeout",
     "sql_identifier_clause", "dedup_url_canonicalized",
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",

@@ -1012,3 +1012,118 @@ def stream_chained_stateful(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).orderBy("window_start")
+
+
+@op(
+    "stream_session_timeout",
+    sql="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id FROM events WHERE user_id % 5 = 0
+    ),
+    gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM gaps
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMERS: an
+    ``applyInPandasWithState`` operator that keeps each user's open
+    session in state and registers a timeout at session_end + 30 min —
+    when the WATERMARK crosses it, Spark calls the function with
+    ``state.hasTimedOut`` and the session is emitted and its state
+    removed. This is the timer capability (Flink's registerEventTimeTimer
+    equivalent) that native session_window can't express when the
+    close-action is custom (emit, alert, write-back); state is evicted
+    by time, so it is bounded by ACTIVE sessions, not history.
+
+    Replay harness: a fifth of the users, staged as one file,
+    plus a far-future sentinel (user -1, filtered from the output) whose
+    watermark advance fires every pending timer in the trailing no-data
+    micro-batch — making the memory-sink result complete and equal to
+    the batch gap-sessionization oracle. Session starts are emitted as
+    epoch MICROSECONDS (integers) so no timezone convention can touch
+    the comparison."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        table(spark, sf, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts", "event_id")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, 10_000_000_000)], "user_id long, ts timestamp, event_id long"
+    ).select("user_id", (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"), "event_id")
+    stage = tempfile.mkdtemp(prefix="bpspark_sesst_")
+    src = f"{stage}/src"
+    ev.unionByName(sentinel).coalesce(1).write.parquet(src)
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_us": [start_us], "n_events": [n]}
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        cur = state.get if state.exists else None  # (start_us, end_us, n)
+        for ts in rows["ts"]:
+            t_us = ts.value // 1000
+            if cur is None:
+                cur = (t_us, t_us, 1)
+            elif t_us - cur[1] >= GAP_US:
+                out.append(cur)
+                cur = (t_us, t_us, 1)
+            else:
+                cur = (cur[0], t_us, cur[2] + 1)
+        state.update(cur)
+        # fire when the watermark passes session_end + gap (event-time timer)
+        state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start_us": [s for s, _, _ in out],
+                    "n_events": [n for _, _, n in out],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, session_start_us long, n_events long",
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        run_to_memory(stream)
+        .filter(F.col("user_id") != -1)
+        .orderBy("user_id", "session_start_us")
+    )
