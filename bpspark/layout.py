@@ -1249,8 +1249,13 @@ def backfill_stale_partitions_run(
             "full",
         )
         .filter(
+            # null-safe: a partition present on only ONE side must count as
+            # stale (fp_src != fp_silver is NULL, not true, when either is
+            # missing — without the isNull arms an orphan silver partition
+            # or a brand-new source partition would silently survive)
             (F.col("fp_src") != F.col("fp_silver"))
             | F.col("fp_silver").isNull()
+            | F.col("fp_src").isNull()
             | (F.col("n_src") != F.col("n_silver"))
         )
         .select("order_year")

@@ -3171,7 +3171,9 @@ def _pq_encode_long(e: DataFrame, books) -> DataFrame:
     with ``lambda c, s=s`` closures turns them binary (PySpark binds the
     defaulted name to the array index; see _pq_train) and corrupts every
     code. Wide consumers pivot this frame instead."""
-    sub_d = 64 // PQ_M
+    sub_d = len(books[0][0])  # derive from the trained codebooks, never
+    # hardcode: a d != 64 corpus would otherwise zip_with a longer slice
+    # against a shorter centroid, null-padding the distance fold silently
     lit = _pq_books_literal(books)
     subs = e.select(
         "vec_id",
@@ -3223,7 +3225,7 @@ def sim_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _embeddings_with_planted_twins(spark, sf).select("vec_id", "embedding")
     books = _pq_train(spark, e)
-    sub_d = 64 // PQ_M
+    sub_d = len(books[0][0])  # from the codebooks — see _pq_encode_long
     # encode via the ONE verified long-form shape (_pq_encode_long), then
     # pivot to a row per vector with its m codes — a cheap conditional agg
     # on vec_id (m=4 values per key, map-side combine)

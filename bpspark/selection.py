@@ -233,6 +233,14 @@ def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# k-means cells are far coarser than LSH buckets (k ≈ sqrt(n) cells vs
+# 16×2^32 band-buckets), so the quadratic guard sits higher: a 512-member
+# cell still bounds pair work at ~131k comparisons, while a cell past the
+# cap means the quantizer is under-provisioned — its members skip pairwise
+# (stay kept) and the skip is the audit signal.
+SEMDEDUP_CLUSTER_CAP = 512
+
+
 @op("dedup_semdedup", sql=None)  # k-means clustering — rows + invariant tests
 def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
@@ -245,19 +253,25 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     trained on a sample and shipped as a literal (same machinery as
     sim_knn_graph_ivf), assignment is MAP-SIDE (zero shuffle), and the
     pairwise compare is per-cluster — one shuffle on cluster id, work
-    Σ|cluster|², never corpus². Hot clusters get the same BUCKET_CAP
-    discipline as MinHash LSH via the cluster-size audit column.
+    Σ|cluster|², never corpus². Hot clusters get the same cap
+    discipline as MinHash LSH (SEMDEDUP_CLUSTER_CAP, sized for k-means
+    cells): clusters over the cap skip pairwise scoring entirely —
+    their members stay kept, and the skip is the audit signal that the
+    quantizer needs more centroids (mirrors minhash_bucket_overflow).
 
     Input is the corpus + 25 planted near-identical twins
     (_embeddings_with_planted_twins) so the invariant tests can measure
     that twins actually land in one cluster and get pruned. Output: one
     row per vector — cluster id, kept flag, and for dropped vectors the
-    kept vector they duplicate."""
+    KEPT vector they duplicate (duplicate CHAINS B→A, C→B resolve to
+    the kept component root via min-label propagation, so dup_of always
+    references a survivor)."""
     from bpspark.llm_ops import (
         _assign_home,
         _dot,
         _embeddings_with_planted_twins,
         _ivf_centroid_literal,
+        _min_label_cc,
         _with_norm,
     )
 
@@ -266,13 +280,16 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     assigned = _assign_home(e, cent_lit).select(
         "vec_id", "embedding", "norm", F.col("home_cent").alias("cluster_id")
     )
-    a = assigned.select(
+    wcl = Window.partitionBy("cluster_id")
+    assigned = assigned.withColumn("csize", F.count(F.lit(1)).over(wcl))
+    capped = assigned.filter(F.col("csize") <= SEMDEDUP_CLUSTER_CAP)
+    a = capped.select(
         F.col("cluster_id").alias("ca"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
     )
-    b = assigned.select(
+    b = capped.select(
         F.col("cluster_id").alias("cb"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
@@ -282,19 +299,30 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.9)
-        .select("vec_b", F.col("vec_a").alias("dup_of"))
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
-    # a vector may exceed the threshold against several earlier kept
-    # vectors — keep the smallest as its canonical
-    canon = dup_pairs.groupBy("vec_b").agg(F.min("dup_of").alias("dup_of"))
+    # Resolve duplicate CHAINS (B→A, C→B with cos(A,C) below threshold)
+    # to the component's kept root: min-label CC over the pair graph —
+    # the component min has no earlier close neighbor, so it is kept,
+    # and every dropped member's dup_of points at that survivor.
+    members = (
+        dup_pairs.select(F.col("src").alias("id"))
+        .unionByName(dup_pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    roots = _min_label_cc(members, dup_pairs).select(
+        F.col("id").alias("vec_id"), F.col("cluster_id").alias("root")
+    )
     return (
         assigned.select("vec_id", "cluster_id")
-        .join(canon, assigned.vec_id == canon.vec_b, "left")
+        .join(roots, "vec_id", "left")
         .select(
             "vec_id",
             "cluster_id",
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
+            (F.col("root").isNull() | (F.col("root") == F.col("vec_id"))).alias(
+                "kept"
+            ),
+            F.when(F.col("root") != F.col("vec_id"), F.col("root")).alias("dup_of"),
         )
         .orderBy("vec_id")
     )
@@ -604,15 +632,27 @@ def _synthetic_url(doc_col) -> F.Column:
 def _canonicalize_url(url) -> F.Column:
     """Canonical form: scheme/host lowercase, fragment stripped, utm_*
     params dropped, surviving params sorted. No backreference regex."""
+    # try_element_at, not element_at: under ANSI mode (the Spark 4
+    # default) element_at THROWS on out-of-bounds, so a real-world URL
+    # with no '?' or no '://' would kill the job instead of falling
+    # through to the coalesce default.
     nofrag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.element_at(F.split(nofrag, "://"), 1))
     host = F.lower(
-        F.element_at(F.split(F.element_at(F.split(nofrag, "://"), 2), "/"), 1)
+        F.coalesce(
+            F.try_element_at(
+                F.split(F.try_element_at(F.split(nofrag, "://"), F.lit(2)), "/"),
+                F.lit(1),
+            ),
+            F.lit(""),
+        )
     )
     path = F.regexp_replace(
         F.element_at(F.split(nofrag, "\\?"), 1), "^[a-zA-Z]+://[^/]+", ""
     )
-    query = F.coalesce(F.element_at(F.split(nofrag, "\\?"), 2), F.lit(""))
+    query = F.coalesce(
+        F.try_element_at(F.split(nofrag, "\\?"), F.lit(2)), F.lit("")
+    )
     cq = F.array_join(
         F.array_sort(
             F.filter(F.split(query, "&"), lambda p: (p != "") & ~p.rlike("^utm_"))
@@ -653,7 +693,12 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "curl", _canonicalize_url(_synthetic_url(F.col("doc_id")))
     )
     url_keep = with_url.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    url_stage = docs.join(url_keep.select("doc_id"), "doc_id", "left_semi")
+    # persisted: the funnel counts each downstream stage with its own
+    # action, and stages 2-4 all sit on top of this groupBy+semi-join
+    # shuffle — without the persist it would re-execute per count
+    url_stage = docs.join(
+        url_keep.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
 
     # 2. language gate
     lang_stage = url_stage.filter(F.col("lang") == "en")
@@ -743,6 +788,7 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
         ]
         counts = [(name, df.count()) for name, df in stages]
     finally:
+        url_stage.unpersist()
         ppl_stage.unpersist()
         exact_stage.unpersist()
     return spark.createDataFrame(counts, "stage string, n_rows bigint")

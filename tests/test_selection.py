@@ -46,12 +46,14 @@ def test_semdedup_kept_set_has_no_close_pair_within_cluster(spark):
 
 
 def test_semdedup_dropped_points_at_kept_canonical(spark):
+    """Every dropped vector's dup_of must reference a SURVIVOR — chains
+    (B→A, C→B) must resolve to the kept component root, never to another
+    dropped vector."""
     res = OPS["dedup_semdedup"].fn(spark, SF_SMALL).toPandas()
     kept_ids = set(res[res.kept].vec_id)
     dropped = res[~res.kept]
-    assert (dropped.dup_of < dropped.vec_b if hasattr(dropped, "vec_b") else True)
-    assert set(dropped.dup_of).issubset(kept_ids | set(dropped.vec_id)), (
-        "dup_of must reference a vector in the corpus"
+    assert set(dropped.dup_of).issubset(kept_ids), (
+        "dup_of must reference a KEPT vector"
     )
     # canonical is always the smaller id (keep-first rule)
     assert (dropped.dup_of < dropped.vec_id).all()
@@ -134,3 +136,21 @@ def test_web_corpus_deterministic(spark):
     a = OPS["pipeline_web_corpus"].fn(spark, SF_SMALL).toPandas()
     b = OPS["pipeline_web_corpus"].fn(spark, SF_SMALL).toPandas()
     assert a.equals(b)
+
+
+def test_canonicalize_url_handles_bare_urls_under_ansi(spark):
+    """Real-world URLs without a query string or scheme must canonicalize,
+    not throw — under ANSI mode element_at raises on out-of-bounds, so
+    the helper must use try_element_at."""
+    from pyspark.sql import functions as F
+
+    from bpspark.selection import _canonicalize_url
+
+    df = spark.createDataFrame(
+        [("HTTPS://Site.COM/path",), ("https://x.com",), ("mailto:a@b.c",), ("",)],
+        "url string",
+    ).select(_canonicalize_url(F.col("url")).alias("c"))
+    rows = [r["c"] for r in df.collect()]
+    assert rows[0] == "https://site.com/path"
+    assert rows[1] == "https://x.com"
+    assert rows[2].startswith("mailto:a@b.c")
