@@ -144,3 +144,59 @@ def meta_column_lineage(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = column_lineage(q, sf)
     return spark.createDataFrame(rows, "out_col string, src_table string, src_col string")
+
+
+@op("meta_query_profile", sql=None)  # runtime metrics — env-dependent by nature
+def meta_query_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """EXPLAIN ANALYZE for Spark: execute a representative query
+    (orders ⋈broadcast nation-keyed customer → hash aggregate) and read
+    the per-operator RUNTIME METRICS back out of the executed adaptive
+    plan — numOutputRows per node, files/partitions scanned, shuffle
+    records written. This is the observability loop every query engine
+    ships (DuckDB EXPLAIN ANALYZE, Postgres ANALYZE, Trino query stats):
+    row counts at each plan step are what diagnose a wrong-cardinality
+    join or a filter that isn't filtering, WITHOUT re-running anything.
+
+    Driver-side plan walk (AQE-aware: descends through
+    AdaptiveSparkPlanExec.executedPlan and QueryStageExec.plan),
+    O(plan size). Only DETERMINISTIC metrics are emitted (row/file
+    counts — never times or memory); the invariant tests pin the scan
+    and final-aggregate cardinalities. On a cluster the same walk feeds
+    the metrics sink; Spark's REST /api/v1 exposes the identical values
+    per stage."""
+    from bpspark.io import table
+
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    q = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    q.collect()
+
+    keep = {"numOutputRows", "numFiles", "shuffleRecordsWritten", "recordsRead"}
+    rows: list[tuple[int, str, str, int]] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.nodeName()
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in keep:
+                rows.append((depth, name, kv._1(), int(kv._2().value())))
+        cls = node.getClass().getName()
+        if "AdaptiveSparkPlanExec" in cls:
+            walk(node.executedPlan(), depth + 1)
+            return
+        if "QueryStageExec" in cls:
+            walk(node.plan(), depth + 1)
+            return
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next(), depth + 1)
+
+    walk(q._jdf.queryExecution().executedPlan(), 0)
+    return spark.createDataFrame(
+        sorted(rows), "depth int, node string, metric string, value bigint"
+    )

@@ -71,7 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_temperature_mixture", "graph_shortest_paths",
     "stream_outer_interval_join", "sink_time_travel", "ml_linreg_normal",
     "join_spatial_grid", "sink_vacuum_retention", "fn_winsorize",
-    "stream_scd_join", "meta_column_lineage", "sink_python_datasource",
+    "stream_scd_join", "meta_column_lineage", "meta_query_profile",
+    "sink_python_datasource",
     "api_pandas_on_spark", "join_interval_overlap",
     "text_perplexity_ngram", "text_repetition_signals",
     "embedding_random_projection", "scan_data_skipping_minmax",

@@ -778,3 +778,17 @@ def test_sql_declared_udf_stays_jvm_side(spark):
     plan = buf.getvalue()
     assert "Python" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_query_profile_cardinalities(spark):
+    """The executed-plan metrics walk must report the exact deterministic
+    cardinalities: full orders scan and 25-nation final aggregate."""
+    pdf = OPS["meta_query_profile"].fn(spark, SF_SMALL).toPandas()
+    rows_metric = pdf[pdf.metric == "numOutputRows"]
+    # the orders parquet scan outputs every row of the table
+    n_orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert n_orders in set(rows_metric.value), rows_metric.to_string()
+    # the final aggregate outputs one row per nation key present
+    agg_rows = rows_metric[rows_metric.node.str.contains("HashAggregate")]
+    assert agg_rows.value.min() <= 25
+    assert (pdf.value >= 0).all()
