@@ -1340,3 +1340,131 @@ def maintenance_rf_refresh(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@op(
+    "cache_inmemory_columnar",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def cache_inmemory_columnar(spark: SparkSession, sf: str) -> DataFrame:
+    """The columnar CACHE layer (``CACHE TABLE`` / InMemoryRelation):
+    orders is cached once as compressed column batches and the query
+    reads InMemoryTableScan instead of parquet — the warehouse's hot-set
+    acceleration for dashboards that hit the same dimensions hundreds of
+    times an hour. The cache is COLUMNAR (per-column compression +
+    batch-level min/max pruning on cached batches), so cached plans keep
+    column pruning and predicate skipping; results are byte-identical to
+    the uncached plan, which the oracle states by recomputing from
+    parquet. Plan test pins InMemoryTableScan actually appearing. The
+    cache is dropped on return — a sweep-shared session must not carry
+    hidden cached state into other ops' memory budgets or plan shapes
+    (an op reading orders later would silently scan the cache)."""
+    import uuid as _uuid
+
+    view = f"bp_cache_{_uuid.uuid4().hex[:10]}"
+    table(spark, sf, "orders").createOrReplaceTempView(view)
+    spark.sql(f"CACHE TABLE {view}")
+    try:
+        rows = spark.sql(
+            f"""
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM {view}
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+            """
+        ).collect()
+    finally:
+        spark.sql(f"UNCACHE TABLE {view}")
+        spark.catalog.dropTempView(view)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_orders bigint, total_price double"
+    )
+
+
+@op(
+    "maintenance_delete_where_cow",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE NOT (l_shipdate >= TIMESTAMP '1996-03-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+               AND l_quantity >= 45)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def maintenance_delete_where_cow(spark: SparkSession, sf: str) -> DataFrame:
+    """Skipping-aware copy-on-write DELETE — how a lakehouse deletes
+    without a table format: the predicate's time range is checked
+    against each file's min/max footer stats, files that CANNOT contain
+    matches are carried into the new snapshot UNTOUCHED (hard-linked /
+    referenced, never read or rewritten), and only intersecting files
+    are rewritten with the anti-predicate. At 100 TB with a
+    date-correlated layout this deletes from ~2% of files while 98%
+    move by metadata only — the mechanics behind DELETE in Delta/
+    Iceberg (their deletion vectors refine it further). The harness
+    range-clusters lineitem on l_shipdate (so pruning has structure),
+    deletes one month's high-quantity rows, and the test pins that
+    non-intersecting files were untouched. Oracle: the anti-predicate
+    aggregate over the source table."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    base = state_dir("cowdel", sf)
+    src_dir = f"{base}/clustered"
+    if not _os.path.isdir(src_dir):
+        (
+            table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity", "l_shipdate")
+            .repartitionByRange(16, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+    lo, hi = "1996-03-01 00:00:00", "1996-04-01 00:00:00"
+    out_dir = tempfile.mkdtemp(prefix="bpspark_cowdel_out_")
+    rewritten, carried = [], []
+    for f in sorted(_glob.glob(_os.path.join(src_dir, "part-*.parquet"))):
+        md = _pq.read_metadata(f)
+        ci = md.schema.to_arrow_schema().names.index("l_shipdate")
+        f_min = min(str(md.row_group(rg).column(ci).statistics.min) for rg in range(md.num_row_groups))
+        f_max = max(str(md.row_group(rg).column(ci).statistics.max) for rg in range(md.num_row_groups))
+        if f_max < lo or f_min >= hi:  # cannot contain a match: carry as-is
+            _os.link(f, _os.path.join(out_dir, _os.path.basename(f)))
+            carried.append(f)
+        else:
+            rewritten.append(f)
+    if rewritten:
+        (
+            spark.read.parquet(*rewritten)
+            .filter(
+                ~(
+                    (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+                    & (F.col("l_quantity") >= 45)
+                )
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+    assert carried, "range clustering must leave some files untouched"
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
     "scan_python_datasource", "stream_python_datasource",
+    "scan_python_datasource_pushdown",
+    "cache_inmemory_columnar", "maintenance_delete_where_cow",
     "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",

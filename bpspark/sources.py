@@ -589,3 +589,96 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         .json([_os.path.join(out, s) for s in shards])
         .select("c_custkey", "c_acctbal")
     )
+
+
+@op(
+    "scan_python_datasource_pushdown",
+    sql="""
+    SELECT i AS rec_id,
+           CAST((i * 31) %% 1000 AS INT) AS score,
+           1 AS pushed_n
+    FROM range(5000) t(i)
+    WHERE (i * 31) %% 1000 >= 900
+    """ % (),
+)
+def scan_python_datasource_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER PUSHDOWN into a Python DataSource (Spark 4.1
+    ``DataSourceReader.pushFilters``): the reader receives the query's
+    predicates at plan time, accepts the ones it can evaluate, and
+    GENERATES ONLY MATCHING ROWS — unpushed sources must materialize
+    everything and filter afterwards, which against a REST shard or a
+    proprietary store is the difference between reading 10% and 100% of
+    the upstream. The oracle PROVES pushdown happened: each emitted row
+    carries ``pushed_n`` = how many filters the reader accepted, so if
+    Spark ever stopped pushing (or the reader declined), every row's
+    pushed_n flips to 0 and the value-hash breaks.
+
+    Function-local classes on purpose (pickled by value — same note as
+    stream_python_datasource); one task per InputPartition, generator
+    arithmetic deterministic so DuckDB range() is an exact oracle."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark >= 4.0 required for the Python DataSource API")
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    N, PARTS = 5000, 4
+
+    class _PushReader(DataSourceReader):
+        def __init__(self) -> None:
+            self.min_score = None
+            self.n_pushed = 0
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import GreaterThanOrEqual
+
+            for f in filters:
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("score",)
+                ):
+                    self.min_score = f.value
+                    self.n_pushed += 1
+                else:
+                    yield f  # decline: Spark re-applies it post-scan
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(PARTS)]
+
+        def read(self, partition):
+            p = partition.value
+            lo = self.min_score if self.min_score is not None else 0
+            for i in range(p * (N // PARTS), (p + 1) * (N // PARTS)):
+                score = (i * 31) % 1000
+                if score >= lo:  # generation-time pruning — the point
+                    yield (i, score, self.n_pushed)
+
+    class ScorePushSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bpspark_scorepush"
+
+        def schema(self) -> str:
+            return "rec_id bigint, score int, pushed_n int"
+
+        def reader(self, schema):
+            return _PushReader()
+
+    # Additive capability switch, left enabled on purpose (no restore):
+    # it only activates pushFilters for sources that IMPLEMENT it — no
+    # other op's plan can change — and a restore would have to outlive
+    # this lazily-executed plan (same lifetime problem _conf_scope solves
+    # with eager collects, unnecessary here).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(ScorePushSource)
+    except Exception:  # already registered in this session
+        pass
+    return (
+        spark.read.format("bpspark_scorepush")
+        .load()
+        .filter(F.col("score") >= 900)
+        .orderBy("rec_id")
+    )

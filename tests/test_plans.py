@@ -792,3 +792,42 @@ def test_query_profile_cardinalities(spark):
     agg_rows = rows_metric[rows_metric.node.str.contains("HashAggregate")]
     assert agg_rows.value.min() <= 25
     assert (pdf.value >= 0).all()
+
+
+def test_cached_table_uses_inmemory_scan(spark):
+    """CACHE TABLE must route the query through InMemoryTableScan."""
+    import uuid
+
+    from bpspark.io import table as _table
+
+    view = f"bp_cachetest_{uuid.uuid4().hex[:8]}"
+    _table(spark, SF_SMALL, "orders").createOrReplaceTempView(view)
+    spark.sql(f"CACHE TABLE {view}")
+    try:
+        df = spark.sql(f"SELECT COUNT(*) AS n FROM {view}")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "In-memory table" in plan or "InMemoryTableScan" in plan, plan
+    finally:
+        spark.sql(f"UNCACHE TABLE {view}")
+        spark.catalog.dropTempView(view)
+
+
+def test_delete_where_cow_leaves_nonmatching_files_untouched(spark):
+    """Files whose min/max span cannot contain a deletion match must be
+    carried into the new snapshot by hard link, never rewritten."""
+    import glob
+    import os
+
+    from bpspark.io import state_dir
+
+    OPS["maintenance_delete_where_cow"].fn(spark, SF_SMALL).collect()
+    src = os.path.join(state_dir("cowdel", SF_SMALL), "clustered")
+    files = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    assert files
+    # at least one source file must have nlink > 1 => carried by hard link
+    linked = [f for f in files if os.stat(f).st_nlink > 1]
+    assert linked, "no file was carried untouched"
+    assert len(linked) < len(files), "every file linked — deletion touched nothing?"
