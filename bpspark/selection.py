@@ -792,3 +792,129 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
         ppl_stage.unpersist()
         exact_stage.unpersist()
     return spark.createDataFrame(counts, "stage string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (train/predict, fully declarative)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "ml_naive_bayes_langid",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+    ),
+    tr AS (SELECT * FROM tok WHERE doc_id % 3 <> 0 AND tok <> ''),
+    te AS (SELECT * FROM tok WHERE doc_id % 3 = 0 AND tok <> ''),
+    counts AS (SELECT lang, tok, COUNT(*) AS c FROM tr GROUP BY lang, tok),
+    lang_tot AS (SELECT lang, COUNT(*) AS tot FROM tr GROUP BY lang),
+    prior AS (
+        SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM tr GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tr),
+    n_train AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tr),
+    scored AS (
+        SELECT te.doc_id, lt.lang,
+               ROUND(
+                 ln(CAST(p.nd AS DOUBLE) / nt.n)
+                 + SUM(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                          / (lt.tot + vocab.v))),
+                 6) AS score
+        FROM te
+        CROSS JOIN lang_tot lt
+        LEFT JOIN counts c ON c.lang = lt.lang AND c.tok = te.tok
+        JOIN prior p ON p.lang = lt.lang
+        CROSS JOIN vocab CROSS JOIN n_train nt
+        GROUP BY te.doc_id, lt.lang, p.nd, nt.n
+    ),
+    ranked AS (
+        SELECT doc_id, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scored
+    )
+    SELECT r.doc_id, r.lang AS predicted_lang, d.lang AS true_lang
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rn = 1
+    ORDER BY r.doc_id
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied as one declarative
+    plan: word-count model per language on the 2/3 train split (add-1
+    smoothing), argmax of ln-prior + Σ ln-likelihood on the held-out
+    third. The supervised-classification sibling of ml_logreg_gd with
+    ZERO iterations and zero Python — NB training IS a groupBy, which is
+    why it's the classic first distributed text classifier.
+
+    Plan: one tokenize explode feeds model counts (|langs|×|vocab| rows,
+    partial agg) and the scoring join; scoring joins the test stream to
+    the model on the token key, aggregates per (doc, lang) — shuffle
+    carries doc×lang score rows — and one window takes the argmax.
+    Cross-engine determinism: scores ROUND(·,6) BEFORE the argmax
+    (ln last-ulp differences can't flip ranks), lang ascending breaks
+    exact ties."""
+    tok = (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tr = tok.filter(F.col("doc_id") % 3 != 0)
+    te = tok.filter(F.col("doc_id") % 3 == 0)
+    counts = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    prior = tr.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
+    vocab = tr.agg(F.count_distinct("tok").alias("v"))
+    n_train = tr.agg(F.count_distinct("doc_id").alias("n"))
+    model = (
+        counts.join(lang_tot, "lang")
+        .join(prior, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+    )
+    langs = lang_tot.join(prior, "lang").crossJoin(F.broadcast(vocab)).crossJoin(
+        F.broadcast(n_train)
+    )
+    scored = (
+        te.crossJoin(F.broadcast(langs.select("lang", "tot", "nd", "v", "n").withColumnRenamed("lang", "m_lang")))
+        .join(
+            F.broadcast(
+                counts.withColumnRenamed("lang", "c_lang").withColumnRenamed(
+                    "tok", "c_tok"
+                )
+            ),
+            (F.col("m_lang") == F.col("c_lang")) & (F.col("tok") == F.col("c_tok")),
+            "left",
+        )
+        .groupBy("doc_id", "m_lang", "nd", "n", "tot", "v")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            F.col("m_lang").alias("lang"),
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("n")) + F.col("ll"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"))
+    )
+    truth = table(spark, sf, "documents").select("doc_id", F.col("lang").alias("true_lang"))
+    return pred.join(truth, "doc_id").orderBy("doc_id")

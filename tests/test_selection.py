@@ -154,3 +154,12 @@ def test_canonicalize_url_handles_bare_urls_under_ansi(spark):
     assert rows[0] == "https://site.com/path"
     assert rows[1] == "https://x.com"
     assert rows[2].startswith("mailto:a@b.c")
+
+
+def test_naive_bayes_beats_chance(spark):
+    """The synthetic corpus's lang label is only weakly encoded in the
+    text, but NB must still beat the chance rate by a clear margin."""
+    pdf = OPS["ml_naive_bayes_langid"].fn(spark, SF_SMALL).toPandas()
+    acc = (pdf.predicted_lang == pdf.true_lang).mean()
+    n_langs = pdf.true_lang.nunique()
+    assert acc > 1.5 / n_langs, f"accuracy {acc:.3f} vs chance {1/n_langs:.3f}"
