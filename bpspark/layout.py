@@ -1468,3 +1468,48 @@ def maintenance_delete_where_cow(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@op(
+    "sink_compression_codecs",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sink_compression_codecs(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression-codec policy check (snappy vs zstd): the same lineitem
+    projection written under both codecs, sizes compared, zstd read back
+    for the oracle aggregate. At 100 TB the codec IS a budget decision —
+    zstd typically stores 25-40% smaller than snappy at similar scan
+    speed on modern CPUs, which is petabytes of storage and cache
+    footprint; Spark sets it per-write (``compression`` option) so cold
+    tiers can rewrite to zstd while hot ingest stays on snappy. The op
+    ASSERTS zstd produced strictly smaller files (a codec regression —
+    e.g. a build silently falling back to uncompressed — fails the
+    sweep), and the oracle proves the roundtrip lossless."""
+    import glob as _glob
+    import os as _os
+
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    base = tempfile.mkdtemp(prefix="bpspark_codec_")
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        d = f"{base}/{codec}"
+        li.coalesce(1).write.option("compression", codec).parquet(d)
+        sizes[codec] = sum(
+            _os.path.getsize(f) for f in _glob.glob(f"{d}/part-*.parquet")
+        )
+    assert sizes["zstd"] < sizes["snappy"], sizes
+    return (
+        spark.read.parquet(f"{base}/zstd")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
