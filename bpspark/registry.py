@@ -94,7 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_python_datasource_pushdown",
     "cache_inmemory_columnar", "maintenance_delete_where_cow",
     "ml_naive_bayes_langid", "sql_pivot_clause", "fn_struct_field_surgery",
-    "sink_compression_codecs",
+    "sink_compression_codecs", "sink_training_shards",
     "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",

@@ -918,3 +918,87 @@ def ml_naive_bayes_langid(spark: SparkSession, sf: str) -> DataFrame:
     )
     truth = table(spark, sf, "documents").select("doc_id", F.col("lang").alias("true_lang"))
     return pred.join(truth, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# training-shard export (the corpus pipeline's last step)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "sink_training_shards",
+    sql="""
+    SELECT doc_id % 8 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard EXPORT — the step that hands the curated corpus to
+    the trainer: deterministic shard assignment (doc_id mod N, so a
+    re-export bit-reproduces), one gzip JSONL file per shard written BY
+    THE EXECUTOR holding that shard's partition (repartition on shard id
+    → partitionBy write, no driver funnel), and a driver-side manifest
+    carrying each shard's sha256 + doc count — the integrity record a
+    training job checks before reading (a truncated shard fails loudly
+    at manifest check, not as silent data loss mid-epoch). The returned
+    frame re-reads the SHARD FILES and re-aggregates them, and the
+    oracle recomputes from the source table — proving the export is
+    complete and lossless, not just that files appeared.
+
+    At 100 TB: shard count scales to trainer data-parallel workers,
+    assignment stays hash-mod (deterministic, skew-free on uniform ids),
+    and the manifest is O(#shards) driver JSON. JSONL+gzip because every
+    trainer reads it; content ordered by doc_id within shard so shard
+    bytes are stable across re-exports."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import tempfile
+
+    N_SHARDS = 8
+    out = tempfile.mkdtemp(prefix="bpspark_shards_")
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % N_SHARDS).alias("shard")
+    )
+    (
+        docs.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("doc_id")
+        .select("shard", F.to_json(F.struct("doc_id", "text")).alias("line"))
+        .write.partitionBy("shard")
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .text(out)
+    )
+    manifest = {}
+    for d in sorted(_glob.glob(_os.path.join(out, "shard=*"))):
+        shard_id = int(d.rsplit("=", 1)[1])
+        h = _hashlib.sha256()
+        n_lines = 0
+        import gzip as _gzip
+
+        for f in sorted(_glob.glob(_os.path.join(d, "part-*"))):
+            with _gzip.open(f, "rb") as fh:
+                for line in fh:
+                    h.update(line)
+                    n_lines += 1
+        manifest[shard_id] = {"sha256": h.hexdigest(), "n_docs": n_lines}
+    with open(_os.path.join(out, "_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh, sort_keys=True)
+
+    # verification read: the SHARD FILES, not the source
+    back = spark.read.schema("doc_id bigint, text string").json(
+        [p for p in _glob.glob(_os.path.join(out, "shard=*/part-*"))]
+    )
+    return (
+        back.groupBy((F.col("doc_id") % N_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

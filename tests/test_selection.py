@@ -163,3 +163,22 @@ def test_naive_bayes_beats_chance(spark):
     acc = (pdf.predicted_lang == pdf.true_lang).mean()
     n_langs = pdf.true_lang.nunique()
     assert acc > 1.5 / n_langs, f"accuracy {acc:.3f} vs chance {1/n_langs:.3f}"
+
+
+def test_training_shards_bit_reproducible(spark):
+    """Two independent exports must produce byte-identical shards — the
+    manifest sha256s prove it (deterministic assignment + within-shard
+    doc_id ordering)."""
+    import glob
+    import json
+    import os
+
+    OPS["sink_training_shards"].fn(spark, SF_SMALL).collect()
+    OPS["sink_training_shards"].fn(spark, SF_SMALL).collect()
+    dirs = sorted(glob.glob("/tmp/bpspark_shards_*"), key=os.path.getmtime)[-2:]
+    manifests = [
+        json.load(open(os.path.join(d, "_MANIFEST.json"))) for d in dirs
+    ]
+    assert len(manifests) == 2 and manifests[0] == manifests[1]
+    assert len(manifests[0]) == 8
+    assert all(v["n_docs"] > 0 for v in manifests[0].values())
