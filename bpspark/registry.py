@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "cache_inmemory_columnar", "maintenance_delete_where_cow",
     "ml_naive_bayes_langid", "sql_pivot_clause", "fn_struct_field_surgery",
     "sink_compression_codecs", "sink_training_shards",
+    "q_new_vs_returning_users", "agg_sketch_hll_intersection",
     "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",

@@ -55,3 +55,22 @@ def test_sketch_mv_merge_equals_full_recompute(spark):
     assert rows
     for r in rows:
         assert r.merged_est == r.full_est, r
+
+
+def test_hll_intersection_estimate_within_bounds(spark):
+    """Inclusion-exclusion over HLL sketches: the overlap estimate must
+    land within ~3x the sketch's relative error of the exact overlap."""
+    import bpspark
+    from tests.conftest import SF_SMALL
+
+    row = (
+        bpspark.all_ops()["agg_sketch_hll_intersection"]
+        .fn(spark, SF_SMALL)
+        .collect()[0]
+    )
+    exact = row["exact_intersection"]
+    est = row["est_intersection"]
+    assert exact > 0
+    # default lgK=12 HLL: sigma ~1.6%; inclusion-exclusion compounds it,
+    # and small overlaps amplify relative error — allow a generous 25%
+    assert abs(est - exact) <= max(0.25 * exact, 10), (est, exact)
