@@ -1571,3 +1571,84 @@ def q_marketing_attribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("attributed_type")
     )
+
+
+@op(
+    "agg_welch_ttest",
+    sql="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sv,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 10000 AS svv
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.n AS n1, b.n AS n2,
+               a.sv / a.n AS m1, b.sv / b.n AS m2,
+               (a.svv - a.sv * a.sv / a.n) / (a.n - 1) AS var1,
+               (b.svv - b.sv * b.sv / b.n) / (b.n - 1) AS var2
+        FROM m a, m b
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(var1 / n1 + var2 / n2), 6) AS t_stat,
+           ROUND(POW(var1 / n1 + var2 / n2, 2)
+                 / (POW(var1 / n1, 2) / (n1 - 1) + POW(var2 / n2, 2) / (n2 - 1)),
+                 3) AS welch_df
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) — the A/B-testing
+    primitive — computed ENTIRELY from distributed exact moments: values
+    snap to centi-units per row (exact BIGINT Σv and Σv², so partial
+    aggregation is bit-exact regardless of partitioning), and the t
+    statistic + Welch–Satterthwaite df evaluate as one deterministic
+    IEEE expression on the two 3-number summaries. At 100 TB the test
+    costs one groupBy over the metric — experimentation platforms run
+    thousands of these per day as plain aggregates, never sampling to a
+    driver. Cross-engine: integer moment sums sidestep float
+    accumulation order entirely (stronger than agg_corr_regr's
+    rounded-sum form, which needs exact-decimal inputs)."""
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    v100 = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(v100).cast("double") / 100).alias("sv"),
+        (F.sum(v100 * v100).cast("double") / 10000).alias("svv"),
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("sv").alias("sv1"), F.col("svv").alias("svv1")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("sv").alias("sv2"), F.col("svv").alias("svv2")
+    )
+    j = a.crossJoin(b).select(
+        "n1",
+        "n2",
+        (F.col("sv1") / F.col("n1")).alias("m1"),
+        (F.col("sv2") / F.col("n2")).alias("m2"),
+        ((F.col("svv1") - F.col("sv1") * F.col("sv1") / F.col("n1")) / (F.col("n1") - 1)).alias("var1"),
+        ((F.col("svv2") - F.col("sv2") * F.col("sv2") / F.col("n2")) / (F.col("n2") - 1)).alias("var2"),
+    )
+    se2 = F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2")
+    return j.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("var2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            3,
+        ).alias("welch_df"),
+    )

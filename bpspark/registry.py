@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_naive_bayes_langid", "sql_pivot_clause", "fn_struct_field_surgery",
     "sink_compression_codecs", "sink_training_shards",
     "q_new_vs_returning_users", "agg_sketch_hll_intersection",
+    "agg_welch_ttest",
     "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
     "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",
