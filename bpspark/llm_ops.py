@@ -775,11 +775,13 @@ def _decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(out)
 
 
-@op("multimodal_columns", sql=None)
-def multimodal_columns(spark: SparkSession, sf: str) -> DataFrame:
+def multimodal_columns_typed(spark: SparkSession, sf: str) -> DataFrame:
     """One frame carrying text + binary payload + embedding vector + typed
     metadata struct — the multimodal row model. Binary payloads are the
-    utf-8 document bytes (deterministic stand-in for image blobs)."""
+    utf-8 document bytes (deterministic stand-in for image blobs). This is
+    the typed variant apps consume; the *registered* op below projects the
+    complex cells through to_json/sha2 because the correctness driver's
+    pandas canonicalizer cannot sort array/struct cells (r2 verdict #1)."""
     d = table(spark, sf, "documents")
     e = table(spark, sf, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
@@ -800,6 +802,25 @@ def multimodal_columns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@op("multimodal_columns", sql=None)
+def multimodal_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable projection of the multimodal row model: every
+    complex cell rendered scalar — binary payload → sha2 content hash,
+    struct meta → canonical JSON, embedding array → dim + sha2 of its JSON
+    rendering (stable: embeddings.parquet carries float32 values whose
+    repr round-trips deterministically through Spark's to_json). The typed
+    variant (multimodal_columns_typed) stays the app-facing surface."""
+    t = multimodal_columns_typed(spark, sf)
+    return t.select(
+        "doc_id",
+        "text",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.to_json("meta").alias("meta_json"),
+        F.size("embedding").alias("embedding_dim"),
+        F.sha2(F.encode(F.to_json("embedding"), "utf-8"), 256).alias("embedding_sha256"),
+    )
+
+
 @op("multimodal_decode_stub", sql=None)
 def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode over a binary column via mapInPandas (Arrow-
@@ -809,10 +830,18 @@ def multimodal_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
     (decode_ppm). Dimensions come from the image header, features from the
     decoded raster, and a sha256 of the raster pins content (golden-hash
     tests in tests/test_llm_ops.py). The op id keeps its round-1 name for
-    correctness-row continuity; the body is no longer a stub."""
+    correctness-row continuity; the body is no longer a stub. The histogram
+    feature vector is rendered as JSON in the registered output (the
+    driver's canonicalizer cannot sort array cells — r2 verdict #1)."""
     d = table(spark, sf, "documents")
     payloads = ppm_image_payloads(d)
-    return payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA).orderBy("doc_id")
+    feats = payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "width", "height",
+        F.round("feature_mean", 4).alias("feature_mean"),
+        F.to_json("feature_vec").alias("feature_vec_json"),
+        "content_sha256",
+    ).orderBy("doc_id")
 
 
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -841,11 +870,16 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image resize over binary payloads: PPM decode → grayscale →
     nearest-neighbor 8×8 thumbnail per row via mapInPandas, with a content
-    hash per thumbnail. (Op id keeps its round-1 name; no longer a stub.)"""
+    hash per thumbnail. (Op id keeps its round-1 name; no longer a stub.)
+    Registered output renders the thumbnail as JSON (driver canonicalizer
+    cannot sort array cells — r2 verdict #1)."""
     d = table(spark, sf, "documents")
     payloads = ppm_image_payloads(d)
-    return payloads.mapInPandas(
+    thumbs = payloads.mapInPandas(
         _resize_batches, "doc_id long, thumb_8x8 array<float>, thumb_sha256 string"
+    )
+    return thumbs.select(
+        "doc_id", F.to_json("thumb_8x8").alias("thumb_json"), "thumb_sha256"
     ).orderBy("doc_id")
 
 
@@ -869,6 +903,11 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("frame_no") * FRAME).alias("byte_offset"),
             F.substring(F.col("payload"), F.col("frame_no") * FRAME + 1, FRAME).alias("frame_bytes"),
         )
+        # hex-render the frame for the driver (binary cells sort, but a
+        # scalar string keeps the whole registered surface uniform and
+        # utf-8 safe); the slice expression above is the typed shape
+        .withColumn("frame_hex", F.hex("frame_bytes"))
+        .drop("frame_bytes")
         .orderBy("doc_id", "frame_no")
     )
 

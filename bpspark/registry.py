@@ -32,98 +32,129 @@ class Op:
 _REGISTRY: dict[str, Op] = {}
 
 # Driver-sweep priority. The correctness driver walks ``queries()`` in dict
-# order with a bounded budget (round 1 covered exactly the first 50
+# order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
-# Tiers:
-#   1. SURVEY §2.3 ops with no driver row yet (fn_*/udf_*/stream_*/llm §2.3
-#      + binary/pipeline sources) — cheap oracle-backed first, rows-only
-#      replays last within the tier;
-#   2. the LLM-data-pipeline family (graded first-class) — expression
-#      pipelines first, iterative/composed ops last;
-#   3. SURVEY §2.3 relational core (driver-verified in round 1 — re-verify);
-#   4. everything else in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier 1: §2.3 ops missing a driver correctness row after round 1
-    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_map",
-    "fn_array", "fn_json",
-    "udf_scalar_pandas", "udaf_grouped_pandas", "udtf_apply_in_pandas",
-    "udtf_map_in_pandas",
-    "dedup_exact_hash", "text_stats", "text_quality_filter",
-    "sim_cosine_topk", "dedup_near_minhash", "multimodal_columns",
-    "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
-    "stream_session_dynamic_gap",
-    "scan_binary_zip", "ingest_properties_zip", "sink_append_parquet",
-    "stream_static_join", "stream_watermark_late", "stream_dedup_state",
-    "stream_drop_folder", "sink_control_table",
-    # LLM dedup/similarity + text core (VERDICT r1's named bar: these
-    # families need driver rows; cheap oracle-backed first)
-    "dedup_exact_normalized", "dedup_token_sorted",
-    "dedup_embedding_cosine", "dedup_cluster_cc", "dedup_ngram_jaccard",
-    "sim_cosine_ivf", "sim_cosine_lsh",
-    "text_langid", "text_token_count_bpe", "text_fingerprint",
-    "text_normalize_clean", "text_pii_redact", "text_readability",
-    "text_tfidf_topterms", "text_feature_hashing",
-    # round-2 additions (oracle-backed, first driver row)
-    "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
-    "dedup_incremental_exact", "profile_distribution_drift",
-    "sink_zorder_clustered", "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh", "pipeline_governed_batch",
-    "scan_xml", "udf_scalar_arrow", "udtf_analyze_dynamic",
-    "sample_temperature_mixture", "graph_shortest_paths",
-    "stream_outer_interval_join", "sink_time_travel", "ml_linreg_normal",
-    "join_spatial_grid", "sink_vacuum_retention", "fn_winsorize",
-    "stream_scd_join", "meta_column_lineage", "meta_query_profile",
-    "sink_python_datasource",
-    "api_pandas_on_spark", "join_interval_overlap",
-    "text_perplexity_ngram", "text_repetition_signals",
-    "embedding_random_projection", "scan_data_skipping_minmax",
-    "dedup_substring_spans", "udtf_table_partition_by",
-    "sample_importance_dsir", "sample_perplexity_buckets",
-    "privacy_k_anonymize", "privacy_dp_counts",
-    "dedup_cluster_canonicalize",
-    "scan_agg_pushdown", "join_runtime_bloom_filter", "sql_group_by_all",
-    "text_inverted_index_search", "text_bm25_rank",
-    "profile_partition_skew", "maintenance_backfill_stale_partitions",
-    "q_marketing_attribution", "stream_state_introspection",
-    "udf_sql_declared", "q_exchange_reuse_self_join",
-    "maintenance_rf_refresh", "stream_chained_stateful",
-    "stream_session_timeout",
-    "sql_identifier_clause", "dedup_url_canonicalized",
-    # --- tier 2: remaining LLM-data-pipeline family + round-2 tail
-    "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
-    "scan_python_datasource", "stream_python_datasource",
-    "scan_python_datasource_pushdown",
+    # --- tier A: round-3 driver window (50 ops). Positions 1-2 are the two
+    # r2 canonicalizer-ERROR ops, now projecting complex cells to scalars;
+    # position 3 re-verifies join_asof_latest_prior (impl rewritten in r2
+    # AFTER its r1 driver row — VERDICT r2 "What's wrong" #3); the rest are
+    # the next never-driver-checked ops in r2 priority order.
+    "multimodal_columns", "ingest_properties_zip", "join_asof_latest_prior",
+    "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
+    "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
+    "udtf_analyze_dynamic", "sample_temperature_mixture",
+    "graph_shortest_paths", "stream_outer_interval_join", "sink_time_travel",
+    "ml_linreg_normal", "join_spatial_grid", "sink_vacuum_retention",
+    "fn_winsorize", "stream_scd_join", "meta_column_lineage",
+    "meta_query_profile", "sink_python_datasource", "api_pandas_on_spark",
+    "join_interval_overlap", "text_perplexity_ngram",
+    "text_repetition_signals", "embedding_random_projection",
+    "scan_data_skipping_minmax", "dedup_substring_spans",
+    "udtf_table_partition_by", "sample_importance_dsir",
+    "sample_perplexity_buckets", "privacy_k_anonymize", "privacy_dp_counts",
+    "dedup_cluster_canonicalize", "scan_agg_pushdown",
+    "join_runtime_bloom_filter", "sql_group_by_all",
+    "text_inverted_index_search", "text_bm25_rank", "profile_partition_skew",
+    "maintenance_backfill_stale_partitions", "q_marketing_attribution",
+    "stream_state_introspection", "udf_sql_declared",
+    "q_exchange_reuse_self_join", "maintenance_rf_refresh",
+    "stream_chained_stateful", "stream_session_timeout",
+    "sql_identifier_clause",
+    # --- tier B: remaining never-driver-checked ops (r4+ windows rotate
+    # from here; regenerate with tools/stale_ops.py --priority)
+    "dedup_url_canonicalized", "sink_merge_scd2", "join_temporal_validity",
+    "stream_mv_refresh", "scan_python_datasource",
+    "stream_python_datasource", "scan_python_datasource_pushdown",
     "cache_inmemory_columnar", "maintenance_delete_where_cow",
     "ml_naive_bayes_langid", "sql_pivot_clause", "fn_struct_field_surgery",
     "sink_compression_codecs", "sink_training_shards",
     "q_new_vs_returning_users", "agg_sketch_hll_intersection",
-    "agg_welch_ttest",
-    "text_ngram_freq", "text_vocab_stats", "text_bigram_lift",
-    "text_bpe_vocab_induction", "text_bpe_tokenize",
+    "agg_welch_ttest", "text_ngram_freq", "text_vocab_stats",
+    "text_bigram_lift", "text_bpe_vocab_induction", "text_bpe_tokenize",
     "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "er_resolve_entities", "rag_retrieval_eval",
+    "multimodal_video_frames", "er_resolve_entities", "rag_retrieval_eval",
     "embedding_l2_normalize", "embedding_centroid_per_label",
-    "embedding_quantize_int8",
-    "doc_split_chunks", "doc_decontaminate", "doc_pack_greedy",
-    "sim_knn_graph_ivf", "sim_ivf_recall_eval", "sim_ivf_index_persist",
-    "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
-    "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
-    "ml_logreg_gd", "pipeline_llm_corpus", "pipeline_web_corpus",
-    # --- tier 3: §2.3 relational core (round-1 driver-verified)
-    "scan_parquet", "project_rename_cast", "project_map_keys",
-    "filter_comparison", "filter_boolean_logic", "filter_isin",
-    "filter_like_regex", "filter_null_required", "filter_between_range",
-    "join_broadcast_dim", "join_shuffle_inner", "join_left_outer",
-    "join_semi_validate", "join_anti_dedup", "join_theta_range",
-    "join_asof_latest_prior", "join_cross_small",
-    "agg_group_sums", "agg_global", "agg_count_distinct",
-    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "distinct_rows",
-    "win_row_number_topk", "win_rank_dense", "win_lag_lead",
-    "win_running_sum", "win_moving_avg_range", "win_ntile_first_last",
-    "sort_multi_key", "limit_n", "topk_global",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "embedding_quantize_int8", "doc_split_chunks", "doc_decontaminate",
+    "doc_pack_greedy", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
+    "sim_ivf_index_persist", "embedding_pq_encode", "sim_pq_adc_search",
+    "dedup_semdedup", "dedup_simhash", "ml_kmeans_lloyd",
+    "ml_pca_top_component", "ml_logreg_gd", "pipeline_llm_corpus",
+    "pipeline_web_corpus", "set_except_all", "join_right_outer",
+    "reshape_unpivot", "fn_string_extra", "fn_try_cast", "win_mixed_frame",
+    "agg_approx_percentile", "win_percent_rank_cume", "fn_regex_extract_all",
+    "agg_collect_arrays", "sample_deterministic", "join_skew_salted",
+    "sql_end_to_end", "agg_mode", "join_range_bucketed", "agg_bool_and_or",
+    "win_ntile_bucketize", "agg_histogram_fixed", "win_time_range_interval",
+    "sample_stratified", "agg_weighted_avg", "win_first_last_ignore_nulls",
+    "win_nth_value", "agg_skew_kurt", "join_fuzzy_levenshtein",
+    "agg_gini_impurity", "win_cumulative_distinct", "sample_hash_mod",
+    "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
+    "join_bucketed_colocated", "sink_overwrite_dynamic",
+    "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",
+    "scan_dynamic_partition_pruning", "q_shipping_priority",
+    "q_nation_revenue", "q_top_parts_per_brand", "q_hypertable_rollup",
+    "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
+    "q_customer_order_distribution", "q_promo_revenue_share",
+    "q_small_quantity_revenue", "q_large_volume_customers",
+    "q_dormant_high_balance", "q_yoy_revenue_growth",
+    "q_nation_trade_volume", "q_market_share", "q_product_profit",
+    "q_returned_items", "q_priority_shipping_mix", "q_top_supplier",
+    "q_disjunctive_predicates", "q_waiting_orders", "q_revenue_forecast",
+    "q_min_cost_supplier", "q_important_parts", "q_parts_supplier_counts",
+    "q_dominant_suppliers", "q_basket_pairs", "q_duplicate_payment_check",
+    "q_percent_of_total", "ts_activity_grid", "join_nearest_event",
+    "q_repeat_purchase_30d", "fn_explode_unnest", "fn_arrays_zip",
+    "fn_array_hof", "fn_map_transform", "fn_url_parse", "fn_aes_roundtrip",
+    "reshape_nest_unnest", "fn_null_semantics", "fn_array_setops",
+    "fn_try_arith", "fn_trig", "fn_iso8601_duration", "fn_format_output",
+    "scan_jsonlines", "scan_csv", "scan_orc", "scan_schema_evolution",
+    "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
+    "pipeline_idempotent_rerun", "pipeline_observe_metrics",
+    "stream_stateful_counter", "stream_ingest_pipeline",
+    "stream_interval_join", "stream_dedup_within_watermark",
+    "sessionize_batch", "ts_gapfill_locf", "ts_ohlc_hourly",
+    "ts_scd2_intervals", "ts_gaps_islands", "join_asof_tolerance", "ts_ewma",
+    "ts_anomaly_iqr", "udtf_python_native", "udtf_map_in_arrow",
+    "udf_sql_registered", "sql_recursive_cte", "join_lateral_topn",
+    "q_retention_cohorts", "q_event_funnel", "ts_interpolate_linear",
+    "profile_summary_stats", "agg_sketch_hll", "agg_sketch_count_min",
+    "agg_bitmap_distinct", "fn_xml_xpath", "fn_variant_json",
+    "fn_string_collation", "sql_correlated_scalar", "profile_crosstab",
+    "sql_pipe_syntax", "sql_parameterized", "graph_pagerank",
+    "graph_triangle_count", "graph_degree_distribution",
+    # --- tier C: ops with a valid driver row from r1/r2 (re-verify last)
+    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_map",
+    "fn_array", "fn_json", "udf_scalar_pandas", "udaf_grouped_pandas",
+    "udtf_apply_in_pandas", "udtf_map_in_pandas", "dedup_exact_hash",
+    "text_stats", "text_quality_filter", "sim_cosine_topk",
+    "dedup_near_minhash", "stream_tumbling_count", "stream_sliding_agg",
+    "stream_session_window", "stream_session_dynamic_gap", "scan_binary_zip",
+    "sink_append_parquet", "stream_static_join", "stream_watermark_late",
+    "stream_dedup_state", "stream_drop_folder", "sink_control_table",
+    "dedup_exact_normalized", "dedup_token_sorted", "dedup_embedding_cosine",
+    "dedup_cluster_cc", "dedup_ngram_jaccard", "sim_cosine_ivf",
+    "sim_cosine_lsh", "text_langid", "text_token_count_bpe",
+    "text_fingerprint", "text_normalize_clean", "text_pii_redact",
+    "text_readability", "text_tfidf_topterms", "text_feature_hashing",
+    "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
+    "dedup_incremental_exact", "profile_distribution_drift",
+    "sink_zorder_clustered", "scan_parquet", "project_rename_cast",
+    "project_map_keys", "filter_comparison", "filter_boolean_logic",
+    "filter_isin", "filter_like_regex", "filter_null_required",
+    "filter_between_range", "join_broadcast_dim", "join_shuffle_inner",
+    "join_left_outer", "join_semi_validate", "join_anti_dedup",
+    "join_theta_range", "join_cross_small", "agg_group_sums", "agg_global",
+    "agg_count_distinct", "agg_approx_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "distinct_rows", "win_row_number_topk",
+    "win_rank_dense", "win_lag_lead", "win_running_sum",
+    "win_moving_avg_range", "win_ntile_first_last", "sort_multi_key",
+    "limit_n", "topk_global", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "agg_pivot", "join_full_outer",
+    "agg_min_by_max_by", "agg_string_concat_ordered", "agg_percentile_exact",
+    "agg_stddev_stable", "gen_calendar_dim", "fn_bitwise", "fn_hash_encode",
+    "fn_date_arith", "set_intersect_all",
 )
 
 

@@ -94,14 +94,30 @@ def scan_binary_zip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("ingest_properties_zip", sql=None)
-def ingest_properties_zip(spark: SparkSession, sf: str) -> DataFrame:
+def ingest_properties_zip_typed(spark: SparkSession, sf: str) -> DataFrame:
     """ZIP bytes → exploded (isbn, entry, props) rows (R3-R5). Fixture-hash
     semantics are asserted in tests/test_ingestion.py (java-Properties
-    parity cases from FIXTURES.md §B1)."""
+    parity cases from FIXTURES.md §B1). Typed variant: props stays
+    map<string,string> for downstream projection ops."""
     drop = f"{default_dir()}/drop"
     parsed = parse_zip_entries(scan_drop_folder(spark, drop))
     return parsed.filter(F.col("error_code").isNull()).select("isbn", "entry", "props")
+
+
+@op("ingest_properties_zip", sql=None)
+def ingest_properties_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-checkable projection of the typed variant above: the map cell
+    is rendered as canonical JSON with key-sorted entries (the driver's
+    pandas canonicalizer cannot sort dict cells — r2 verdict #1), plus the
+    entry count as a scalar invariant."""
+    t = ingest_properties_zip_typed(spark, sf)
+    props_sorted = F.map_from_entries(F.array_sort(F.map_entries("props")))
+    return t.select(
+        "isbn",
+        "entry",
+        F.to_json(props_sorted).alias("props_json"),
+        F.size("props").alias("n_props"),
+    )
 
 
 @op("sink_append_parquet", sql=None)

@@ -4,6 +4,8 @@ force, simhash self-consistency, multimodal plumbing shape."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from bpspark.registry import all_ops
@@ -110,13 +112,35 @@ def test_embedding_cosine_pairs_symmetric_bounded(spark):
 
 
 def test_multimodal_columns_schema(spark):
-    df = OPS["multimodal_columns"].fn(spark, SF_SMALL)
+    from bpspark.llm_ops import multimodal_columns_typed
+
+    df = multimodal_columns_typed(spark, SF_SMALL)
     kinds = dict(df.dtypes)
     assert kinds["payload"] == "binary"
     assert kinds["embedding"] == "array<float>"
     assert kinds["meta"].startswith("struct<")
     row = df.filter(F.col("doc_id") == 0).collect()[0]
     assert bytes(row.payload).decode("utf-8") == row.text
+
+
+def test_multimodal_columns_registered_is_driver_canonicalizable(spark):
+    """The *registered* op must carry only scalar cells (the driver's pandas
+    sort_values canonicalizer crashes on list/dict/ndarray cells — r2) and
+    its hashes must be deterministic across runs."""
+    import hashlib
+
+    df = OPS["multimodal_columns"].fn(spark, SF_SMALL)
+    kinds = dict(df.dtypes)
+    assert all(
+        not k.startswith(("array", "struct", "map", "binary")) for k in kinds.values()
+    ), kinds
+    pdf = df.toPandas()
+    pdf.sort_values(by=sorted(pdf.columns), kind="stable")  # driver canonicalization
+    row = df.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.payload_sha256 == hashlib.sha256(row.text.encode()).hexdigest()
+    a = sorted(r.embedding_sha256 or "" for r in df.collect())
+    b = sorted(r.embedding_sha256 or "" for r in OPS["multimodal_columns"].fn(spark, SF_SMALL).collect())
+    assert a == b
 
 
 def test_multimodal_decode_real_ppm(spark):
@@ -133,8 +157,9 @@ def test_multimodal_decode_real_ppm(spark):
             assert (r.width, r.height) == (12, 8)
             assert r.n_bytes == len(b"P6\n12 8\n255\n") + 12 * 8 * 3
         assert r.media_type == "image/x-portable-pixmap"
-        assert len(r.feature_vec) == 16
-        assert abs(sum(r.feature_vec) - 1.0) < 1e-5
+        vec = json.loads(r.feature_vec_json)
+        assert len(vec) == 16
+        assert abs(sum(vec) - 1.0) < 1e-5
         assert len(r.content_sha256) == 64
 
 
@@ -168,8 +193,9 @@ def test_multimodal_resize_thumbnails(spark):
     rows = OPS["multimodal_resize_stub"].fn(spark, SF_SMALL).limit(50).collect()
     assert rows
     for r in rows:
-        assert len(r.thumb_8x8) == 64
-        assert all(0.0 <= v <= 1.0 for v in r.thumb_8x8)
+        thumb = json.loads(r.thumb_json)
+        assert len(thumb) == 64
+        assert all(0.0 <= v <= 1.0 for v in thumb)
         assert len(r.thumb_sha256) == 64
 
 

@@ -51,6 +51,14 @@ def main() -> None:
         t0 = time.monotonic()
         try:
             pdf = fn(spark, sf_dir).toPandas()
+            # The grading driver canonicalizes EVERY output (rows-only too)
+            # with a pandas multi-column sort; list/dict/ndarray cells make
+            # its factorize step throw `unhashable type` (r2: the crashes on
+            # multimodal_columns / ingest_properties_zip never produced even
+            # a row count). Reproduce that here so the class of defect fails
+            # locally instead of only in the driver.
+            if len(pdf.columns):
+                pdf.sort_values(by=sorted(pdf.columns), kind="stable")
             if name in o:
                 probs = compare_frames(pdf, con.sql(o[name]).df(), name)
                 status = "pass" if not probs else "FAIL"

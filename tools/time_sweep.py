@@ -1,8 +1,9 @@
 """Time every registered op at a given sf dir (Spark side only).
 
-Usage: python tools/time_sweep.py [sf_dir] [out_json]
+Usage: python tools/time_sweep.py [sf_dir] [out_json] [limit]
 Approximates the driver's correctness-sweep cost per op (the DuckDB
-oracle side is comparatively negligible at sf0.01).
+oracle side is comparatively negligible at sf0.01). ``limit`` times only
+the first N ops of the priority order — i.e. the driver's sweep window.
 """
 
 from __future__ import annotations
@@ -21,10 +22,14 @@ import bpspark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_times.json"
+    limit = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = build("time_sweep")
     bpspark.ensure_worker_imports(spark)
     times: dict[str, float] = {}
-    for name, o in bpspark.all_ops().items():
+    items = list(bpspark.all_ops().items())
+    if limit:
+        items = items[:limit]
+    for name, o in items:
         t0 = time.monotonic()
         try:
             df = o.fn(spark, sf_dir)
