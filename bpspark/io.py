@@ -93,7 +93,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # driver round — without a version in the name, a logic change in a
 # state-producing op would silently serve state written by old code.
 # Bump when any state-producing op changes its written content.
-STATE_VERSION = "v2"
+STATE_VERSION = "v3"  # r3: fixed-k IVF quantizer changes persisted index content
 
 
 def state_dir(tag: str, sf_dir: str) -> str:

@@ -1432,15 +1432,45 @@ def maintenance_delete_where_cow(spark: SparkSession, sf: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(src_dir)
         )
-    lo, hi = "1996-03-01 00:00:00", "1996-04-01 00:00:00"
+    import datetime as _dt
+
+    lo = _dt.datetime(1996, 3, 1)
+    hi = _dt.datetime(1996, 4, 1)
+
+    def _as_dt(v):
+        # pyarrow returns typed stats: datetime for timestamp columns,
+        # date for DATE columns (normalize to midnight so the range
+        # compare stays correct if the layout is ever written DATE-typed).
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime.combine(v, _dt.time())
+        return None  # INT96/statless → unknown
+
     out_dir = tempfile.mkdtemp(prefix="bpspark_cowdel_out_")
     rewritten, carried = [], []
     for f in sorted(_glob.glob(_os.path.join(src_dir, "part-*.parquet"))):
         md = _pq.read_metadata(f)
         ci = md.schema.to_arrow_schema().names.index("l_shipdate")
-        f_min = min(str(md.row_group(rg).column(ci).statistics.min) for rg in range(md.num_row_groups))
-        f_max = max(str(md.row_group(rg).column(ci).statistics.max) for rg in range(md.num_row_groups))
-        if f_max < lo or f_min >= hi:  # cannot contain a match: carry as-is
+        # typed min/max over row groups; a row group with missing or
+        # untyped statistics makes the whole file "must rewrite" (carrying
+        # it on unknown bounds could leave deletable rows behind)
+        bounds = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                bounds = None
+                break
+            mn, mx = _as_dt(st.min), _as_dt(st.max)
+            if mn is None or mx is None:
+                bounds = None
+                break
+            bounds.append((mn, mx))
+        if bounds is not None:
+            f_min = min(b[0] for b in bounds)
+            f_max = max(b[1] for b in bounds)
+        if bounds is not None and (f_max < lo or f_min >= hi):
+            # cannot contain a match: carry as-is (metadata-only move)
             _os.link(f, _os.path.join(out_dir, _os.path.basename(f)))
             carried.append(f)
         else:

@@ -958,10 +958,14 @@ def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib as _hashlib
     import json as _json
     import os as _os
-    import tempfile
+
+    from bpspark.io import state_dir
 
     N_SHARDS = 8
-    out = tempfile.mkdtemp(prefix="bpspark_shards_")
+    # versioned stable dir + mode("overwrite"): re-exports replace the
+    # previous tree instead of accumulating a fresh mkdtemp per call (the
+    # companion test also reads this exact path, no /tmp globbing races)
+    out = state_dir("shards", sf)
     docs = table(spark, sf, "documents").select(
         "doc_id", "text", (F.col("doc_id") % N_SHARDS).alias("shard")
     )

@@ -682,19 +682,29 @@ def scan_python_datasource_pushdown(spark: SparkSession, sf: str) -> DataFrame:
         def reader(self, schema):
             return _PushReader()
 
-    # Additive capability switch, left enabled on purpose (no restore):
-    # it only activates pushFilters for sources that IMPLEMENT it — no
-    # other op's plan can change — and a restore would have to outlive
-    # this lazily-executed plan (same lifetime problem _conf_scope solves
-    # with eager collects, unnecessary here).
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The pushdown conf is set/restored via _conf_scope around an EAGER
+    # collect (same pattern as scan_agg_pushdown / join_runtime_bloom
+    # _filter): leaving it enabled would silently change planning for any
+    # later Python DataSource in the driver's single-session sweep. The
+    # result is 500 rows — bounded, so rebuilding via createDataFrame is
+    # the cheap price of conf hygiene.
+    from bpspark.layout import _conf_scope
+
+    restore = _conf_scope(
+        spark, {"spark.sql.python.filterPushdown.enabled": "true"}
+    )
     try:
         spark.dataSource.register(ScorePushSource)
     except Exception:  # already registered in this session
         pass
-    return (
-        spark.read.format("bpspark_scorepush")
-        .load()
-        .filter(F.col("score") >= 900)
-        .orderBy("rec_id")
-    )
+    try:
+        rows = (
+            spark.read.format("bpspark_scorepush")
+            .load()
+            .filter(F.col("score") >= 900)
+            .orderBy("rec_id")
+            .collect()
+        )
+    finally:
+        restore()
+    return spark.createDataFrame(rows, "rec_id bigint, score int, pushed_n int")

@@ -105,6 +105,33 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_quantizer_size_sublinear_in_corpus(spark):
+    """r2 verdict #2: the collected quantizer must be O(k·d) with k ≈ √n
+    capped at IVF_MAX_K — NOT linear in corpus rows. 4× the corpus must
+    give ~2× the centroids (√ growth), and k can never exceed the cap."""
+    import math
+
+    from bpspark.io import table
+    from bpspark.llm_ops import IVF_MAX_K, _ivf_centroid_literal, _ivf_target_k, _with_norm
+
+    e = _with_norm(table(spark, SF_SMALL, "embeddings"))
+    n = e.count()
+    assert _ivf_target_k(n) == max(4, min(IVF_MAX_K, math.isqrt(n)))
+    # k for 4x the rows is ~2x, not 4x (sublinear growth)
+    assert _ivf_target_k(4 * n) <= 2 * _ivf_target_k(n) + 1
+    # and it saturates at the hard cap regardless of corpus size (100 TB)
+    assert _ivf_target_k(10**12) == IVF_MAX_K
+    # the literal actually collected matches the target (Lloyd refinement
+    # may only ever shrink it by dropping empty cells)
+    _lit, k = _ivf_centroid_literal(e, train_iters=0)
+    assert k == _ivf_target_k(n)
+    _lit2, k2 = _ivf_centroid_literal(e, train_iters=IVF_TRAIN_ITERS_DEFAULT)
+    assert k2 <= _ivf_target_k(n)
+
+
+IVF_TRAIN_ITERS_DEFAULT = 2
+
+
 def test_embedding_cosine_pairs_symmetric_bounded(spark):
     rows = OPS["dedup_embedding_cosine"].fn(spark, SF_SMALL).collect()
     assert all(r.vec_a < r.vec_b for r in rows)
@@ -286,14 +313,23 @@ def test_knn_graph_shape_and_no_self_loops(spark):
 
 
 def test_ivf_recall_eval_single_row_high_recall(spark):
-    """Self-evaluating recall op: one row, and at sf0.001 (6-centroid
-    quantizer, nprobe=4 probes most of the corpus) recall must be high."""
+    """Self-evaluating recall op: one row. With the fixed-k quantizer
+    (k=√n=22 at sf0.001) and nprobe=4, the candidate pool is ~18% of the
+    isotropic corpus — the adversarial shape where recall is necessarily
+    ∝ fraction scanned. The assertion pins (a) the measured operating
+    point (0.53, floor 0.45) and (b) that clustering beats the
+    no-structure baseline (recall ≥ 2× candidate fraction) — i.e. the
+    quantizer is doing real work, not random partitioning."""
     rows = OPS["sim_ivf_recall_eval"].fn(spark, SF_SMALL).collect()
     assert len(rows) == 1
     r = rows[0]
     assert r.truth_pairs == 5 * r.n_queries
     assert r.hit_pairs <= r.truth_pairs
-    assert r.recall_at_5 >= 0.8, f"recall {r.recall_at_5} too low at sf0.001"
+    candidate_frac = 4 / 22  # nprobe / k at this scale
+    assert r.recall_at_5 >= 0.45, f"recall {r.recall_at_5} too low at sf0.001"
+    assert r.recall_at_5 >= 2 * candidate_frac, (
+        f"recall {r.recall_at_5} no better than random bucketing"
+    )
 
 
 def test_bpe_vocab_induction_deterministic_and_wellformed(spark):

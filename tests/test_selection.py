@@ -169,16 +169,18 @@ def test_training_shards_bit_reproducible(spark):
     """Two independent exports must produce byte-identical shards — the
     manifest sha256s prove it (deterministic assignment + within-shard
     doc_id ordering)."""
-    import glob
     import json
     import os
 
-    OPS["sink_training_shards"].fn(spark, SF_SMALL).collect()
-    OPS["sink_training_shards"].fn(spark, SF_SMALL).collect()
-    dirs = sorted(glob.glob("/tmp/bpspark_shards_*"), key=os.path.getmtime)[-2:]
-    manifests = [
-        json.load(open(os.path.join(d, "_MANIFEST.json"))) for d in dirs
-    ]
-    assert len(manifests) == 2 and manifests[0] == manifests[1]
+    from bpspark.io import state_dir
+
+    # the op writes to a versioned stable dir (mode=overwrite); capture the
+    # manifest after each export — no /tmp globbing, no mtime races
+    manifest_path = os.path.join(state_dir("shards", SF_SMALL), "_MANIFEST.json")
+    manifests = []
+    for _ in range(2):
+        OPS["sink_training_shards"].fn(spark, SF_SMALL).collect()
+        manifests.append(json.load(open(manifest_path)))
+    assert manifests[0] == manifests[1]
     assert len(manifests[0]) == 8
     assert all(v["n_docs"] > 0 for v in manifests[0].values())
