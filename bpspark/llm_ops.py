@@ -2328,7 +2328,27 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bpe_learn_impl(spark: SparkSession, sf: str) -> list:
+def _bpe_learn_impl(
+    spark: SparkSession, sf: str, n_merges: int = _BPE_MERGES, batch: int = 1
+) -> list:
+    """Distributed BPE merge learning.
+
+    ``batch=1`` (the registered ops' setting) is EXACT greedy BPE: one
+    distributed pair-count per merge, one argmax row to the driver.
+
+    ``batch>1`` is the production-vocab path (VERDICT r2 #4): each
+    distributed pass collects the top ``4*batch`` candidate pairs and
+    greedily keeps up to ``batch`` of them that are SYMBOL-DISJOINT (no
+    selected pair shares a symbol with an earlier selection in the same
+    pass — a merge can only change the counts of pairs that touch its
+    symbols, so disjoint pairs' counts are mutually unaffected except
+    through adjacency chains that the disjointness screen also blocks).
+    All kept merges apply in ONE map-side regexp pass. Cost model:
+    ceil(k / batch) Spark jobs and O(batch) driver rows per pass — a 30k
+    merge vocab at batch=256 is ~120 passes, vs 30k sequential jobs for
+    pure greedy. The deviation from pure greedy is the standard batched-
+    trainer compromise (ranks within a pass follow count order, and a
+    pair suppressed by disjointness is re-counted next pass)."""
     import re as _re
 
     words = (
@@ -2356,9 +2376,10 @@ def _bpe_learn_impl(spark: SparkSession, sf: str) -> list:
     ).localCheckpoint()
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, _BPE_MERGES + 1):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         arr = F.split(F.col("syms"), " ")
-        pairs = (
+        cands = (
             sym.filter(F.size(arr) >= 2)
             .select(
                 F.explode(
@@ -2373,20 +2394,36 @@ def _bpe_learn_impl(spark: SparkSession, sf: str) -> list:
             .groupBy("pair")
             .agg(F.sum("wn").alias("w"))
             .orderBy(F.col("w").desc(), F.col("pair"))
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
-        if not pairs:
+        if not cands:
             break
-        pair, w = pairs[0]["pair"], int(pairs[0]["w"])
-        left, right = pair.split(" ", 1)
-        merged = left + right
-        merges.append((rank, left, right, merged, w))
-        pat = r"(?<=^|\s)" + _re.escape(left) + r"\s" + _re.escape(right) + r"(?=\s|$)"
-        sym = sym.select(
-            F.regexp_replace("syms", pat, merged.replace("\\", "\\\\").replace("$", r"\$")).alias("syms"),
-            "wn",
-        ).localCheckpoint()  # truncate the 8-round lineage
+        # greedy symbol-disjoint selection within the pass
+        used: set[str] = set()
+        selected: list[tuple[str, str, int]] = []
+        for r in cands:
+            if len(selected) >= want:
+                break
+            left, right = r["pair"].split(" ", 1)
+            if left in used or right in used:
+                continue
+            selected.append((left, right, int(r["w"])))
+            used.update((left, right, left + right))
+        pats = []
+        for left, right, w in selected:
+            merged = left + right
+            merges.append((len(merges) + 1, left, right, merged, w))
+            pats.append(
+                (
+                    r"(?<=^|\s)" + _re.escape(left) + r"\s" + _re.escape(right) + r"(?=\s|$)",
+                    merged.replace("\\", "\\\\").replace("$", r"\$"),
+                )
+            )
+        col = F.col("syms")
+        for pat, rep in pats:  # one chained map-side projection, no shuffle
+            col = F.regexp_replace(col, pat, rep)
+        sym = sym.select(col.alias("syms"), "wn").localCheckpoint()
 
     return merges
 

@@ -332,6 +332,28 @@ def test_ivf_recall_eval_single_row_high_recall(spark):
     )
 
 
+def test_bpe_batched_merges_beyond_default_bound(spark):
+    """VERDICT r2 #4: merge counts beyond _BPE_MERGES run in BATCHED mode —
+    ceil(k/batch) distributed passes instead of k driver round-trips. The
+    batched trainer must (a) produce the requested merge count, (b) stay
+    deterministic, (c) emit well-formed symbol-disjoint-per-pass merges,
+    and (d) agree with exact greedy on the very first merge (the top pair
+    of pass 1 is selected first in both modes)."""
+    from bpspark.llm_ops import _BPE_MERGES, _bpe_learn_impl
+
+    k = _BPE_MERGES * 3
+    batched1 = _bpe_learn_impl(spark, SF_SMALL, n_merges=k, batch=8)
+    batched2 = _bpe_learn_impl(spark, SF_SMALL, n_merges=k, batch=8)
+    assert batched1 == batched2
+    assert [m[0] for m in batched1] == list(range(1, len(batched1) + 1))
+    assert len(batched1) == k
+    for _rank, left, right, merged, w in batched1:
+        assert merged == left + right
+        assert w > 0
+    greedy = _bpe_learn_impl(spark, SF_SMALL, n_merges=1, batch=1)
+    assert batched1[0][1:] == greedy[0][1:]
+
+
 def test_bpe_vocab_induction_deterministic_and_wellformed(spark):
     """BPE merge learning: ranks are 1..k, merged token = left+right,
     weights positive, and the greedy argmax (lexicographic tie-break)

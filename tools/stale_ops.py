@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Driver-row staleness tracker (VERDICT r2 item 7).
+
+A driver CORRECTNESS row certifies the op's code AS OF the round snapshot
+that the driver swept — if the implementation changes afterwards, the row
+is stale and the op needs re-verification (this is exactly what happened
+to join_asof_latest_prior in round 2). This tool makes that mechanical:
+
+  build-manifest  --round N --rev REV --correctness FILE [...]
+      For each round, hash every op's source (inspect.getsource(fn) + the
+      oracle SQL) at the given git rev (via a throwaway `git worktree`),
+      keep the hash for ops that got a VALID driver row in that round's
+      CORRECTNESS file (err == null or a rows-only "no_oracle"), and write
+      tools/driver_row_manifest.json (later rounds win).
+
+  stale  (default)
+      Compare current op source hashes against the manifest. Prints three
+      lists: STALE (valid driver row, source changed since), FRESH (row
+      still certifies the code), NEVER (no valid driver row yet). The
+      STALE + NEVER union, in registry priority order, is the next sweep
+      window candidate set.
+
+Limitation: the hash covers the op FUNCTION body + oracle SQL, not shared
+helpers it calls — an op whose behavior changed purely through a helper
+edit (e.g. _ivf_centroid_literal) won't flag unless its own body changed
+too. When editing a shared helper, grep its callers and treat their rows
+as stale manually.
+
+Usage:
+  python tools/stale_ops.py                    # report staleness
+  python tools/stale_ops.py build-manifest \
+      --round 1 --rev 9b82fee --correctness CORRECTNESS_r01.json \
+      --round 2 --rev 5fe460e --correctness CORRECTNESS_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "tools", "driver_row_manifest.json")
+
+# Runs inside a worktree checkout (old revs included) — keep it compatible
+# with every registry version since round 1.
+_HASH_SNIPPET = r"""
+import hashlib, inspect, json, sys
+sys.path.insert(0, {repo!r})
+from bpspark.registry import all_ops
+out = {{}}
+for name, op in all_ops().items():
+    try:
+        src = inspect.getsource(op.fn)
+    except OSError:
+        src = ""
+    h = hashlib.sha256((src + "\x00" + (op.sql or "")).encode()).hexdigest()
+    out[name] = h
+print(json.dumps(out))
+"""
+
+
+def hash_ops_at(repo_dir: str) -> dict[str, str]:
+    """Source hash per op for the bpspark tree rooted at ``repo_dir``."""
+    res = subprocess.run(
+        [sys.executable, "-c", _HASH_SNIPPET.format(repo=repo_dir)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def hash_ops_at_rev(rev: str) -> dict[str, str]:
+    wt = tempfile.mkdtemp(prefix="bpspark_staleck_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, rev],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    try:
+        return hash_ops_at(wt)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, check=True, capture_output=True,
+        )
+
+
+def valid_rows(correctness_path: str) -> set[str]:
+    """Ops whose driver row actually certifies something: a hash/rows match
+    attempt ran (err null) or the rows-only path recorded a count
+    (err == 'no_oracle' with spark_rows populated)."""
+    data = json.load(open(correctness_path))
+    ok = set()
+    for name, row in data.items():
+        err = row.get("err")
+        if err is None:
+            ok.add(name)
+        elif str(err).strip() == "no_oracle" and row.get("spark_rows") is not None:
+            ok.add(name)
+    return ok
+
+
+def cmd_build_manifest(rounds: list[tuple[int, str, str]]) -> None:
+    manifest: dict[str, dict] = {}
+    for rnd, rev, cfile in sorted(rounds):
+        hashes = hash_ops_at_rev(rev)
+        for name in sorted(valid_rows(cfile)):
+            if name not in hashes:
+                print(f"  warn: r{rnd} row for {name} but op absent at {rev}")
+                continue
+            manifest[name] = {"round": rnd, "rev": rev, "source_hash": hashes[name]}
+    with open(MANIFEST, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"wrote {MANIFEST}: {len(manifest)} ops with valid driver rows")
+
+
+def cmd_stale() -> None:
+    if not os.path.exists(MANIFEST):
+        sys.exit(f"{MANIFEST} missing — run build-manifest first")
+    manifest = json.load(open(MANIFEST))
+    current = hash_ops_at(REPO)
+    stale = [
+        n for n, h in current.items()
+        if n in manifest and manifest[n]["source_hash"] != h
+    ]
+    fresh = [
+        n for n, h in current.items()
+        if n in manifest and manifest[n]["source_hash"] == h
+    ]
+    never = [n for n in current if n not in manifest]
+    print(f"FRESH  ({len(fresh)}): driver row still certifies current code")
+    print(f"NEVER  ({len(never)}): no valid driver row yet")
+    print(f"STALE  ({len(stale)}): impl changed AFTER its driver row — re-verify:")
+    for n in stale:
+        print(f"  {n}  (row from r{manifest[n]['round']} @ {manifest[n]['rev']})")
+    print(
+        "\nnext-window candidates (registry priority order): "
+        + ", ".join([n for n in current if n in set(stale) | set(never)][:50])
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd")
+    bm = sub.add_parser("build-manifest")
+    bm.add_argument("--round", type=int, action="append", required=True)
+    bm.add_argument("--rev", action="append", required=True)
+    bm.add_argument("--correctness", action="append", required=True)
+    sub.add_parser("stale")
+    args = ap.parse_args()
+    if args.cmd == "build-manifest":
+        if not (len(args.round) == len(args.rev) == len(args.correctness)):
+            ap.error("--round/--rev/--correctness must repeat together")
+        cmd_build_manifest(list(zip(args.round, args.rev, args.correctness)))
+    else:
+        cmd_stale()
+
+
+if __name__ == "__main__":
+    main()
