@@ -37,7 +37,6 @@ def load_all() -> None:
     import bpspark.search  # noqa: F401
     import bpspark.udfs  # noqa: F401
     import bpspark.sql_features  # noqa: F401
-    import bpspark.tpch  # noqa: F401
     import bpspark.graph  # noqa: F401
     import bpspark.lineage  # noqa: F401
 

@@ -63,13 +63,6 @@ _PRIORITY: tuple[str, ...] = (
     "sql_identifier_clause",
     # --- tier B: remaining never-driver-checked ops (r4+ windows rotate
     # from here; regenerate with tools/stale_ops.py --priority)
-    # round-3 additions: TPC-H-derived decision-support suite (bpspark/tpch.py)
-    "tpch_q01_pricing_summary", "tpch_q03_shipping_priority",
-    "tpch_q05_local_supplier_volume", "tpch_q06_forecast_revenue",
-    "tpch_q07_volume_shipping", "tpch_q08_market_share",
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
     "dedup_url_canonicalized", "sink_merge_scd2", "join_temporal_validity",
     "stream_mv_refresh", "scan_python_datasource",
     "stream_python_datasource", "scan_python_datasource_pushdown",

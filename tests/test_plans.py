@@ -832,41 +832,3 @@ def test_delete_where_cow_leaves_nonmatching_files_untouched(spark):
     assert linked, "no file was carried untouched"
     assert len(linked) < len(files), "every file linked — deletion touched nothing?"
 
-
-def test_tpch_q01_partial_agg_and_pushdown(spark):
-    """Q1 must be the scan-bound shape: pushed shipdate filter, pruned
-    columns (7 of 11), partial+final hash aggregate."""
-    plan = plan_of(spark, "tpch_q01_pricing_summary")
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
-    rs = next(line for line in plan.splitlines() if "ReadSchema" in line)
-    assert "l_orderkey" not in rs and "l_partkey" not in rs and "l_suppkey" not in rs
-    assert plan.count("HashAggregate") >= 2
-
-
-def test_tpch_q03_broadcasts_filtered_customer(spark):
-    """The segment-filtered customer side must broadcast; the only
-    shuffle join is orders x lineitem."""
-    plan = plan_of(spark, "tpch_q03_shipping_priority")
-    assert plan.count("BroadcastHashJoin") >= 1
-    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
-    # top-10 must be TakeOrdered, not a global sort materialization
-    assert "TakeOrderedAndProject" in plan
-
-
-def test_tpch_q05_single_fact_shuffle_per_side(spark):
-    """Six-way join: supplier/nation/region collapse into broadcasts;
-    only orders/lineitem/customer move through exchanges."""
-    plan = plan_of(spark, "tpch_q05_local_supplier_volume")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
-
-
-def test_tpch_q18_having_prunes_before_join(spark):
-    """The per-order quantity aggregate and its >140 filter must sit
-    BELOW the joins (decorrelated IN-subquery), so only qualifying
-    orders enter the wide join."""
-    plan = plan_of(spark, "tpch_q18_large_volume_customer")
-    agg_pos = plan.find("HashAggregate")
-    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
-    assert agg_pos != -1 and join_pos != -1
-    assert "TakeOrderedAndProject" in plan
