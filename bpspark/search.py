@@ -160,3 +160,170 @@ def text_bm25_rank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+_RRF_K = 60       # standard RRF dampening constant (Cormack et al. 2009)
+_RRF_TOPC = 20    # candidates taken from each retriever before fusion
+_RRF_QVEC = 0     # vec_id whose embedding is the dense query
+
+
+@op(
+    "search_hybrid_rrf",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS tot_len FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok IN {_QUERY_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm25 AS (
+        SELECT tf.doc_id, ROUND(SUM(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
+               ), 6) AS s
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM (SELECT * FROM bm25 ORDER BY s DESC, doc_id LIMIT {_RRF_TOPC})
+    ),
+    q AS (
+        SELECT embedding AS qe,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id = {_RRF_QVEC}
+    ),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_sum(list_transform(list_zip(embedding, q.qe),
+                     t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn), 6) AS s
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> {_RRF_QVEC}
+    ),
+    den AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM (SELECT * FROM cos ORDER BY s DESC, doc_id LIMIT {_RRF_TOPC})
+    )
+    SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + lex.r), 0)
+               + COALESCE(1.0 / ({_RRF_K} + den.r), 0), 6) AS rrf
+    FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009,
+    the fusion rule behind most production BM25+vector search): the
+    lexical leg is the BM25 plan above, the dense leg is cosine
+    similarity against one query embedding, each leg keeps its top-20 via
+    distributed TakeOrdered, ranks are assigned WITHIN those bounded
+    candidate sets (40 rows — window cost is nil and deterministic:
+    6dp-rounded score then doc_id), and RRF sums 1/(60+rank) across legs
+    through a full outer join.
+
+    100 TB shape: each retriever leg is already scale-correct on its own
+    (BM25: postings-bounded aggregates + TakeOrdered; dense: broadcast
+    query, map-only cosine, TakeOrdered — or the IVF index for bigger
+    query sets); fusion only ever touches 2×top-C rows. This is the
+    standard architecture: retrievers narrow, fusion is O(candidates).
+    Rank-based fusion also sidesteps cross-leg score calibration — why
+    RRF beats score interpolation without tuning."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("tot_len"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") * F.col("n_docs") / F.col("tot_len")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_TOPC)
+    )
+    from pyspark.sql.window import Window
+
+    lex = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+
+    e = table(spark, sf, "embeddings")
+    sq = lambda c: F.aggregate(  # noqa: E731 — sequential fold ≡ DuckDB list_sum
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q = e.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe"), F.sqrt(sq(F.col("embedding"))).alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qe"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = (
+        e.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.sqrt(sq(F.col("embedding"))) * F.col("qn")), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_TOPC)
+    )
+    den = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "doc_id"))
+        .alias("r_den"),
+    )
+    fused = (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_den")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused

@@ -1006,3 +1006,81 @@ def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_RESERVOIR_K = 5       # sample size per stratum
+_RESERVOIR_SALTS = 8   # phase-1 fan-out guarding the per-stratum window
+
+
+@op(
+    "sample_weighted_reservoir",
+    sql=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               ROUND(ln(GREATEST(1e-12,
+                        CAST(('0x' || substr(md5('bpspark-res-1:' || doc_id), 1, 8)) AS BIGINT)
+                        / 4294967296.0))
+                     / n_chars, 9) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars, es_key
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    )
+    WHERE rn <= {_RESERVOIR_K}
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted reservoir sample of K docs per language stratum —
+    Efraimidis-Spirakis A-ES: each item draws u ~ U(0,1) and the sample
+    is the top-K by u^(1/w) (equivalently by ln(u)/w, the monotone form
+    used here to avoid pow), giving inclusion probability proportional
+    to weight (n_chars: longer documents preferentially sampled) in ONE
+    pass with no global sort. u is md5-derived from the doc id, not an
+    RNG — the privacy_dp_counts convention: re-runs and retries must
+    reproduce the exact sample, and both engines compute the identical
+    key (6dp ln + 9dp rounding absorbs last-ulp libm differences;
+    doc_id breaks residual ties).
+
+    100 TB shape: A-ES is THE distributed weighted-sampling algorithm —
+    the top-K-by-key reduction is associative, so it partial-aggregates
+    map-side. Implemented as two-phase top-K to dodge the few-huge-
+    strata window skew: phase 1 takes the top-K within (stratum, salt)
+    — {_RESERVOIR_SALTS}-way fan-out, each window a fraction of the
+    stratum — phase 2 re-ranks the surviving K·salts rows per stratum.
+    Salting changes nothing semantically (top-K of a union = top-K of
+    per-part top-Ks)."""
+    d = table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bpspark-res-1:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(F.greatest(F.lit(1e-12), u)) / F.col("n_chars"), 9
+        ).alias("es_key"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_RESERVOIR_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(F.col("es_key").desc(), "doc_id")
+    survivors = (
+        keyed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _RESERVOIR_K)
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "n_chars", "es_key")
+        .orderBy("lang", "doc_id")
+    )

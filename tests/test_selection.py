@@ -184,3 +184,71 @@ def test_training_shards_bit_reproducible(spark):
     assert manifests[0] == manifests[1]
     assert len(manifests[0]) == 8
     assert all(v["n_docs"] > 0 for v in manifests[0].values())
+
+
+def test_weighted_reservoir_invariants(spark):
+    """A-ES weighted reservoir: exactly K docs per language stratum,
+    deterministic across runs, and the salted two-phase top-K must equal
+    the plain single-window top-K (salting is a physical rewrite only).
+    The weight bias is structural: sampled docs skew longer than the
+    stratum average."""
+    from bpspark.selection import _RESERVOIR_K
+
+    a = OPS["sample_weighted_reservoir"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["sample_weighted_reservoir"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+    per = a.groupby("lang").size()
+    assert (per == _RESERVOIR_K).all(), per.to_dict()
+
+    # reference single-window form (no salt) over the same keyed frame
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("bpspark-res-1:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "lang", "doc_id", "n_chars",
+        F.round(F.log(F.greatest(F.lit(1e-12), u)) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    ref = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("lang", "doc_id", "n_chars", "es_key")
+        .orderBy("lang", "doc_id")
+        .toPandas()
+    )
+    assert a.equals(ref)
+
+    corpus_avg = d.agg(F.avg("n_chars")).collect()[0][0]
+    assert a.n_chars.mean() > corpus_avg, (
+        f"weighting has no effect: sample mean {a.n_chars.mean():.0f} "
+        f"vs corpus {corpus_avg:.0f}"
+    )
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF fusion: 10 rows, scores in (0, 2/(60+1)], sorted desc with
+    doc_id tiebreak, deterministic, and every fused doc must come from a
+    retriever leg (lexical BM25 top-20 or dense cosine top-20)."""
+    rows1 = OPS["search_hybrid_rrf"].fn(spark, SF_SMALL).collect()
+    rows2 = OPS["search_hybrid_rrf"].fn(spark, SF_SMALL).collect()
+    assert rows1 == rows2
+    assert len(rows1) == 10
+    scores = [r.rrf for r in rows1]
+    assert all(0 < s <= 2 / 61 + 1e-9 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # the lexical rank-1 doc scores exactly 1/61 from that leg alone, so
+    # it can only miss the fused top-10 if ten docs scored strictly higher
+    # (i.e. were ranked by BOTH legs — legitimate outcompetition). On this
+    # corpus text and embeddings are independent, so the legs are disjoint
+    # and both rank-1 docs must surface.
+    bm25_top = OPS["text_bm25_rank"].fn(spark, SF_SMALL).collect()[0].doc_id
+    fused_ids = {r.doc_id for r in rows1}
+    outcompeted = sum(1 for s in scores if s > 1 / 61 + 1e-9) >= 10
+    assert bm25_top in fused_ids or outcompeted
