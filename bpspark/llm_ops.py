@@ -2939,6 +2939,86 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return decisions
 
 
+@op("dedup_incremental_minhash", sql=None)  # LSH index probe — invariant tests
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL near-dup — dedup_incremental_exact's shape one tier up:
+    a live pipeline screens each arriving batch against a persisted
+    MinHash-LSH BAND INDEX instead of re-running corpus×corpus LSH. The
+    index is the (band, bucket, doc_id) table of the existing corpus
+    (docs 0..399 here; 16 rows × ~24 B per doc at any corpus size, the
+    signature — never the text — is the state). Each batch doc computes
+    its 16 band keys (the exact _minhash_bands plan) and probes the
+    index by (band, bucket) equi-join; per-(batch doc, index doc) the
+    count of colliding bands is the match strength, and 'near-dup' means
+    ≥ _INC_MIN_BANDS collisions (multi-band agreement — one-band chance
+    collisions are screened out without fetching any text).
+
+    The batch replants a lightly-perturbed twin of every 20th indexed
+    doc under a new id, so detection is measurable: twins must match
+    their originals, genuinely-new docs must come out novel (tests).
+
+    100 TB shape: the index is written bucketed-by-key in production so
+    the probe is co-partitioned (zero index shuffle — only the batch's
+    16·|batch| band rows move); probe cost ∝ batch bands × matched
+    buckets, never index size. Hot buckets get the BUCKET_CAP discipline
+    on the INDEX side at build time (boilerplate-heavy buckets belong to
+    the exact-dedup tier). Decisions stay pure per call — the index
+    append is staged, mirroring dedup_incremental_exact."""
+    import os as _os
+
+    d = table(spark, sf, "documents")
+    existing = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    idx_state = state_dir("minhashidx", sf)
+    if not _os.path.exists(_os.path.join(idx_state, "_SUCCESS")):
+        (
+            _minhash_bands(existing)
+            .select("doc_id", "band", "bucket")
+            .write.mode("overwrite")
+            .parquet(idx_state)
+        )
+    index = spark.read.parquet(idx_state).select(
+        F.col("doc_id").alias("index_doc"), "band", "bucket"
+    )
+    batch = (
+        d.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionByName(
+            existing.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+            )
+        )
+    )
+    probes = _minhash_bands(batch).select("doc_id", "band", "bucket")
+    hits = (
+        probes.join(index, ["band", "bucket"])
+        .groupBy("doc_id", "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= _INC_MIN_BANDS)
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max_by("index_doc", F.struct("n_bands", (-F.col("index_doc")).alias("tb"))).alias("matched_doc"),
+        F.max("n_bands").alias("match_bands"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_doc").isNull().alias("is_novel"),
+            "matched_doc",
+            F.coalesce("match_bands", F.lit(0)).alias("match_bands"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# multi-band agreement threshold for the incremental LSH probe: with 16
+# bands of 4 hashes, a true near-dup (jaccard ~0.9) collides in most
+# bands while unrelated same-vocabulary docs rarely agree on >1.
+_INC_MIN_BANDS = 2
+
+
 @op("text_bpe_tokenize", sql=None)  # applies the learned (iterative) vocab
 def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer APPLY — the other half of BPE: learn the merge table

@@ -663,3 +663,40 @@ def test_pq_codes_match_numpy_ground_truth(spark):
             assert got == expect, (vid, s, got, expect)
             checked += 1
     assert checked == 160
+
+
+def test_incremental_minhash_detects_twins_and_verifies_matches(spark):
+    """The batch-vs-persisted-LSH-index probe must (a) catch every
+    replanted twin and tie it to its original, (b) be deterministic and
+    rerun-idempotent (the index persists across calls), and (c) only
+    claim matches that are REAL near-dups — every claimed (batch, index)
+    pair must clear exact 3-shingle jaccard 0.5 (measured: the corpus's
+    natural cross-split near-dups score 0.97+)."""
+    a = OPS["dedup_incremental_minhash"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["dedup_incremental_minhash"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+
+    twins = a[a.doc_id >= 3_000_000]
+    assert len(twins) == 20
+    assert (~twins.is_novel).all(), "replanted twin not detected"
+    exact = (twins.matched_doc == twins.doc_id - 3_000_000).sum()
+    assert exact >= 18, f"only {exact}/20 twins matched their original"
+
+    matches = a[~a.is_novel]
+    from bpspark.llm_ops import _INC_MIN_BANDS, _word_shingles
+
+    assert (matches.match_bands >= _INC_MIN_BANDS).all()
+
+    # exact-jaccard verification of every claimed non-twin match
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    for r in matches.itertuples():
+        src = int(r.doc_id - 3_000_000) if r.doc_id >= 3_000_000 else int(r.doc_id)
+        a_sh, b_sh = sh[src], sh[int(r.matched_doc)]
+        j = len(a_sh & b_sh) / len(a_sh | b_sh)
+        assert j >= 0.5, f"claimed match {r.doc_id}->{int(r.matched_doc)} jaccard {j:.2f}"
