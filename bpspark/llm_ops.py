@@ -449,6 +449,66 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@op("sim_incremental_topk", sql=TOPK_SQL)
+def sim_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL top-k similarity (the interactive-session shape from
+    the retrieved EDBT'20 "Incremental ... Top-K Similarity Search"
+    line of work): the per-query top-5 result set is MAINTAINED as a
+    persisted state table, and each arriving vector batch only scores
+    batch × queries, merges with the k-row-per-query state, and re-ranks
+    — the full corpus is never rescanned. Here the existing corpus is
+    vec_id < 400 (state built once, memoized under state_dir), the
+    arriving batch is vec_id >= 400, and the ORACLE is the full-corpus
+    brute-force top-k (TOPK_SQL, shared with sim_cosine_topk): top-k
+    merge is exact, so incremental ≡ recompute — hash-proven every
+    sweep, not just claimed.
+
+    Exactness requires ranking merged state on the UNROUNDED cosine
+    (state persists the raw double; rounding only at output) — merging
+    rounded scores could flip 1e-8-tie ranks vs the recompute.
+
+    100 TB shape: state is k × |queries| rows regardless of corpus
+    size; per-batch work is batch × broadcast-query scoring (map-only)
+    + a |queries|-partition window over (k + batch-survivors) rows.
+    This is why interactive/continuous similarity serving never pays
+    the corpus twice."""
+    import os as _os
+
+    e = _with_norm(table(spark, sf, "embeddings"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+
+    def scored(side: DataFrame) -> DataFrame:
+        return side.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    state_path = state_dir("topkstate", sf)
+    if not _os.path.exists(_os.path.join(state_path, "_SUCCESS")):
+        (
+            scored(e.filter(F.col("vec_id") < 400))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id", "cosine")  # raw double state
+            .write.mode("overwrite")
+            .parquet(state_path)
+        )
+    state = spark.read.parquet(state_path)
+    fresh = scored(e.filter(F.col("vec_id") >= 400))
+    return (
+        state.unionByName(fresh)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )
+
+
 @op("sim_cosine_ivf", sql=None)  # approximate — recall vs brute force in tests
 def sim_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: a FIXED-k (√n, capped at IVF_MAX_K) hash-ordered

@@ -700,3 +700,15 @@ def test_incremental_minhash_detects_twins_and_verifies_matches(spark):
         a_sh, b_sh = sh[src], sh[int(r.matched_doc)]
         j = len(a_sh & b_sh) / len(a_sh | b_sh)
         assert j >= 0.5, f"claimed match {r.doc_id}->{int(r.matched_doc)} jaccard {j:.2f}"
+
+
+def test_incremental_topk_equals_full_recompute(spark):
+    """The maintained top-k state merged with a batch's scores must equal
+    brute-force top-k over the full corpus EXACTLY (same rows, same
+    rounded cosines) — the defining invariant of incremental top-k. Runs
+    twice to exercise the memoized-state path."""
+    full = sorted(map(tuple, OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()))
+    inc1 = sorted(map(tuple, OPS["sim_incremental_topk"].fn(spark, SF_SMALL).collect()))
+    inc2 = sorted(map(tuple, OPS["sim_incremental_topk"].fn(spark, SF_SMALL).collect()))
+    assert inc1 == full
+    assert inc2 == full
