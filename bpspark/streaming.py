@@ -1127,3 +1127,115 @@ def stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("user_id") != -1)
         .orderBy("user_id", "session_start_us")
     )
+
+
+@op("stream_minhash_dedup", sql=None)
+def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING near-dup dedup — dedup_incremental_minhash run as a
+    checkpointed streaming query: document waves arrive through the file
+    source (maxFilesPerTrigger=1 → one micro-batch per wave, mod-time
+    ordered), and each foreachBatch probes the MinHash-LSH band index
+    built by all PRIOR waves, emits per-doc novel/duplicate decisions,
+    and appends the novel docs' band rows to the index — the streaming
+    front door of a training-data pipeline, where near-dup screening
+    must happen at ingest, not in a nightly corpus-wide job.
+
+    Waves: docs 0-199, then 200-399 + perturbed twins of wave-1 docs,
+    then 400-499 + perturbed twins of wave-2 docs. Twins (ids +5M) must
+    be flagged duplicate against the index state their originals wrote
+    in an EARLIER micro-batch; the test also pins that every original
+    was novel when it arrived.
+
+    100 TB shape: identical to the batch incremental op (index is
+    signatures only, probe is a co-partitionable (band,bucket)
+    equi-join) with streaming semantics on top — checkpointed file
+    offsets give exactly-once per wave, and the index append is the
+    idempotent-by-batch-id pattern every foreachBatch sink needs.
+    In-batch (same-wave) near-dups are the batch LSH op's job
+    (minhash_candidate_pairs) before the index append; this op verifies
+    the cross-batch state path."""
+    import glob as _glob
+    import shutil
+
+    from bpspark.llm_ops import _INC_MIN_BANDS, _minhash_bands
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="bpspark_smhd_")
+    src = f"{stage}/src"
+    idx = f"{stage}/index"
+    out = f"{stage}/decisions"
+    ckpt = f"{stage}/ckpt"
+    os.makedirs(src)
+
+    def twins(lo: int, hi: int, n: int = 10) -> DataFrame:
+        return (
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + n))
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+            )
+        )
+
+    waves = [
+        d.filter(F.col("doc_id") < 200),
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).unionByName(twins(0, 200)),
+        d.filter(F.col("doc_id") >= 400).unionByName(twins(200, 400)),
+    ]
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # strict arrival order
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bands = _minhash_bands(batch_df).select("doc_id", "band", "bucket")
+        bands.persist()
+        try:
+            if _glob.glob(f"{idx}/*.parquet"):
+                index = s.read.parquet(idx).select(
+                    F.col("doc_id").alias("index_doc"), "band", "bucket"
+                )
+                hits = (
+                    bands.join(index, ["band", "bucket"])
+                    .groupBy("doc_id", "index_doc")
+                    .agg(F.count(F.lit(1)).alias("n_bands"))
+                    .filter(F.col("n_bands") >= _INC_MIN_BANDS)
+                    .groupBy("doc_id")
+                    .agg(F.max("n_bands").alias("match_bands"))
+                )
+            else:
+                hits = s.createDataFrame([], "doc_id long, match_bands long")
+            decisions = (
+                batch_df.select("doc_id")
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.lit(batch_id).alias("batch_id"),
+                    F.col("match_bands").isNull().alias("is_novel"),
+                    F.coalesce("match_bands", F.lit(0)).alias("match_bands"),
+                )
+            )
+            decisions.write.mode("append").parquet(out)
+            # index grows by the NOVEL docs' signatures only
+            bands.join(
+                decisions.filter("is_novel").select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("append").parquet(idx)
+        finally:
+            bands.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).orderBy("doc_id")

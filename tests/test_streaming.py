@@ -147,3 +147,30 @@ def test_scd_join_each_batch_sees_current_dim(spark):
     assert len(by_batch) == 2, f"expected 2 micro-batches, got {sorted(by_batch)}"
     assert by_batch[0] == {"v1"}
     assert by_batch[1] == {"v2"}
+
+
+def test_stream_minhash_dedup_cross_batch_state(spark):
+    """Streaming near-dup front door: every perturbed twin arriving in a
+    LATER micro-batch than its original must be flagged duplicate (the
+    LSH index state crossed the batch boundary), every twin's original
+    must have been novel when it arrived, and decisions are one per
+    arriving doc across exactly 3 waves. Deterministic across runs."""
+    from bpspark.registry import all_ops
+
+    OPS = all_ops()
+    a = OPS["stream_minhash_dedup"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["stream_minhash_dedup"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+    assert sorted(a.batch_id.unique()) == [0, 1, 2]
+    assert len(a) == 520 and a.doc_id.is_unique
+    twins = a[a.doc_id >= 5_000_000]
+    assert len(twins) == 20
+    assert (~twins.is_novel).all(), "cross-batch twin not flagged duplicate"
+    originals = a[a.doc_id.isin(twins.doc_id - 5_000_000)]
+    assert originals.is_novel.all(), "a twin's original was not novel at arrival"
+    # twins always arrive in a strictly later wave than their original
+    merged = twins.merge(
+        originals, left_on=twins.doc_id - 5_000_000, right_on="doc_id",
+        suffixes=("_t", "_o"),
+    )
+    assert (merged.batch_id_t > merged.batch_id_o).all()
