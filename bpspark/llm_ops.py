@@ -3538,3 +3538,70 @@ def sim_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "adc_dist")
         .orderBy("query_id", "adc_dist", "neighbor_id")
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDIDATES = 20
+_MMR_K = 5
+
+
+@op("sim_mmr_rerank", sql=None)  # greedy-iterative — numpy-parity tests
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998
+    — the diversity step production retrieval runs after similarity):
+    from the query's top-20 cosine candidates, greedily pick 5 where
+    each pick maximizes λ·relevance − (1−λ)·max-similarity-to-already-
+    picked (λ=0.7), so near-duplicate results can't crowd the slate.
+
+    Plan split mirrors every serving stack: candidate GENERATION is the
+    distributed part (the brute-force top-k plan here; the IVF index at
+    scale) and runs corpus-sized; the greedy RE-RANK is inherently
+    sequential and runs on the collected candidate set — ≤20×d floats,
+    a bounded driver visit of the same class as the PQ query tables and
+    IVF quantizer (audited pattern). All scores are rounded to 6dp
+    before argmax with doc_id tiebreaks, so the selection is
+    deterministic bit-for-bit; the numpy reference implementation in
+    tests/test_llm_ops.py must reproduce the exact slate."""
+    import numpy as _np
+
+    e = _with_norm(table(spark, sf, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CANDIDATES)
+        .collect()  # bounded: _MMR_CANDIDATES × d floats
+    )
+    ids = [r["vec_id"] for r in cands]
+    rel = [float(r["rel"]) for r in cands]
+    V = _np.array([r["embedding"] for r in cands], dtype=_np.float64)
+    V = V / _np.linalg.norm(V, axis=1, keepdims=True)
+    sims = _np.round(V @ V.T, 6)
+    picked: list[int] = []
+    out_rows = []
+    while len(picked) < _MMR_K and len(picked) < len(ids):
+        best = None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            div = max((sims[i][j] for j in picked), default=0.0)
+            score = round(_MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div, 6)
+            key = (score, -ids[i])
+            if best is None or key > best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        picked.append(i)
+        out_rows.append((len(picked), ids[i], rel[i], float(score)))
+    return spark.createDataFrame(
+        out_rows, "rank int, doc_id bigint, relevance double, mmr_score double"
+    )

@@ -712,3 +712,52 @@ def test_incremental_topk_equals_full_recompute(spark):
     inc2 = sorted(map(tuple, OPS["sim_incremental_topk"].fn(spark, SF_SMALL).collect()))
     assert inc1 == full
     assert inc2 == full
+
+
+def test_mmr_rerank_diversity_and_reference_parity(spark):
+    """MMR invariants: deterministic; pick #1 is the most relevant
+    candidate; the MMR slate is strictly more diverse than the plain
+    top-5 (lower mean pairwise cosine); and an independent numpy
+    reference reproduces the exact slate (same greedy, same rounding)."""
+    import numpy as np
+
+    from bpspark.llm_ops import _MMR_CANDIDATES, _MMR_K, _MMR_LAMBDA
+
+    a = [tuple(r) for r in OPS["sim_mmr_rerank"].fn(spark, SF_SMALL).collect()]
+    b = [tuple(r) for r in OPS["sim_mmr_rerank"].fn(spark, SF_SMALL).collect()]
+    assert a == b
+    assert len(a) == _MMR_K
+    assert [r[0] for r in a] == [1, 2, 3, 4, 5]
+
+    # independent reference from raw parquet
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, float) for r in emb.itertuples()}
+    qv = vecs[0] / np.linalg.norm(vecs[0])
+    rel = {
+        i: round(float(v @ qv / np.linalg.norm(v)), 6)
+        for i, v in vecs.items()
+        if i != 0
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_CANDIDATES]
+    N = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in cand}
+    picked: list[int] = []
+    while len(picked) < _MMR_K:
+        best = None
+        for i in cand:
+            if i in picked:
+                continue
+            div = max((round(float(N[i] @ N[j]), 6) for j in picked), default=0.0)
+            score = round(_MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div, 6)
+            if best is None or (score, -i) > best[0]:
+                best = ((score, -i), i)
+        picked.append(best[1])
+    assert [r[1] for r in a] == picked, f"spark slate {[r[1] for r in a]} != ref {picked}"
+    assert a[0][1] == cand[0]  # first pick = max relevance
+
+    def mean_pairwise(ids):
+        M = np.stack([N[i] if i in N else vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), 1)
+        return float(S[iu].mean())
+
+    assert mean_pairwise(picked) <= mean_pairwise(cand[:_MMR_K]) + 1e-12
