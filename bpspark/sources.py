@@ -708,3 +708,134 @@ def scan_python_datasource_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         restore()
     return spark.createDataFrame(rows, "rec_id bigint, score int, pushed_n int")
+
+
+@op(
+    "sink_python_datasource_stream",
+    sql="SELECT c_custkey, c_acctbal FROM customer",
+)
+def sink_python_datasource_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STREAMING sink via the Spark 4.1 Python DataSource
+    DataSourceStreamWriter — the fourth quadrant of the Python
+    DataSource surface (batch read / batch write / stream read already
+    registered). Per micro-batch, ``write(iterator)`` runs one task per
+    partition emitting a JSONL shard, executor commit messages flow
+    back, and driver-side ``commit(messages, batchId)`` publishes a
+    PER-BATCH manifest — so the read-back trusts only manifest-listed
+    shards: an aborted batch's orphan shards are invisible, which is
+    the per-batch two-phase-commit contract streaming sinks add on top
+    of the batch writer's single commit. Two waves of the customer
+    projection arrive through the checkpointed file source (one
+    micro-batch each); the oracle is the full source projection, so
+    the driver hash-proves exactly-once across both commits.
+
+    Function-local classes on purpose: streaming writer workers pickle
+    them BY VALUE (same worker-import caveat as
+    stream_python_datasource)."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark >= 4.0 required for the Python DataSource API")
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    from bpspark.io import table
+
+    class _StreamShardCommit(WriterCommitMessage):
+        def __init__(self, shard: str, n: int) -> None:
+            self.shard = shard
+            self.n = n
+
+    class _JsonlStreamShardWriter(DataSourceStreamWriter):
+        def __init__(self, options) -> None:
+            self.path = options["path"]
+
+        def write(self, rows):
+            import json as _j
+            import os as _o
+            import uuid as _u
+
+            shard = f"shard-{_u.uuid4().hex}.json"
+            tmp = _o.path.join(self.path, "_tmp-" + shard)
+            n = 0
+            with open(tmp, "w") as fh:
+                for r in rows:
+                    fh.write(_j.dumps({"c_custkey": r[0], "c_acctbal": r[1]}) + "\n")
+                    n += 1
+            _o.replace(tmp, _o.path.join(self.path, shard))
+            return _StreamShardCommit(shard, n)
+
+        def commit(self, messages, batchId):
+            import json as _j
+            import os as _o
+
+            manifest = sorted(m.shard for m in messages if m is not None)
+            with open(_o.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as fh:
+                _j.dump(manifest, fh)
+
+        def abort(self, messages, batchId):  # pragma: no cover - failure path
+            import os as _o
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        _o.remove(_o.path.join(self.path, m.shard))
+                    except FileNotFoundError:
+                        pass
+
+    class JsonlStreamSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "bpspark_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamShardWriter(self.options)
+
+    try:
+        spark.dataSource.register(JsonlStreamSinkDataSource)
+    except Exception:  # already registered in this session
+        pass
+
+    stage = _tf.mkdtemp(prefix="bpspark_pyds_ssink_")
+    src, out, ckpt = f"{stage}/src", f"{stage}/out", f"{stage}/ckpt"
+    _os.makedirs(src)
+    _os.makedirs(out)
+    cust = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    waves = [cust.filter(F.col("c_custkey") % 2 == 0), cust.filter(F.col("c_custkey") % 2 == 1)]
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        _shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("c_custkey bigint, c_acctbal double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .repartition(2)
+    )
+    q = (
+        stream.writeStream.format("bpspark_jsonl_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifests = sorted(_glob.glob(f"{out}/_MANIFEST-*.json"))
+    assert len(manifests) == 2, f"expected 2 per-batch manifests, got {manifests}"
+    shards = [s for m in manifests for s in _json.load(open(m))]
+    return (
+        spark.read.schema("c_custkey bigint, c_acctbal double")
+        .json([_os.path.join(out, s) for s in shards])
+        .select("c_custkey", "c_acctbal")
+    )
