@@ -761,3 +761,79 @@ def test_mmr_rerank_diversity_and_reference_parity(spark):
         return float(S[iu].mean())
 
     assert mean_pairwise(picked) <= mean_pairwise(cand[:_MMR_K]) + 1e-12
+
+
+def test_adaptive_route_beats_pure_ivf(spark):
+    """Adaptive routing invariants: both routes exercised; exact-routed
+    queries recall 1.0 vs brute force by construction; overall recall
+    strictly above a pure-IVF baseline at the same nprobe (the routed
+    exact queries are exactly the ones IVF under-recalls); deterministic."""
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window as W
+
+    from bpspark.io import table
+    from bpspark.llm_ops import (
+        _ADAPTIVE_NPROBE,
+        _dot,
+        _ivf_centroid_literal,
+        _ivf_probe_assign,
+        _with_norm,
+    )
+
+    rows1 = OPS["sim_adaptive_route"].fn(spark, SF_SMALL).collect()
+    rows2 = OPS["sim_adaptive_route"].fn(spark, SF_SMALL).collect()
+    assert rows1 == rows2
+    routes = {r.route for r in rows1}
+    assert routes == {"ivf", "exact"}, f"both routes must fire, got {routes}"
+
+    # ground truth: brute force for the same 25 queries
+    e = _with_norm(table(spark, SF_SMALL, "embeddings"))
+    q = e.filter(FF.col("vec_id") < 25).select(
+        FF.col("vec_id").alias("query_id"),
+        FF.col("embedding").alias("q_emb"),
+        FF.col("norm").alias("q_norm"),
+    )
+    cos = _dot(FF.col("q_emb"), FF.col("embedding")) / (FF.col("q_norm") * FF.col("norm"))
+    w = W.partitionBy("query_id").orderBy(FF.col("cosine").desc(), "neighbor_id")
+    truth_rows = (
+        e.join(FF.broadcast(q), FF.col("vec_id") != FF.col("query_id"))
+        .select("query_id", FF.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", FF.row_number().over(w))
+        .filter(FF.col("rn") <= 5)
+        .collect()
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in truth_rows}
+    got = {(r.query_id, r.neighbor_id) for r in rows1}
+    exact_q = {r.query_id for r in rows1 if r.route == "exact"}
+    for qid in exact_q:
+        t = {p for p in truth if p[0] == qid}
+        g = {p for p in got if p[0] == qid}
+        assert t == g, f"exact-routed query {qid} must have perfect recall"
+
+    # pure-IVF baseline at the same nprobe over the same queries
+    assigned = _ivf_probe_assign(e, _ADAPTIVE_NPROBE)
+    home = assigned.select(FF.col("home_cent").alias("cent_id"), "vec_id", "embedding", "norm")
+    probes = (
+        assigned.filter(FF.col("vec_id") < 25)
+        .select(
+            FF.col("vec_id").alias("query_id"),
+            FF.col("embedding").alias("q_emb"),
+            FF.col("norm").alias("q_norm"),
+            FF.explode("probe_cents").alias("cent_id"),
+        )
+    )
+    ivf_rows = (
+        home.join(FF.broadcast(probes), "cent_id")
+        .filter(FF.col("vec_id") != FF.col("query_id"))
+        .select("query_id", FF.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", FF.row_number().over(w))
+        .filter(FF.col("rn") <= 5)
+        .collect()
+    )
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall_adaptive = len(truth & got) / len(truth)
+    recall_ivf = len(truth & ivf) / len(truth)
+    assert recall_adaptive > recall_ivf, (
+        f"adaptive {recall_adaptive:.3f} must beat pure IVF {recall_ivf:.3f}"
+    )
+    assert recall_adaptive >= 0.7, f"adaptive recall {recall_adaptive:.3f} too low"
