@@ -1652,3 +1652,95 @@ def agg_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
             3,
         ).alias("welch_df"),
     )
+
+
+@op(
+    "agg_aqp_sample_estimate",
+    sql="""
+    WITH s AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(('0x' || substr(md5('bpspark-aqp-1:' || l_orderkey || ':' || l_linenumber), 1, 8))
+                    AS BIGINT) % 10 = 0 AS in_sample
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST((SELECT COUNT(*) FROM s) AS DOUBLE) AS n_total,
+               CAST((SELECT ROUND(SUM(l_extendedprice), 2) FROM lineitem) AS DOUBLE) AS exact_total,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(c) AS DOUBLE) / 100 AS sv,
+               CAST(SUM(c * c) AS DOUBLE) / 10000 AS svv
+        FROM s WHERE in_sample
+    )
+    SELECT CAST(n AS BIGINT) AS n_sample,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(sv / n * n_total, 2) AS est_total,
+           exact_total,
+           ROUND(sv / n * n_total
+                 - 1.96 * n_total * sqrt((1 - n / n_total) * ((svv - sv * sv / n) / (n - 1)) / n), 2)
+               AS ci_lo,
+           ROUND(sv / n * n_total
+                 + 1.96 * n_total * sqrt((1 - n / n_total) * ((svv - sv * sv / n) / (n - 1)) / n), 2)
+               AS ci_hi
+    FROM m
+    """,
+)
+def agg_aqp_sample_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style, cf. the retrieved
+    PODS'21 approximation line): estimate SUM(l_extendedprice) from a
+    DETERMINISTIC ~10% sample (md5 of the row key — reproducible across
+    engines and re-runs, the sample_hash_mod / privacy_dp_counts
+    convention) with a 95% confidence interval from the sample variance
+    plus finite-population correction. The exact total is emitted
+    alongside so the driver hash-check covers estimator, exact answer,
+    and interval arithmetic in one row — and the CI-covers-exact claim
+    is test-pinned at both SFs.
+
+    Float discipline: prices are 2dp by construction, so centi-unit
+    snapping makes SUM and SUM-of-squares exact integers (the
+    agg_welch_ttest convention); every derived double is then identical
+    arithmetic cross-engine, rounded at 2dp for output.
+
+    100 TB shape: THE reason AQP exists — the sample scan is 10% of the
+    I/O (or ~0.1% at the sample rates big tables use) and everything
+    after the two exact-integer moment sums is constant work. In
+    production the sample is a MATERIALIZED stratified table maintained
+    at write time; the estimator and CI arithmetic are unchanged."""
+    li = table(spark, sf, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    key = F.concat(
+        F.lit("bpspark-aqp-1:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"),
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 10 == 0
+    )
+    s = li.select(c.alias("c"), in_sample.alias("in_sample"))
+    m = (
+        s.agg(
+            F.count(F.lit(1)).cast("double").alias("n_total"),
+            (F.sum(F.when(F.col("in_sample"), 1).otherwise(0))).cast("double").alias("n"),
+            (F.sum(F.when(F.col("in_sample"), F.col("c")).otherwise(0)).cast("double") / 100).alias("sv"),
+            (F.sum(F.when(F.col("in_sample"), F.col("c") * F.col("c")).otherwise(0)).cast("double") / 10000).alias("svv"),
+        )
+        .crossJoin(
+            F.broadcast(li.agg(F.round(F.sum("l_extendedprice"), 2).cast("double").alias("exact_total")))
+        )
+    )
+    se = (
+        F.lit(1.96)
+        * F.col("n_total")
+        * F.sqrt(
+            (1 - F.col("n") / F.col("n_total"))
+            * ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
+            / F.col("n")
+        )
+    )
+    est = F.col("sv") / F.col("n") * F.col("n_total")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_sample"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(est, 2).alias("est_total"),
+        "exact_total",
+        F.round(est - se, 2).alias("ci_lo"),
+        F.round(est + se, 2).alias("ci_hi"),
+    )

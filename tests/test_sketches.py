@@ -74,3 +74,22 @@ def test_hll_intersection_estimate_within_bounds(spark):
     # default lgK=12 HLL: sigma ~1.6%; inclusion-exclusion compounds it,
     # and small overlaps amplify relative error — allow a generous 25%
     assert abs(est - exact) <= max(0.25 * exact, 10), (est, exact)
+
+
+def test_aqp_sample_estimate_ci_covers_exact(spark):
+    """The AQP estimator's defining claims: the deterministic ~10% sample
+    reproduces across runs; the 95% CI covers the exact total; the point
+    estimate lands within 5% relative error at these SFs; the interval
+    is proper (lo < est < hi)."""
+    import bpspark
+    from tests.conftest import SF_SMALL
+
+    OPS = bpspark.all_ops()
+    a = OPS["agg_aqp_sample_estimate"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["agg_aqp_sample_estimate"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+    r = a.iloc[0]
+    assert 0.05 * r.n_total <= r.n_sample <= 0.15 * r.n_total
+    assert r.ci_lo < r.est_total < r.ci_hi
+    assert r.ci_lo <= r.exact_total <= r.ci_hi, "95% CI must cover the exact total"
+    assert abs(r.est_total - r.exact_total) / r.exact_total < 0.05
