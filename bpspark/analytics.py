@@ -1744,3 +1744,92 @@ def agg_aqp_sample_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.round(est - se, 2).alias("ci_lo"),
         F.round(est + se, 2).alias("ci_hi"),
     )
+
+
+@op(
+    "agg_aqp_groupby_stratified",
+    sql="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(('0x' || substr(md5('bpspark-aqp-2:' || l_orderkey || ':' || l_linenumber), 1, 8))
+                    AS BIGINT) % 10 = 0 AS in_sample
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n_total,
+               CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN in_sample THEN c ELSE 0 END) AS DOUBLE) / 100 AS sv,
+               CAST(SUM(CASE WHEN in_sample THEN c * c ELSE 0 END) AS DOUBLE) / 10000 AS svv,
+               CAST(SUM(c) AS DOUBLE) / 100 AS exact_sv
+        FROM s
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_sample,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(sv / n * n_total, 2) AS est_revenue,
+           ROUND(exact_sv, 2) AS exact_revenue,
+           ROUND(sv / n * n_total
+                 - 1.96 * n_total * sqrt((1 - n / n_total) * ((svv - sv * sv / n) / (n - 1)) / n), 2)
+               AS ci_lo,
+           ROUND(sv / n * n_total
+                 + 1.96 * n_total * sqrt((1 - n / n_total) * ((svv - sv * sv / n) / (n - 1)) / n), 2)
+               AS ci_hi
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_aqp_groupby_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """STRATIFIED AQP — the grouped form that motivates BlinkDB's design:
+    uniform sampling starves rare groups, so production AQP samples PER
+    STRATUM and answers GROUP BY queries with a per-group estimate and
+    CI. Strata here are l_returnflag; each stratum gets its own ~10%
+    deterministic hash sample, estimator, and 95% finite-population CI,
+    computed in ONE aggregate pass carrying (sampled, total) moment
+    pairs per group — exact centi-unit integer sums throughout (same
+    discipline as agg_aqp_sample_estimate), exact per-group revenue
+    emitted alongside for the hash check and the coverage test.
+
+    100 TB shape: one pass over the (materialized) sample + counts; per
+    group the work after the moment sums is O(1); skew-free because the
+    stratum key is the group key — the estimate quality per group is
+    set by its own sample size, which stratified maintenance guarantees
+    (that guarantee is exactly what uniform sampling can't give)."""
+    li = table(spark, sf, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    key = F.concat(
+        F.lit("bpspark-aqp-2:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string"),
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 10 == 0
+    )
+    s = li.select("l_returnflag", c.alias("c"), in_sample.alias("in_sample"))
+    m = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("double").alias("n"),
+        (F.sum(F.when(F.col("in_sample"), F.col("c")).otherwise(0)).cast("double") / 100).alias("sv"),
+        (F.sum(F.when(F.col("in_sample"), F.col("c") * F.col("c")).otherwise(0)).cast("double") / 10000).alias("svv"),
+        (F.sum("c").cast("double") / 100).alias("exact_sv"),
+    )
+    se = (
+        F.lit(1.96)
+        * F.col("n_total")
+        * F.sqrt(
+            (1 - F.col("n") / F.col("n_total"))
+            * ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
+            / F.col("n")
+        )
+    )
+    est = F.col("sv") / F.col("n") * F.col("n_total")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_sample"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(est, 2).alias("est_revenue"),
+        F.round("exact_sv", 2).alias("exact_revenue"),
+        F.round(est - se, 2).alias("ci_lo"),
+        F.round(est + se, 2).alias("ci_hi"),
+    ).orderBy("l_returnflag")

@@ -68,7 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash", "sim_incremental_topk",
     "stream_minhash_dedup", "sim_mmr_rerank",
     "sink_python_datasource_stream", "sim_adaptive_route",
-    "agg_aqp_sample_estimate",
+    "agg_aqp_sample_estimate", "agg_aqp_groupby_stratified",
     "dedup_url_canonicalized", "sink_merge_scd2", "join_temporal_validity",
     "stream_mv_refresh", "scan_python_datasource",
     "stream_python_datasource", "scan_python_datasource_pushdown",

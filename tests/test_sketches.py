@@ -93,3 +93,20 @@ def test_aqp_sample_estimate_ci_covers_exact(spark):
     assert r.ci_lo < r.est_total < r.ci_hi
     assert r.ci_lo <= r.exact_total <= r.ci_hi, "95% CI must cover the exact total"
     assert abs(r.est_total - r.exact_total) / r.exact_total < 0.05
+
+
+def test_aqp_stratified_per_group_ci_coverage(spark):
+    """Stratified AQP: every stratum's CI must cover its exact revenue,
+    per-group relative error bounded, each stratum actually sampled
+    (~10%), deterministic."""
+    import bpspark
+    from tests.conftest import SF_SMALL
+
+    OPS = bpspark.all_ops()
+    a = OPS["agg_aqp_groupby_stratified"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["agg_aqp_groupby_stratified"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+    assert len(a) == 3  # A / N / R
+    assert ((a.ci_lo <= a.exact_revenue) & (a.exact_revenue <= a.ci_hi)).all()
+    assert ((a.n_sample >= 0.05 * a.n_total) & (a.n_sample <= 0.15 * a.n_total)).all()
+    assert (abs(a.est_revenue - a.exact_revenue) / a.exact_revenue < 0.05).all()
