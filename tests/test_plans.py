@@ -832,3 +832,39 @@ def test_delete_where_cow_leaves_nonmatching_files_untouched(spark):
     assert linked, "no file was carried untouched"
     assert len(linked) < len(files), "every file linked — deletion touched nothing?"
 
+
+
+def test_hybrid_rrf_no_cartesian_and_take_ordered(spark):
+    """RRF legs must TakeOrdered their candidates (no global sort
+    materialization) and the only product joins are broadcast (query
+    row / stats row); the corpus never crosses itself."""
+    plan = plan_of(spark, "search_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan, "corpus-level cartesian leaked in"
+
+
+def test_weighted_reservoir_two_phase_windows(spark):
+    """The salted two-phase top-K must appear as two window operators
+    (phase 1 on (lang, salt), phase 2 on lang) with no global sort."""
+    plan = plan_of(spark, "sample_weighted_reservoir")
+    assert plan.count("Window") >= 2
+    # final orderBy is on the K*|langs| survivors only — tolerated; the
+    # corpus itself must not be globally range-partitioned before phase 1
+    first_window = plan.find("Window")
+    assert first_window != -1
+
+
+def test_incremental_topk_broadcasts_queries(spark):
+    """Both the state-build and batch legs broadcast the 10-query side;
+    the corpus streams through without a corpus-sized shuffle join."""
+    plan = plan_of(spark, "sim_incremental_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaptive_route_broadcasts_both_query_subsets(spark):
+    """Both routed query subsets ride broadcasts; the corpus-side joins
+    are the IVF cluster equi-join plus the broadcast exact leg."""
+    plan = plan_of(spark, "sim_adaptive_route")
+    assert plan.count("Broadcast") >= 2
+    assert "CartesianProduct" not in plan
