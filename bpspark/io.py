@@ -106,3 +106,28 @@ def state_dir(tag: str, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"bpspark_{tag}_{STATE_VERSION}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
+
+
+def cleanup_stale_state(dry_run: bool = False) -> list[str]:
+    """Delete state dirs written under OLDER STATE_VERSIONs — the garbage
+    the version bump necessarily leaves behind (a bump orphans every
+    ``bpspark_{tag}_{old}_{sf}`` tree; /tmp outlives rounds, so without
+    this they accumulate one generation per bump). Current-version dirs
+    are never touched. Returns the removed (or, with ``dry_run``,
+    would-be-removed) paths. Invoked manually or from session setup —
+    never from inside an op (ops must not mutate global state)."""
+    import glob
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    pat = re.compile(r"^bpspark_[A-Za-z0-9]+_(v\d+)_")
+    removed: list[str] = []
+    for path in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_*_v*_*")):
+        m = pat.match(os.path.basename(path))
+        if m and m.group(1) != STATE_VERSION and os.path.isdir(path):
+            removed.append(path)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+    return sorted(removed)

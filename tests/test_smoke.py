@@ -32,3 +32,24 @@ def test_python_datasource_partition_parallel(spark):
     rows = df.collect()
     assert len(rows) == 1000
     assert {r.book_id for r in rows} == set(range(1000))
+
+
+def test_cleanup_stale_state_removes_only_old_versions(tmp_path, monkeypatch):
+    """The state GC must remove dirs from older STATE_VERSIONs only —
+    current-version state and non-bpspark dirs are untouched."""
+    import os
+    import tempfile as _tf
+
+    from bpspark import io as bio
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    cur = os.path.join(str(tmp_path), f"bpspark_foo_{bio.STATE_VERSION}_sf0.001")
+    old = os.path.join(str(tmp_path), "bpspark_foo_v1_sf0.001")
+    other = os.path.join(str(tmp_path), "unrelated_dir")
+    for d in (cur, old, other):
+        os.makedirs(d)
+    assert bio.cleanup_stale_state(dry_run=True) == [old]
+    assert os.path.isdir(old)  # dry run touches nothing
+    assert bio.cleanup_stale_state() == [old]
+    assert not os.path.exists(old)
+    assert os.path.isdir(cur) and os.path.isdir(other)
