@@ -1189,12 +1189,24 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # strict arrival order
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT BY BATCH ID: both sinks write to a batch={id}
+        # subdirectory with mode=overwrite, so a replayed micro-batch
+        # (foreachBatch's at-least-once contract after a failure)
+        # overwrites its own output instead of appending duplicates —
+        # duplicate index band rows would inflate n_bands and could flip
+        # borderline decisions on replay.
         s = batch_df.sparkSession
         bands = _minhash_bands(batch_df).select("doc_id", "band", "bucket")
         bands.persist()
         try:
-            if _glob.glob(f"{idx}/*.parquet"):
-                index = s.read.parquet(idx).select(
+            # index = all PRIOR batches' committed subdirs (never this
+            # batch's own, even on replay)
+            prior = [
+                d for d in _glob.glob(f"{idx}/batch=*")
+                if int(d.rsplit("=", 1)[1]) < batch_id
+            ]
+            if prior:
+                index = s.read.parquet(*prior).select(
                     F.col("doc_id").alias("index_doc"), "band", "bucket"
                 )
                 hits = (
@@ -1217,11 +1229,11 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce("match_bands", F.lit(0)).alias("match_bands"),
                 )
             )
-            decisions.write.mode("append").parquet(out)
+            decisions.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
             # index grows by the NOVEL docs' signatures only
             bands.join(
                 decisions.filter("is_novel").select("doc_id"), "doc_id", "left_semi"
-            ).write.mode("append").parquet(idx)
+            ).write.mode("overwrite").parquet(f"{idx}/batch={batch_id}")
         finally:
             bands.unpersist()
 
@@ -1238,4 +1250,7 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out).orderBy("doc_id")
+    # read the committed batch subdirs explicitly (batch_id is already a
+    # data column; listing leaves avoids partition-discovery adding a
+    # second one)
+    return spark.read.parquet(*sorted(_glob.glob(f"{out}/batch=*"))).orderBy("doc_id")
