@@ -3,7 +3,12 @@ SparkSession from a foreign cwd against the DuckDB oracle at sf0.01
 (rows-only ops get an execute+schema check) — the strongest local
 approximation of the grading driver's CORRECTNESS sweep.
 
-Usage: python tools/driver_replica.py [sf_dir] [out_json]
+Usage: python tools/driver_replica.py [sf_dir] [out_json] [--double]
+
+``--double`` runs every op TWICE in the same session with the oracle
+checked on both passes — the driver may re-run ops in one session, and
+state-idempotency or conf-leak bugs only surface on the second pass
+(r3 validated all 329 ops this way; keep doing it per round).
 """
 
 from __future__ import annotations
@@ -19,8 +24,10 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/driver_replica.json"
+    args = [a for a in sys.argv[1:] if a != "--double"]
+    double = "--double" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/driver_replica.json"
     os.chdir("/tmp")  # foreign cwd on purpose
 
     import duckdb
@@ -47,46 +54,51 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     fails: list[str] = []
-    for name, fn in q.items():
-        t0 = time.monotonic()
-        try:
-            pdf = fn(spark, sf_dir).toPandas()
-            # The grading driver canonicalizes EVERY output (rows-only too)
-            # with a pandas multi-column sort; list/dict/ndarray cells make
-            # its factorize step throw `unhashable type` (r2: the crashes on
-            # multimodal_columns / ingest_properties_zip never produced even
-            # a row count). Reproduce that here so the class of defect fails
-            # locally instead of only in the driver.
-            if len(pdf.columns):
-                pdf.sort_values(by=sorted(pdf.columns), kind="stable")
-            if name in o:
-                probs = compare_frames(pdf, con.sql(o[name]).df(), name)
-                status = "pass" if not probs else "FAIL"
-                detail = probs or None
-            else:
-                status, detail = "rows_only", None
-            results[name] = {
-                "status": status,
-                "rows": len(pdf),
-                "sec": round(time.monotonic() - t0, 2),
-                "detail": detail,
-            }
-        except Exception as ex:  # noqa: BLE001
-            results[name] = {
-                "status": "ERROR",
-                "sec": round(time.monotonic() - t0, 2),
-                "detail": str(ex)[:300],
-            }
-        if results[name]["status"] in ("FAIL", "ERROR"):
-            fails.append(name)
-        print(
-            f"{results[name]['sec']:7.2f}s {results[name]['status']:>9} {name}",
-            flush=True,
-        )
+    total = 0.0
+    for sweep in range(2 if double else 1):
+        tag = f"#{sweep + 1}" if double else ""
+        for name, fn in q.items():
+            t0 = time.monotonic()
+            try:
+                pdf = fn(spark, sf_dir).toPandas()
+                # The grading driver canonicalizes EVERY output (rows-only
+                # too) with a pandas multi-column sort; list/dict/ndarray
+                # cells make its factorize step throw `unhashable type`
+                # (r2: the crashes on multimodal_columns /
+                # ingest_properties_zip never produced even a row count).
+                # Reproduce that here so the class of defect fails locally
+                # instead of only in the driver.
+                if len(pdf.columns):
+                    pdf.sort_values(by=sorted(pdf.columns), kind="stable")
+                if name in o:
+                    probs = compare_frames(pdf, con.sql(o[name]).df(), name)
+                    status = "pass" if not probs else "FAIL"
+                    detail = probs or None
+                else:
+                    status, detail = "rows_only", None
+                results[name] = {
+                    "status": status,
+                    "rows": len(pdf),
+                    "sec": round(time.monotonic() - t0, 2),
+                    "detail": detail,
+                }
+            except Exception as ex:  # noqa: BLE001
+                results[name] = {
+                    "status": "ERROR",
+                    "sec": round(time.monotonic() - t0, 2),
+                    "detail": str(ex)[:300],
+                }
+            total += results[name]["sec"]
+            if results[name]["status"] in ("FAIL", "ERROR"):
+                fails.append(name + tag)
+            print(
+                f"{results[name]['sec']:7.2f}s {results[name]['status']:>9} {name}{tag}",
+                flush=True,
+            )
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
-    total = sum(r["sec"] for r in results.values())
-    print(f"TOTAL {total:.0f}s over {len(results)} ops; FAILS: {fails}")
+    n = len(results) * (2 if double else 1)
+    print(f"TOTAL {total:.0f}s over {n} op runs; FAILS: {fails}")
 
 
 if __name__ == "__main__":
