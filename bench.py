@@ -63,29 +63,44 @@ def main() -> None:
     # warm the JVM + file-listing caches once with the flagship query
     ops["agg_group_sums"].fn(spark, args.sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(args.repeat):
-            t0 = time.perf_counter()
-            ops[name].fn(spark, args.sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    # Two interleaved passes over the whole set (each best-of-``repeat``),
+    # per-query min across passes: ambient-load windows on a shared host
+    # last seconds-to-minutes, so consecutive repeats of ONE query all land
+    # in the same window — spreading the second measurement a full sweep
+    # later decorrelates it (r3's committed 8.55 s vs 6.67 s quiet-machine
+    # was exactly this; see BASELINE.md host-drift section).
+    best_times: dict[str, float] = {}
+    for _ in range(2):
+        for name in names:
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                ops[name].fn(spark, args.sf_dir).count()
+                dt = time.perf_counter() - t0
+                if name not in best_times or dt < best_times[name]:
+                    best_times[name] = dt
+    timings = {name: round(best_times[name], 3) for name in names}
 
     # ingestion throughput (BASELINE.md contract): ~10k properties records
     # through scan_binary_zip -> mapInPandas parse -> exploded entries
     ingest_rps = _ingest_throughput(spark)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    value = round(sum(timings.values()), 3)
+    calib = _machine_calibration(spark)
     out = {
         "metric": "headline_queries_total_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_records_per_s": ingest_rps,
-        "calib_sec": _machine_calibration(spark),
+        "calib_sec": calib,
+        # Host-drift-normalized headline (BASELINE.md protocol): total
+        # divided by the fixed-work calibration job's wall in the SAME JVM.
+        # Compare THIS across rounds/VMs — raw `value` swings ±20-30% with
+        # ambient load while per-query ratios move uniformly (r2: 46.3,
+        # r3 recorded: 53.5 but 43.6 on a quiet host).
+        "value_per_calib": round(value / calib, 1) if calib else None,
     }
     print(json.dumps(out))
 
@@ -130,7 +145,7 @@ def _ingest_throughput(spark) -> int:
     parsed = parse_zip_entries(scan_drop_folder(spark, stage))
     n = parsed.count()  # warm (file listing, JIT, Arrow worker spin-up)
     best = None
-    for _ in range(3):  # steady-state throughput: best-of-3 timed passes
+    for _ in range(5):  # steady-state throughput: best-of-5 timed passes
         t0 = time.perf_counter()
         parsed.count()
         dt = time.perf_counter() - t0

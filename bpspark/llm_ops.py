@@ -2466,7 +2466,11 @@ def _bpe_learn_impl(
             if len(selected) >= want:
                 break
             left, right = r["pair"].split(" ", 1)
-            if left in used or right in used:
+            # left+right guard: two same-pass pairs can concatenate to the
+            # SAME merged token (('a','bc') and ('ab','c') -> 'abc'); `used`
+            # already holds prior merged tokens, so checking it here keeps
+            # the merge table free of duplicate tokens at different ranks.
+            if left in used or right in used or left + right in used:
                 continue
             selected.append((left, right, int(r["w"])))
             used.update((left, right, left + right))
@@ -3614,6 +3618,26 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
 # (median 0.07); 0.05 routes the ambiguous ~half to the exact path.
 _ADAPTIVE_MARGIN = 0.05
 _ADAPTIVE_NPROBE = 4
+# Quantizer-size ceiling for THIS op, far below IVF_MAX_K (r3 verdict: with
+# k = √n uncapped until 65536, the map-side corpus assignment is O(n·√n·d)
+# until n = 4.3e9 — a measured 2.34× wall per 10× data step). The routing
+# signal is a top-2 CELL-MARGIN, which needs cells coarse enough to have
+# meaningful boundaries, not fine retrieval cells — so the adaptive op caps
+# k at 512 and enters its linear O(n·512·d) regime at n = 512² ≈ 262k
+# (probed: tools/adaptive_route_probe.py, docs/SCALE.md; recall floor
+# re-asserted by test_adaptive_route_beats_pure_ivf). Fewer, larger cells at
+# fixed nprobe also probe a LARGER candidate fraction, so IVF-routed recall
+# is equal-or-better than the uncapped form; the cost dial at 100 TB is
+# nprobe/τ, not k.
+_ADAPTIVE_MAX_K = 512
+
+
+def _adaptive_route_k(n: int) -> int:
+    """√n clamped to [4, _ADAPTIVE_MAX_K] — saturates to a CONSTANT at
+    n ≥ 262k, making corpus assignment linear in n from there on."""
+    import math
+
+    return max(4, min(_ADAPTIVE_MAX_K, math.isqrt(max(n, 1))))
 
 
 @op("sim_adaptive_route", sql=None)  # adaptive ANN — recall/routing tests
@@ -3641,9 +3665,21 @@ def sim_adaptive_route(spark: SparkSession, sf: str) -> DataFrame:
     quantizer (no extra pass); the exact-path query subset is bounded
     by the margin distribution and broadcast against the corpus stream;
     the IVF path is the standard cluster-join. The dial (margin τ)
-    trades cost for recall continuously — the adaptive claim."""
-    e = _with_norm(table(spark, sf, "embeddings"))
-    cent_lit, _k = _ivf_centroid_literal(e)
+    trades cost for recall continuously — the adaptive claim. The
+    quantizer is capped at _ADAPTIVE_MAX_K=512 cells (vs IVF_MAX_K=65536
+    for the retrieval ops) so the per-vector assignment — this op's cost
+    center — is O(n·512·d), linear in n beyond 262k vectors (measured:
+    docs/SCALE.md adaptive-route probe)."""
+    return _adaptive_route_frame(spark, _with_norm(table(spark, sf, "embeddings")))
+
+
+def _adaptive_route_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Core of sim_adaptive_route over a prepared (vec_id, embedding, norm)
+    frame — factored out so tools/adaptive_route_probe.py can drive the
+    identical plan with a synthetic multi-million-vector corpus (the sf test
+    dirs stop at ~80k vectors, below the n = 262k point where the capped
+    quantizer saturates and the linear regime begins)."""
+    cent_lit, _k = _ivf_centroid_literal(e, k=_adaptive_route_k(e.count()))
     scored_cents = F.transform(
         cent_lit,
         lambda c: F.struct(

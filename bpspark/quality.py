@@ -251,7 +251,10 @@ _SUBSTR_CONCAT = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_SUBSTR_W))
     dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
     per AS (
         SELECT g.doc_id, COUNT(*) AS n_grams,
-               SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+               -- CAST: DuckDB promotes integer SUM to HUGEINT, whose pandas
+               -- conversion is float64 while Spark emits int64 — the driver's
+               -- per-column hash distinguishes 3 from 3.0 (r3 hash FAIL).
+               CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         FROM g LEFT JOIN dup d USING (gram)
         GROUP BY g.doc_id
     )

@@ -35,38 +35,17 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: round-3 driver window (50 ops). Positions 1-2 are the two
-    # r2 canonicalizer-ERROR ops, now projecting complex cells to scalars;
-    # position 3 re-verifies join_asof_latest_prior (impl rewritten in r2
-    # AFTER its r1 driver row — VERDICT r2 "What's wrong" #3); the rest are
-    # the next never-driver-checked ops in r2 priority order.
-    "multimodal_columns", "ingest_properties_zip", "join_asof_latest_prior",
-    "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
-    "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
-    "udtf_analyze_dynamic", "sample_temperature_mixture",
-    "graph_shortest_paths", "stream_outer_interval_join", "sink_time_travel",
-    "ml_linreg_normal", "join_spatial_grid", "sink_vacuum_retention",
-    "fn_winsorize", "stream_scd_join", "meta_column_lineage",
-    "meta_query_profile", "sink_python_datasource", "api_pandas_on_spark",
-    "join_interval_overlap", "text_perplexity_ngram",
-    "text_repetition_signals", "embedding_random_projection",
-    "scan_data_skipping_minmax", "dedup_substring_spans",
-    "udtf_table_partition_by", "sample_importance_dsir",
-    "sample_perplexity_buckets", "privacy_k_anonymize", "privacy_dp_counts",
-    "dedup_cluster_canonicalize", "scan_agg_pushdown",
-    "join_runtime_bloom_filter", "sql_group_by_all",
-    "text_inverted_index_search", "text_bm25_rank", "profile_partition_skew",
-    "maintenance_backfill_stale_partitions", "q_marketing_attribution",
-    "stream_state_introspection", "udf_sql_declared",
-    "q_exchange_reuse_self_join", "maintenance_rf_refresh",
-    "stream_chained_stateful", "stream_session_timeout",
-    "sql_identifier_clause",
-    # --- tier B: remaining never-driver-checked ops (r4+ windows rotate
-    # from here; regenerate with tools/stale_ops.py --priority)
-    # round-3 additions (new capability):
-    "search_hybrid_rrf", "sample_weighted_reservoir",
-    "dedup_incremental_minhash", "sim_incremental_topk",
-    "stream_minhash_dedup", "sim_mmr_rerank",
+    # --- tier A: round-4 driver window (50 ops). Position 1 is the r3 hash
+    # FAIL (oracle dtype fork, fixed in r4 — needs a green row); position 2
+    # is the one STALE op (r3 fixed-k quantizer rewrite postdates its r2
+    # row); positions 3-12 are the ten round-3 additions (driver-unverified
+    # capability work); the rest are the next never-checked ops in priority
+    # order. Regenerate future windows from `python tools/stale_ops.py`
+    # (the `stale` subcommand's next-window-candidates line, after
+    # rebuilding the manifest with the new round's snapshot rev).
+    "dedup_substring_spans", "sim_cosine_ivf", "search_hybrid_rrf",
+    "sample_weighted_reservoir", "dedup_incremental_minhash",
+    "sim_incremental_topk", "stream_minhash_dedup", "sim_mmr_rerank",
     "sink_python_datasource_stream", "sim_adaptive_route",
     "agg_aqp_sample_estimate", "agg_aqp_groupby_stratified",
     "dedup_url_canonicalized", "sink_merge_scd2", "join_temporal_validity",
@@ -84,12 +63,22 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_l2_normalize", "embedding_centroid_per_label",
     "embedding_quantize_int8", "doc_split_chunks", "doc_decontaminate",
     "doc_pack_greedy", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
-    "sim_ivf_index_persist", "embedding_pq_encode", "sim_pq_adc_search",
-    "dedup_semdedup", "dedup_simhash", "ml_kmeans_lloyd",
-    "ml_pca_top_component", "ml_logreg_gd", "pipeline_llm_corpus",
-    "pipeline_web_corpus", "set_except_all", "join_right_outer",
-    "reshape_unpivot", "fn_string_extra", "fn_try_cast", "win_mixed_frame",
-    "agg_approx_percentile", "win_percent_rank_cume", "fn_regex_extract_all",
+    "sim_ivf_index_persist",
+    # --- tier B: remaining never-driver-checked ops (r5+ windows rotate
+    # from here). Ordered by user value, not registration order: the two
+    # flagship corpus pipelines first (compositions of many stages — one
+    # driver row certifies the most code), then the timeseries and graph
+    # families (whole families with zero driver rows), then the analytics/
+    # sink/stream tail, with long-tail fn_* scalar-function variants LAST
+    # (cheapest to re-derive from their green fn_* siblings).
+    "pipeline_llm_corpus", "pipeline_web_corpus", "ts_activity_grid",
+    "ts_gapfill_locf", "ts_ohlc_hourly", "ts_scd2_intervals",
+    "ts_gaps_islands", "ts_ewma", "ts_anomaly_iqr", "ts_interpolate_linear",
+    "graph_pagerank", "graph_triangle_count", "graph_degree_distribution",
+    "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
+    "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
+    "ml_logreg_gd", "set_except_all", "join_right_outer", "reshape_unpivot",
+    "win_mixed_frame", "agg_approx_percentile", "win_percent_rank_cume",
     "agg_collect_arrays", "sample_deterministic", "join_skew_salted",
     "sql_end_to_end", "agg_mode", "join_range_bucketed", "agg_bool_and_or",
     "win_ntile_bucketize", "agg_histogram_fixed", "win_time_range_interval",
@@ -101,66 +90,89 @@ _PRIORITY: tuple[str, ...] = (
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",
     "scan_dynamic_partition_pruning", "q_shipping_priority",
     "q_nation_revenue", "q_top_parts_per_brand", "q_hypertable_rollup",
-    "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
-    "q_customer_order_distribution", "q_promo_revenue_share",
-    "q_small_quantity_revenue", "q_large_volume_customers",
-    "q_dormant_high_balance", "q_yoy_revenue_growth",
-    "q_nation_trade_volume", "q_market_share", "q_product_profit",
-    "q_returned_items", "q_priority_shipping_mix", "q_top_supplier",
-    "q_disjunctive_predicates", "q_waiting_orders", "q_revenue_forecast",
-    "q_min_cost_supplier", "q_important_parts", "q_parts_supplier_counts",
-    "q_dominant_suppliers", "q_basket_pairs", "q_duplicate_payment_check",
-    "q_percent_of_total", "ts_activity_grid", "join_nearest_event",
-    "q_repeat_purchase_30d", "fn_explode_unnest", "fn_arrays_zip",
-    "fn_array_hof", "fn_map_transform", "fn_url_parse", "fn_aes_roundtrip",
-    "reshape_nest_unnest", "fn_null_semantics", "fn_array_setops",
-    "fn_try_arith", "fn_trig", "fn_iso8601_duration", "fn_format_output",
-    "scan_jsonlines", "scan_csv", "scan_orc", "scan_schema_evolution",
+    "q_order_fulfillment_funnel", "agg_corr_regr",
+    "q_order_priority_exists", "q_customer_order_distribution",
+    "q_promo_revenue_share", "q_small_quantity_revenue",
+    "q_large_volume_customers", "q_dormant_high_balance",
+    "q_yoy_revenue_growth", "q_nation_trade_volume", "q_market_share",
+    "q_product_profit", "q_returned_items", "q_priority_shipping_mix",
+    "q_top_supplier", "q_disjunctive_predicates", "q_waiting_orders",
+    "q_revenue_forecast", "q_min_cost_supplier", "q_important_parts",
+    "q_parts_supplier_counts", "q_dominant_suppliers", "q_basket_pairs",
+    "q_duplicate_payment_check", "q_percent_of_total", "join_nearest_event",
+    "q_repeat_purchase_30d", "reshape_nest_unnest", "scan_jsonlines",
+    "scan_csv", "scan_orc", "scan_schema_evolution",
     "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_stateful_counter", "stream_ingest_pipeline",
     "stream_interval_join", "stream_dedup_within_watermark",
-    "sessionize_batch", "ts_gapfill_locf", "ts_ohlc_hourly",
-    "ts_scd2_intervals", "ts_gaps_islands", "join_asof_tolerance", "ts_ewma",
-    "ts_anomaly_iqr", "udtf_python_native", "udtf_map_in_arrow",
-    "udf_sql_registered", "sql_recursive_cte", "join_lateral_topn",
-    "q_retention_cohorts", "q_event_funnel", "ts_interpolate_linear",
+    "sessionize_batch", "join_asof_tolerance", "udtf_python_native",
+    "udtf_map_in_arrow", "udf_sql_registered", "sql_recursive_cte",
+    "join_lateral_topn", "q_retention_cohorts", "q_event_funnel",
     "profile_summary_stats", "agg_sketch_hll", "agg_sketch_count_min",
-    "agg_bitmap_distinct", "fn_xml_xpath", "fn_variant_json",
-    "fn_string_collation", "sql_correlated_scalar", "profile_crosstab",
-    "sql_pipe_syntax", "sql_parameterized", "graph_pagerank",
-    "graph_triangle_count", "graph_degree_distribution",
-    # --- tier C: ops with a valid driver row from r1/r2 (re-verify last)
-    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_map",
-    "fn_array", "fn_json", "udf_scalar_pandas", "udaf_grouped_pandas",
-    "udtf_apply_in_pandas", "udtf_map_in_pandas", "dedup_exact_hash",
-    "text_stats", "text_quality_filter", "sim_cosine_topk",
-    "dedup_near_minhash", "stream_tumbling_count", "stream_sliding_agg",
-    "stream_session_window", "stream_session_dynamic_gap", "scan_binary_zip",
-    "sink_append_parquet", "stream_static_join", "stream_watermark_late",
-    "stream_dedup_state", "stream_drop_folder", "sink_control_table",
-    "dedup_exact_normalized", "dedup_token_sorted", "dedup_embedding_cosine",
-    "dedup_cluster_cc", "dedup_ngram_jaccard", "sim_cosine_ivf",
-    "sim_cosine_lsh", "text_langid", "text_token_count_bpe",
-    "text_fingerprint", "text_normalize_clean", "text_pii_redact",
-    "text_readability", "text_tfidf_topterms", "text_feature_hashing",
-    "cdc_snapshot_diff", "join_bloom_prefilter", "dq_expectations",
-    "dedup_incremental_exact", "profile_distribution_drift",
-    "sink_zorder_clustered", "scan_parquet", "project_rename_cast",
-    "project_map_keys", "filter_comparison", "filter_boolean_logic",
-    "filter_isin", "filter_like_regex", "filter_null_required",
-    "filter_between_range", "join_broadcast_dim", "join_shuffle_inner",
-    "join_left_outer", "join_semi_validate", "join_anti_dedup",
-    "join_theta_range", "join_cross_small", "agg_group_sums", "agg_global",
-    "agg_count_distinct", "agg_approx_distinct", "agg_having", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "distinct_rows", "win_row_number_topk",
+    "agg_bitmap_distinct", "sql_correlated_scalar", "profile_crosstab",
+    "sql_pipe_syntax", "sql_parameterized", "fn_string_extra",
+    "fn_try_cast", "fn_regex_extract_all", "fn_explode_unnest",
+    "fn_arrays_zip", "fn_array_hof", "fn_map_transform", "fn_url_parse",
+    "fn_aes_roundtrip", "fn_null_semantics", "fn_array_setops",
+    "fn_try_arith", "fn_trig", "fn_iso8601_duration", "fn_format_output",
+    "fn_xml_xpath", "fn_variant_json", "fn_string_collation",
+    # --- tier C: ops whose driver row still certifies the current code —
+    # the FRESH set from tools/stale_ops.py at the r4 snapshot (derived
+    # from the manifest, NOT from which round the row was taken, so
+    # source changes demote ops to the window automatically; re-verify
+    # these last).
+    "multimodal_columns", "ingest_properties_zip", "join_asof_latest_prior",
+    "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
+    "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
+    "udtf_analyze_dynamic", "sample_temperature_mixture",
+    "graph_shortest_paths", "stream_outer_interval_join",
+    "sink_time_travel", "ml_linreg_normal", "join_spatial_grid",
+    "sink_vacuum_retention", "fn_winsorize", "stream_scd_join",
+    "meta_column_lineage", "meta_query_profile", "sink_python_datasource",
+    "api_pandas_on_spark", "join_interval_overlap", "text_perplexity_ngram",
+    "text_repetition_signals", "embedding_random_projection",
+    "scan_data_skipping_minmax", "udtf_table_partition_by",
+    "sample_importance_dsir", "sample_perplexity_buckets",
+    "privacy_k_anonymize", "privacy_dp_counts",
+    "dedup_cluster_canonicalize", "scan_agg_pushdown",
+    "join_runtime_bloom_filter", "sql_group_by_all",
+    "text_inverted_index_search", "text_bm25_rank",
+    "profile_partition_skew", "maintenance_backfill_stale_partitions",
+    "q_marketing_attribution", "stream_state_introspection",
+    "udf_sql_declared", "q_exchange_reuse_self_join",
+    "maintenance_rf_refresh", "stream_chained_stateful",
+    "stream_session_timeout", "sql_identifier_clause", "fn_string",
+    "fn_date", "fn_math", "fn_conditional", "fn_map", "fn_array", "fn_json",
+    "udf_scalar_pandas", "udaf_grouped_pandas", "udtf_apply_in_pandas",
+    "udtf_map_in_pandas", "dedup_exact_hash", "text_stats",
+    "text_quality_filter", "sim_cosine_topk", "dedup_near_minhash",
+    "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
+    "stream_session_dynamic_gap", "scan_binary_zip", "sink_append_parquet",
+    "stream_static_join", "stream_watermark_late", "stream_dedup_state",
+    "stream_drop_folder", "sink_control_table", "dedup_exact_normalized",
+    "dedup_token_sorted", "dedup_embedding_cosine", "dedup_cluster_cc",
+    "dedup_ngram_jaccard", "sim_cosine_lsh", "text_langid",
+    "text_token_count_bpe", "text_fingerprint", "text_normalize_clean",
+    "text_pii_redact", "text_readability", "text_tfidf_topterms",
+    "text_feature_hashing", "cdc_snapshot_diff", "join_bloom_prefilter",
+    "dq_expectations", "dedup_incremental_exact",
+    "profile_distribution_drift", "sink_zorder_clustered", "scan_parquet",
+    "project_rename_cast", "project_map_keys", "filter_comparison",
+    "filter_boolean_logic", "filter_isin", "filter_like_regex",
+    "filter_null_required", "filter_between_range", "join_broadcast_dim",
+    "join_shuffle_inner", "join_left_outer", "join_semi_validate",
+    "join_anti_dedup", "join_theta_range", "join_cross_small",
+    "agg_group_sums", "agg_global", "agg_count_distinct",
+    "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "distinct_rows", "win_row_number_topk",
     "win_rank_dense", "win_lag_lead", "win_running_sum",
     "win_moving_avg_range", "win_ntile_first_last", "sort_multi_key",
     "limit_n", "topk_global", "set_union_all", "set_union_distinct",
     "set_intersect", "set_except", "agg_pivot", "join_full_outer",
-    "agg_min_by_max_by", "agg_string_concat_ordered", "agg_percentile_exact",
-    "agg_stddev_stable", "gen_calendar_dim", "fn_bitwise", "fn_hash_encode",
-    "fn_date_arith", "set_intersect_all",
+    "agg_min_by_max_by", "agg_string_concat_ordered",
+    "agg_percentile_exact", "agg_stddev_stable", "gen_calendar_dim",
+    "fn_bitwise", "fn_hash_encode", "fn_date_arith", "set_intersect_all",
 )
 
 

@@ -1167,7 +1167,9 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ckpt = f"{stage}/ckpt"
     os.makedirs(src)
 
-    def twins(lo: int, hi: int, n: int = 10) -> DataFrame:
+    def twins(lo: int, n: int = 10) -> DataFrame:
+        """Near-duplicate twins of docs [lo, lo+n): shifted ids + one
+        appended word (within MinHash tolerance of the originals)."""
         return (
             d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + n))
             .select(
@@ -1178,8 +1180,8 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     waves = [
         d.filter(F.col("doc_id") < 200),
-        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).unionByName(twins(0, 200)),
-        d.filter(F.col("doc_id") >= 400).unionByName(twins(200, 400)),
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)).unionByName(twins(0)),
+        d.filter(F.col("doc_id") >= 400).unionByName(twins(200)),
     ]
     for i, w in enumerate(waves):
         tmp = f"{stage}/w{i}_tmp"

@@ -41,11 +41,47 @@ def _canon_cell(v):
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_canon_cell(row[c]) for c in cols))
-    out.sort()
-    return out
+    if not cols:
+        return [() for _ in range(len(df))]
+    # COLUMN-wise, never iterrows(): iterrows() materializes each row as a
+    # Series whose common dtype upcasts mixed int/float rows to float64,
+    # erasing exactly the int-vs-float column fork the driver's per-column
+    # hash distinguishes (r3: dedup_substring_spans' DuckDB HUGEINT→float64
+    # n_dup passed here but failed the driver hash). Series.tolist()
+    # preserves each column's own dtype (int64→int, float64→float).
+    col_cells = [[_canon_cell(v) for v in df[c].tolist()] for c in cols]
+    return sorted(zip(*col_cells))
+
+
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse per-column kind mirroring what the driver's hash can fork on:
+    'int' vs 'float' vs 'bool' vs everything else by value type."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"  # Spark gives ns, DuckDB us — resolution is NOT a fork
+    if k == "m":
+        return "timedelta"
+    if k == "O":
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            if hasattr(v, "isoformat"):
+                return "datetime"
+            return f"obj:{type(v).__name__}"
+        return "all-null"
+    return str(s.dtype)
 
 
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> list[str]:
@@ -57,6 +93,13 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
         return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    # Numeric-kind parity per column: an int64-vs-float64 fork hashes
+    # differently in the driver even when every value is numerically equal
+    # (DuckDB HUGEINT/uncast SUM → float64). all-null columns can't fork.
+    for c in s_cols:
+        sk, dk = _dtype_kind(spark_pdf[c]), _dtype_kind(duck_pdf[c])
+        if sk != dk and "all-null" not in (sk, dk):
+            problems.append(f"{name}: dtype-kind fork col={c} spark={sk} duck={dk}")
     s_rows = canonical_rows(spark_pdf)
     d_rows = canonical_rows(duck_pdf)
     if s_rows != d_rows:

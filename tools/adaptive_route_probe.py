@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""sim_adaptive_route saturation probe (VERDICT r3 item 5).
+
+The r3 scaling probe measured 2.34× wall per 10× data on sim_adaptive_route
+because k = √n was still growing at sf sizes — O(n·√n·d) map-side corpus
+assignment. Round 4 caps this op's quantizer at _ADAPTIVE_MAX_K=512, so the
+assignment saturates to O(n·512·d) — linear — at n = 512² ≈ 262k vectors.
+The sf test dirs stop at ~80k vectors (pre-saturation), so this probe builds
+a SYNTHETIC clustered corpus at sizes past the knee and times the identical
+plan (bpspark.llm_ops._adaptive_route_frame) end to end:
+
+  n ∈ {300k, 600k, 1.2M}  (all ≥ 262k → k pinned at 512)
+  expected: wall grows ≈ 2× per 2× of data (linear regime)
+
+Corpus shape: 64 well-separated clusters (basis-vector anchors + bounded
+deterministic noise) — the clustered case IVF is designed for, and the one
+where the margin router actually sends most queries down the IVF path.
+Written to parquet first so every branch of the multi-read plan scans files
+exactly like the registered op does.
+
+Usage: python tools/adaptive_route_probe.py [--sizes 300000,600000,1200000]
+Prints one JSON line per size + a growth summary. Recorded in docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_D = 64
+_CLUSTERS = 64
+
+
+def synth_corpus(spark, n: int, path: str) -> None:
+    """n deterministic clustered vectors: anchor = one-hot(vec_id % 64),
+    plus per-element hash noise in [0, 0.2) — margins are wide for most
+    points, so the router exercises the IVF path (isotropic data would
+    route everything exact and the probe would time the wrong branch)."""
+    j = F.sequence(F.lit(0), F.lit(_D - 1))
+    emb = F.transform(
+        j,
+        lambda jj: (
+            F.when(jj == F.pmod(F.col("vec_id"), F.lit(_CLUSTERS)), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            + F.pmod(F.xxhash64(F.col("vec_id"), jj), F.lit(1000)).cast("double")
+            / F.lit(5000.0)
+        ).cast("float"),
+    )
+    (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="300000,600000,1200000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from bpspark.session import build
+    from bpspark.llm_ops import _ADAPTIVE_MAX_K, _adaptive_route_frame, _adaptive_route_k, _with_norm
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build(app_name="bpspark-adaptive-probe", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stage = tempfile.mkdtemp(prefix="bpspark_adaptive_probe_")
+    walls: list[float] = []
+    try:
+        for n in sizes:
+            k = _adaptive_route_k(n)
+            assert k == _ADAPTIVE_MAX_K, f"size {n} below saturation (k={k})"
+            path = f"{stage}/n{n}"
+            synth_corpus(spark, n, path)
+            e = _with_norm(spark.read.parquet(path))
+            # warm pass not needed: each size pays identical training +
+            # assignment structure; JVM is warmed by the first (smallest) size
+            t0 = time.perf_counter()
+            out = _adaptive_route_frame(spark, e)
+            rows = out.count()
+            wall = round(time.perf_counter() - t0, 2)
+            walls.append(wall)
+            routes = {
+                r["route"]: r["cnt"]
+                for r in out.groupBy("route").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            print(
+                json.dumps(
+                    {"n": n, "k": k, "wall_s": wall, "rows": rows, "routes": routes}
+                ),
+                flush=True,
+            )
+        growth = [
+            {
+                "step": f"{sizes[i]}->{sizes[i+1]}",
+                "data_x": round(sizes[i + 1] / sizes[i], 2),
+                "wall_x": round(walls[i + 1] / walls[i], 2),
+            }
+            for i in range(len(sizes) - 1)
+        ]
+        print(json.dumps({"saturated_k": _ADAPTIVE_MAX_K, "growth": growth}))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

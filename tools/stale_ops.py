@@ -91,14 +91,17 @@ def hash_ops_at_rev(rev: str) -> dict[str, str]:
 
 
 def valid_rows(correctness_path: str) -> set[str]:
-    """Ops whose driver row actually certifies something: a hash/rows match
-    attempt ran (err null) or the rows-only path recorded a count
-    (err == 'no_oracle' with spark_rows populated)."""
+    """Ops whose driver row actually certifies something: a hash/rows/schema
+    check ran AND passed (err null with no false match flag — a hash-FAIL row
+    like dedup_substring_spans r3 proves the opposite of certification), or
+    the rows-only path recorded a count (err == 'no_oracle' with spark_rows
+    populated)."""
     data = json.load(open(correctness_path))
     ok = set()
     for name, row in data.items():
         err = row.get("err")
-        if err is None:
+        checks = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
+        if err is None and False not in checks:
             ok.add(name)
         elif str(err).strip() == "no_oracle" and row.get("spark_rows") is not None:
             ok.add(name)
