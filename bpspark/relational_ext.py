@@ -1002,7 +1002,10 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
     ),
     u AS (SELECT user_id, SUM(c) AS n, SUM(c * c) AS ss FROM c GROUP BY 1)
-    SELECT user_id, n AS n_events,
+    -- CAST n: DuckDB SUM(int) is HUGEINT -> pandas float64; Spark emits
+    -- int64 (same fork class as dedup_substring_spans' r3 driver FAIL; this
+    -- one hid the SUM behind a CTE alias)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
            CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
     FROM u
     """,

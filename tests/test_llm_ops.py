@@ -132,6 +132,22 @@ def test_ivf_quantizer_size_sublinear_in_corpus(spark):
 IVF_TRAIN_ITERS_DEFAULT = 2
 
 
+def test_adaptive_route_k_saturates_early():
+    """r3 verdict #5: sim_adaptive_route's quantizer must saturate to a
+    CONSTANT far below IVF_MAX_K so its corpus assignment — the op's cost
+    center — is O(n·const·d), linear in n from n = _ADAPTIVE_MAX_K² on
+    (the pre-cap O(n^1.5) window measured 2.34× wall per 10× data)."""
+    from bpspark.llm_ops import IVF_MAX_K, _ADAPTIVE_MAX_K, _adaptive_route_k
+
+    assert _ADAPTIVE_MAX_K < IVF_MAX_K // 100
+    # saturation point is reachable by the probe's synthetic sizes
+    assert _adaptive_route_k(_ADAPTIVE_MAX_K**2) == _ADAPTIVE_MAX_K
+    for n in (10**6, 10**9, 10**12):  # constant across the 100 TB range
+        assert _adaptive_route_k(n) == _ADAPTIVE_MAX_K
+    # below saturation it tracks √n like the retrieval quantizer
+    assert _adaptive_route_k(10_000) == 100
+
+
 def test_embedding_cosine_pairs_symmetric_bounded(spark):
     rows = OPS["dedup_embedding_cosine"].fn(spark, SF_SMALL).collect()
     assert all(r.vec_a < r.vec_b for r in rows)

@@ -37,22 +37,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 _D = 64
-_CLUSTERS = 64
+# Natural clusters must be MANY MORE than the 512 quantizer cells: with
+# fewer anchors than cells, Lloyd collapses several centroids onto each
+# anchor and every query's top-2 centroids are near-duplicates — margin ≈ 0,
+# all 25 queries route exact, and (worse) AQE prunes the empty-broadcast IVF
+# branch so the probe would skip the very assignment cost it exists to time.
+# With 8192 pseudo-random anchors per 512 cells, each cell holds ~16 anchors,
+# top-1 vs top-2 cell similarity differs materially, and most queries route
+# IVF (the realistic mix).
+_CLUSTERS = 8192
 
 
 def synth_corpus(spark, n: int, path: str) -> None:
-    """n deterministic clustered vectors: anchor = one-hot(vec_id % 64),
-    plus per-element hash noise in [0, 0.2) — margins are wide for most
-    points, so the router exercises the IVF path (isotropic data would
-    route everything exact and the probe would time the wrong branch)."""
+    """n deterministic clustered vectors: anchor(c) = hash-random direction
+    for cluster c = vec_id % 8192 (elements in [-1, 1)), plus per-element
+    hash noise in [0, 0.1) — wide inter-cell margins, tight clusters."""
     j = F.sequence(F.lit(0), F.lit(_D - 1))
+    c = F.pmod(F.col("vec_id"), F.lit(_CLUSTERS))
     emb = F.transform(
         j,
         lambda jj: (
-            F.when(jj == F.pmod(F.col("vec_id"), F.lit(_CLUSTERS)), F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            + F.pmod(F.xxhash64(F.col("vec_id"), jj), F.lit(1000)).cast("double")
-            / F.lit(5000.0)
+            F.pmod(F.xxhash64(c, jj), F.lit(2000)).cast("double") / F.lit(1000.0)
+            - F.lit(1.0)
+            + F.pmod(F.xxhash64(F.col("vec_id"), jj, F.lit(7)), F.lit(1000)).cast("double")
+            / F.lit(10000.0)
         ).cast("float"),
     )
     (
@@ -73,7 +81,13 @@ def main() -> None:
     from bpspark.llm_ops import _ADAPTIVE_MAX_K, _adaptive_route_frame, _adaptive_route_k, _with_norm
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = build(app_name="bpspark-adaptive-probe", master=f"local[{cpus}]")
+    # Multi-million-row corpora × a 512-struct literal quantizer per row:
+    # the per-task array_sort buffers don't fit local-mode's 1g default heap.
+    spark = build(
+        app_name="bpspark-adaptive-probe",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     stage = tempfile.mkdtemp(prefix="bpspark_adaptive_probe_")
@@ -88,14 +102,13 @@ def main() -> None:
             # warm pass not needed: each size pays identical training +
             # assignment structure; JVM is warmed by the first (smallest) size
             t0 = time.perf_counter()
-            out = _adaptive_route_frame(spark, e)
-            rows = out.count()
+            res = _adaptive_route_frame(spark, e).collect()  # ONE execution
             wall = round(time.perf_counter() - t0, 2)
             walls.append(wall)
-            routes = {
-                r["route"]: r["cnt"]
-                for r in out.groupBy("route").agg(F.count(F.lit(1)).alias("cnt")).collect()
-            }
+            rows = len(res)
+            routes: dict[str, int] = {}
+            for r in res:
+                routes[r["route"]] = routes.get(r["route"], 0) + 1
             print(
                 json.dumps(
                     {"n": n, "k": k, "wall_s": wall, "rows": rows, "routes": routes}
