@@ -2466,10 +2466,13 @@ def _bpe_learn_impl(
             if len(selected) >= want:
                 break
             left, right = r["pair"].split(" ", 1)
-            # left+right guard: two same-pass pairs can concatenate to the
-            # SAME merged token (('a','bc') and ('ab','c') -> 'abc'); `used`
-            # already holds prior merged tokens, so checking it here keeps
-            # the merge table free of duplicate tokens at different ranks.
+            # left+right guard: two SAME-PASS pairs can concatenate to the
+            # same merged token (('a','bc') and ('ab','c') -> 'abc'); `used`
+            # holds this pass's merged tokens, so checking it rejects the
+            # second one. Scope is one pass only (`used` resets per pass):
+            # a LATER pass re-deriving the same surface token from a
+            # different pair is legitimate BPE (distinct patterns, same
+            # output symbol) and exact-greedy batch=1 permits it too.
             if left in used or right in used or left + right in used:
                 continue
             selected.append((left, right, int(r["w"])))

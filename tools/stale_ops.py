@@ -112,7 +112,16 @@ def cmd_build_manifest(rounds: list[tuple[int, str, str]]) -> None:
     manifest: dict[str, dict] = {}
     for rnd, rev, cfile in sorted(rounds):
         hashes = hash_ops_at_rev(rev)
-        for name in sorted(valid_rows(cfile)):
+        valid = valid_rows(cfile)
+        # Newest driver evidence wins in BOTH directions: a later FAIL or
+        # ERROR row also DECERTIFIES an earlier round's passing row —
+        # otherwise an op that fails a re-sweep with unchanged source
+        # would stay FRESH forever and never re-enter a window.
+        attempted = set(json.load(open(cfile)))
+        for name in sorted(attempted - valid):
+            if manifest.pop(name, None) is not None:
+                print(f"  r{rnd}: {name} failed/errored its latest sweep — earlier row decertified")
+        for name in sorted(valid):
             if name not in hashes:
                 print(f"  warn: r{rnd} row for {name} but op absent at {rev}")
                 continue
