@@ -1256,3 +1256,135 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # data column; listing leaves avoids partition-discovery adding a
     # second one)
     return spark.read.parquet(*sorted(_glob.glob(f"{out}/batch=*"))).orderBy("doc_id")
+
+
+def _ivf_stream_quantizer(e_train: DataFrame):
+    """Frozen quantizer for the streaming IVF index: trained ONCE on the
+    pre-stream corpus slice and never updated by the stream. Shared by the
+    op and its batch-equivalence test so both sides provably assign
+    against the identical centroid literal."""
+    from bpspark.llm_ops import _ivf_centroid_literal
+
+    return _ivf_centroid_literal(e_train)
+
+
+def _ivf_index_cell_summary(assigned: DataFrame) -> DataFrame:
+    """Per-cell scalar summary of an IVF postings table — (cluster_id,
+    n_vecs, vec_hash) with vec_hash a sha2 over the canonically sorted
+    member ids. Scalars only (driver canonicalizer contract); identical
+    input rows ⇒ identical frame, which is what the streamed≡batch test
+    compares."""
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(F.collect_list(F.col("vec_id").cast("string"))),
+                ),
+                256,
+            ).alias("vec_hash"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _stream_ivf_index_build(spark: SparkSession, sf: str, stage: str):
+    """Core of stream_ivf_index_append, staged under ``stage`` so tests can
+    inspect the on-disk layout. Returns (summary_df, cent_lit, index_dir).
+
+    Wave split is vec_id % 3 (deterministic, no density assumption); the
+    quantizer trains on wave-0 only and is FROZEN before the stream
+    starts — batches 1-2 are assigned against centroids their vectors
+    never influenced, which is the production contract under test."""
+    import glob as _glob
+    import shutil
+
+    from bpspark.llm_ops import _assign_home, _with_norm
+
+    e = _with_norm(table(spark, sf, "embeddings")).select("vec_id", "embedding", "norm")
+    src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
+    os.makedirs(src, exist_ok=True)
+
+    waves = [e.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    cent_lit, _k = _ivf_stream_quantizer(waves[0])
+
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # strict arrival order
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Map-side assignment against the frozen broadcast-literal
+        # quantizer — no shuffle except the cell-partitioned write; the
+        # batch={id} subdir + overwrite makes a replayed micro-batch
+        # rewrite its own postings instead of appending duplicates
+        # (same idempotency pattern as stream_minhash_dedup).
+        _assign_home(batch_df, cent_lit).select(
+            "vec_id", F.col("home_cent").alias("cluster_id")
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{idx}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, norm double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # basePath makes batch= AND cluster_id= both parse as partition
+    # columns under one root (explicit leaf dirs alone trip Spark's
+    # conflicting-directory-structures check)
+    assigned = spark.read.option("basePath", idx).parquet(
+        *sorted(_glob.glob(f"{idx}/batch=*"))
+    )
+    return _ivf_index_cell_summary(assigned), cent_lit, idx
+
+
+@op("stream_ivf_index_append", sql=None)
+def stream_ivf_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ANN index maintenance — the similarity-family analog of
+    stream_minhash_dedup, completing the batch / incremental / streaming
+    matrix for the IVF stack (sim_cosine_ivf builds per call,
+    sim_ivf_index_persist builds once and persists, sim_incremental_topk
+    maintains query results incrementally; THIS op maintains the index
+    itself online): embedding waves arrive through the checkpointed file
+    source (maxFilesPerTrigger=1, mod-time ordered), and each foreachBatch
+    assigns the batch's vectors to their home cells ENTIRELY MAP-SIDE
+    against a FROZEN quantizer, then appends cell-partitioned postings
+    idempotently by batch id.
+
+    The quantizer is trained once on the pre-stream slice (wave 0) and
+    frozen — the standard IVF operating mode (FAISS `add` vs `train`):
+    index APPEND is online and cheap, quantizer (re)training is an
+    offline job, because moving cell boundaries would force re-bucketing
+    every existing posting. Output: per-cell (cluster_id, n_vecs,
+    vec_hash) summary of the drained index — deterministic scalars.
+
+    Tests pin (a) streamed index ≡ one-shot batch assignment of the same
+    corpus under the same frozen quantizer (row-identical summaries —
+    the strongest equivalence this family admits), (b) the on-disk
+    layout is cell-partitioned per batch (appends touch only the cells
+    present in the batch), (c) in-process re-run reproduces identical
+    output (driver may sweep twice).
+
+    100 TB shape: per-micro-batch cost is batch_rows × k × d map-only
+    flops plus a partition-targeted write of batch_rows postings — no
+    corpus-wide work ever happens on the hot path (the one full pass
+    happened offline at quantizer training); queries partition-prune
+    exactly as sim_ivf_index_persist, reading nprobe/k of the postings.
+    Checkpointed file offsets give exactly-once per wave."""
+    stage = tempfile.mkdtemp(prefix="bpspark_sivf_")
+    summary, _cent, _idx = _stream_ivf_index_build(spark, sf, stage)
+    return summary

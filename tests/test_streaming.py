@@ -174,3 +174,49 @@ def test_stream_minhash_dedup_cross_batch_state(spark):
         suffixes=("_t", "_o"),
     )
     assert (merged.batch_id_t > merged.batch_id_o).all()
+
+
+def test_stream_ivf_index_streamed_equals_batch(spark, tmp_path):
+    """The streamed IVF index must be ROW-IDENTICAL (per-cell count +
+    member-id hash) to a one-shot batch assignment of the same corpus
+    under the same frozen quantizer — streaming adds delivery semantics,
+    never different postings. Also pins the on-disk claim: each batch's
+    append is cell-partitioned (cluster_id= subdirs), i.e. appends touch
+    only the cells present in that batch."""
+    import glob
+    import os
+
+    from bpspark.llm_ops import _assign_home, _with_norm
+    from bpspark.streaming import _ivf_index_cell_summary, _stream_ivf_index_build
+
+    summary, cent_lit, idx = _stream_ivf_index_build(spark, SF_SMALL, str(tmp_path))
+    streamed = summary.toPandas()
+
+    e = _with_norm(table(spark, SF_SMALL, "embeddings")).select(
+        "vec_id", "embedding", "norm"
+    )
+    batch = _ivf_index_cell_summary(
+        _assign_home(e, cent_lit).select(
+            "vec_id", F.col("home_cent").alias("cluster_id")
+        )
+    ).toPandas()
+    assert not compare_frames(streamed, batch, "stream_ivf_vs_batch")
+
+    batch_dirs = sorted(glob.glob(f"{idx}/batch=*"))
+    assert len(batch_dirs) == 3  # one micro-batch per wave
+    for d in batch_dirs:
+        cells = [p for p in os.listdir(d) if p.startswith("cluster_id=")]
+        assert cells, f"{d} not cell-partitioned"
+
+
+def test_stream_ivf_index_rerun_identical(spark):
+    """Driver may run an op twice in one session — two full runs (fresh
+    stage dirs each) must produce byte-identical summaries."""
+    from bpspark.registry import all_ops
+
+    fn = all_ops()["stream_ivf_index_append"].fn
+    a = fn(spark, SF_SMALL).toPandas()
+    b = fn(spark, SF_SMALL).toPandas()
+    assert not compare_frames(a, b, "stream_ivf_rerun")
+    assert len(a) >= 2  # multiple cells actually populated
+    assert int(a["n_vecs"].sum()) == table(spark, SF_SMALL, "embeddings").count()
