@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gapfill_locf", "ts_ohlc_hourly", "ts_scd2_intervals",
     "ts_gaps_islands", "ts_ewma", "ts_anomaly_iqr", "ts_interpolate_linear",
     "graph_pagerank", "graph_triangle_count", "graph_degree_distribution",
-    "stream_ivf_index_append",
+    "stream_ivf_index_append", "search_bm25_incremental",
     "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "set_except_all", "join_right_outer", "reshape_unpivot",

@@ -327,3 +327,154 @@ def search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
     )
     return fused
+
+
+_INC_QUERY_TERMS = ("hash", "join", "filter")
+
+
+def _bm25_tokenize(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+
+
+def _bm25_build_segment(d: DataFrame, seg_dir: str) -> None:
+    """Materialize one index SEGMENT from a document batch — the Lucene
+    segment model on a lake: per-segment postings (tok, doc_id, tf) sorted
+    by term (term-range row-group skipping stands in for postings-list
+    locality), per-doc lengths, the segment's term→df table, and a 1-row
+    stats sidecar. Everything is integer-exact, so cross-segment merge is
+    plain addition — the property the incremental≡recompute proof rests on."""
+    tok = _bm25_tokenize(d)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf.sortWithinPartitions("tok").write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{seg_dir}/doclens")
+    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{seg_dir}/df")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_len")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/stats")
+
+
+@op(
+    "search_bm25_incremental",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               SUM(dl) AS tot_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok IN {_INC_QUERY_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
+                 AS s
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL inverted-index maintenance + BM25 over merged segments —
+    the production search shape (Lucene's segment model; text_bm25_rank is
+    the one-shot form): the base corpus (doc_id % 5 != 0) is indexed once
+    into segment 0, a later document batch (doc_id % 5 == 0) is APPENDED
+    as segment 1 without touching segment 0, and the query plan merges
+    segments at read time. Because every per-segment statistic BM25 needs
+    is an integer partial (tf per (doc,term); df, n_docs, Σdl per
+    segment), cross-segment merge is plain addition and the merged scores
+    equal a full-corpus rebuild EXACTLY — so the DuckDB oracle is the
+    whole-corpus BM25 (incremental ≡ recompute, hash-proven, the same
+    certification pattern as sim_incremental_topk vs brute force).
+
+    Query plan: per-segment df tables filtered to the query terms →
+    summed (|terms| rows); stats sidecars summed (1 row, broadcast);
+    postings filtered to the terms — the filter is a pushed parquet
+    predicate, and each segment's postings are term-sorted so row-group
+    min/max skipping reads ~only the probed terms' ranges (the lake
+    stand-in for postings-list locality); doc lengths joined for the
+    candidates only. Score arithmetic is identical to text_bm25_rank
+    (per-row divisions off exact integer aggregates, rank on ROUND(·,6)).
+
+    100 TB shape: indexing cost per batch ∝ batch tokens (two map-side
+    aggregates + sorted write) — the base corpus is NEVER re-tokenized;
+    query cost ∝ the probed terms' postings across segments, not corpus
+    size; segment compaction (many → few) is sink_compact_small_files'
+    job and changes no statistic. Segments persist via versioned
+    state_dir; a re-run reuses them (idempotent `_built` marker), which
+    doubles as the fresh-reader path: the second sweep pass answers the
+    query purely from the on-disk index."""
+    import os as _os
+
+    from bpspark.io import state_dir
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    idx = state_dir("bm25seg", sf)
+    segs = [f"{idx}/seg=0", f"{idx}/seg=1"]
+    if not _os.path.isdir(f"{idx}/_built"):
+        _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) != 0), segs[0])
+        _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) == 0), segs[1])
+        _os.makedirs(f"{idx}/_built", exist_ok=True)
+
+    terms = list(_INC_QUERY_TERMS)
+    postings = spark.read.parquet(*[f"{s}/postings" for s in segs]).filter(
+        F.col("tok").isin(*terms)
+    )
+    dl = spark.read.parquet(*[f"{s}/doclens" for s in segs])
+    df = (
+        spark.read.parquet(*[f"{s}/df" for s in segs])
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(*[f"{s}/stats" for s in segs]).agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        F.sum("tot_len").alias("tot_len"),
+    )
+    scored = (
+        postings.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75 * F.col("dl") * F.col("n_docs") / F.col("tot_len")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -8,8 +8,11 @@ k-anonymity's guarantee, DP noise bounds.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import bpspark
 from tests.conftest import SF_SMALL
+from tests.oracle_compare import compare_frames
 
 OPS = bpspark.all_ops()
 
@@ -252,3 +255,38 @@ def test_hybrid_rrf_fusion_invariants(spark):
     fused_ids = {r.doc_id for r in rows1}
     outcompeted = sum(1 for s in scores if s > 1 / 61 + 1e-9) >= 10
     assert bm25_top in fused_ids or outcompeted
+
+
+def test_bm25_incremental_append_only_and_reuse(spark, tmp_path):
+    """Segment model contract: appending segment 1 must not rewrite a
+    byte of segment 0 (append-only index maintenance — the whole point
+    vs a rebuild), and the registered op's second call must answer from
+    the persisted index (reuse path) with identical output. Merged-
+    segment ≡ full-corpus scoring is the op's DuckDB oracle
+    (test_oracle_parity) — this test covers what the oracle can't see:
+    the on-disk maintenance behavior."""
+    import glob
+    import os
+
+    from bpspark.io import table
+    from bpspark.search import _bm25_build_segment
+
+    d = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    s0, s1 = str(tmp_path / "seg=0"), str(tmp_path / "seg=1")
+    _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) != 0), s0)
+    before = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{s0}/**/*.parquet", recursive=True)
+    }
+    assert before  # segment 0 materialized something
+    _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) == 0), s1)
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{s0}/**/*.parquet", recursive=True)
+    }
+    assert after == before, "building segment 1 touched segment 0 files"
+
+    a = OPS["search_bm25_incremental"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["search_bm25_incremental"].fn(spark, SF_SMALL).toPandas()  # reuse path
+    assert not compare_frames(a, b, "bm25_incremental_reuse")
+    assert len(a) == 10 and a["bm25"].is_monotonic_decreasing
