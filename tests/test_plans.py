@@ -868,3 +868,46 @@ def test_adaptive_route_broadcasts_both_query_subsets(spark):
     plan = plan_of(spark, "sim_adaptive_route")
     assert plan.count("Broadcast") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_incremental_pushes_terms_and_broadcasts(spark):
+    """The query side of the segment index must (a) push the term filter
+    into the postings parquet scan (the probe reads only the queried
+    terms' row-group ranges, never the full postings), (b) broadcast the
+    |terms|-row df table and 1-row stats sidecar, and (c) never go
+    cartesian at corpus size. TakeOrdered handles the top-10."""
+    plan = plan_of(spark, "search_bm25_incremental")
+    assert "PushedFilters: [In(tok," in plan, "term filter not pushed to postings scan"
+    assert plan.count("BroadcastExchange") >= 2  # df + stats
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stream_ivf_assignment_is_map_only(spark):
+    """The per-micro-batch work of stream_ivf_index_append — home-cell
+    assignment against the frozen literal quantizer — must be a pure
+    map-side projection: zero Exchange, zero join, zero aggregate. The
+    only shuffle-free plan shape that keeps the 100 TB hot path at
+    batch_rows x k x d flops."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from bpspark.io import table
+    from bpspark.llm_ops import _assign_home, _with_norm
+    from bpspark.streaming import _ivf_stream_quantizer
+
+    e = _with_norm(table(spark, SF_SMALL, "embeddings")).select(
+        "vec_id", "embedding", "norm"
+    )
+    cent_lit, _k = _ivf_stream_quantizer(e.filter(F.pmod("vec_id", F.lit(3)) == 0))
+    assigned = _assign_home(e, cent_lit).select(
+        "vec_id", F.col("home_cent").alias("cluster_id")
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, "assignment must not shuffle"
+    assert "Join" not in plan and "Aggregate" not in plan
