@@ -71,6 +71,34 @@ def synth_corpus(spark, n: int, path: str) -> None:
     )
 
 
+def _recall_at_5(spark, e, res) -> float:
+    """Mean per-query overlap of the routed result's top-5 neighbor set
+    with the exact brute-force top-5 (ties broken identically: cosine
+    desc, neighbor_id asc — the op's own ordering)."""
+    from pyspark.sql.window import Window
+
+    from bpspark.llm_ops import _dot
+
+    queries = e.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    truth_rows = (
+        e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    truth = {(r["query_id"], r["neighbor_id"]) for r in truth_rows}
+    got = {(r["query_id"], r["neighbor_id"]) for r in res}
+    return len(truth & got) / len(truth)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="300000,600000,1200000")
@@ -109,9 +137,20 @@ def main() -> None:
             routes: dict[str, int] = {}
             for r in res:
                 routes[r["route"]] = routes.get(r["route"], 0) + 1
+            # recall@5 vs exact brute force AT SATURATED k (the sf-dir
+            # recall test runs at 800 vectors where k = 28 < cap, so it
+            # cannot observe the cap's effect; this can)
+            recall = round(_recall_at_5(spark, e, res), 3)
             print(
                 json.dumps(
-                    {"n": n, "k": k, "wall_s": wall, "rows": rows, "routes": routes}
+                    {
+                        "n": n,
+                        "k": k,
+                        "wall_s": wall,
+                        "rows": rows,
+                        "routes": routes,
+                        "recall_at_5": recall,
+                    }
                 ),
                 flush=True,
             )
