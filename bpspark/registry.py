@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gaps_islands", "ts_ewma", "ts_anomaly_iqr", "ts_interpolate_linear",
     "graph_pagerank", "graph_triangle_count", "graph_degree_distribution",
     "stream_ivf_index_append", "search_bm25_incremental",
+    "sim_ivf_index_compact", "search_bm25_segment_merge",
     "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "set_except_all", "join_right_outer", "reshape_unpivot",

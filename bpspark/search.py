@@ -356,6 +356,193 @@ def _bm25_build_segment(d: DataFrame, seg_dir: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{seg_dir}/stats")
 
 
+def _bm25_query_segments(
+    spark: SparkSession, seg_dirs: list[str], terms: list[str]
+) -> DataFrame:
+    """BM25 top-10 answered purely from on-disk index segments — the
+    shared read path of search_bm25_incremental (N live segments) and
+    search_bm25_segment_merge (1 compacted segment; a merged segment IS
+    a segment, so the same plan serves both). Per-segment df tables are
+    filtered to the query terms then summed (|terms| rows, broadcast);
+    stats sidecars summed (1 row, broadcast); postings filtered by a
+    pushed parquet predicate over term-sorted files; doc lengths joined
+    for candidates only. Score arithmetic is identical to
+    text_bm25_rank (per-row divisions off exact integer partials, rank
+    on ROUND(·,6))."""
+    postings = spark.read.parquet(*[f"{s}/postings" for s in seg_dirs]).filter(
+        F.col("tok").isin(*terms)
+    )
+    dl = spark.read.parquet(*[f"{s}/doclens" for s in seg_dirs])
+    df = (
+        spark.read.parquet(*[f"{s}/df" for s in seg_dirs])
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(*[f"{s}/stats" for s in seg_dirs]).agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        F.sum("tot_len").alias("tot_len"),
+    )
+    scored = (
+        postings.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75 * F.col("dl") * F.col("n_docs") / F.col("tot_len")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_merge_segments(
+    spark: SparkSession, seg_dirs: list[str], merged_dir: str
+) -> None:
+    """Consolidate N index segments into ONE by pure segment-file
+    arithmetic — Lucene's segment merge on the lake. Documents are NEVER
+    re-tokenized: postings union (doc sets are disjoint by the segment
+    contract) and re-sort by term; per-term df tables SUM; per-doc
+    lengths union; stats sidecars SUM. Every statistic is an integer
+    partial, so the merged segment's tables are byte-equivalent in
+    content to an index built from the union corpus — which is exactly
+    what the op's oracle proves. Output layout = the segment layout, so
+    a merged segment is itself mergeable (closure under merge — Lucene's
+    tiered-compaction invariant).
+
+    Scale: merge cost ∝ merged postings rows (one shuffle to re-sort by
+    term + three map-side unions/sums); `_MERGE_OUT_FILES` is the
+    corpus-proportional output-file knob (1 at test SF; thousands at
+    100 TB via repartitionByRange on term so row-group skipping
+    survives compaction)."""
+    postings = spark.read.parquet(*[f"{s}/postings" for s in seg_dirs])
+    (
+        postings.repartitionByRange(_MERGE_OUT_FILES, "tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{merged_dir}/postings")
+    )
+    spark.read.parquet(*[f"{s}/doclens" for s in seg_dirs]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{merged_dir}/doclens")
+    (
+        spark.read.parquet(*[f"{s}/df" for s in seg_dirs])
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .repartitionByRange(_MERGE_OUT_FILES, "tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{merged_dir}/df")
+    )
+    (
+        spark.read.parquet(*[f"{s}/stats" for s in seg_dirs])
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("tot_len").alias("tot_len"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{merged_dir}/stats")
+    )
+
+
+_MERGE_OUT_FILES = 1
+_MERGE_QUERY_TERMS = ("scan", "batch", "column")
+
+
+@op(
+    "search_bm25_segment_merge",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               SUM(dl) AS tot_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok IN {_MERGE_QUERY_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
+                 AS s
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def search_bm25_segment_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Segment MERGE/compaction — the other half of the index lifecycle
+    search_bm25_incremental opens (append creates segments; merge
+    consolidates them, Lucene's tiered-compaction step): two segments are
+    built from disjoint corpus halves, merged into ONE segment by pure
+    segment-file arithmetic (_bm25_merge_segments — documents are never
+    re-tokenized; postings/doclens union, df/stats sum), and the query is
+    answered from the single merged segment.
+
+    Correctness: because every BM25 statistic is an integer partial,
+    merge-then-query must equal a whole-corpus rebuild EXACTLY — the
+    DuckDB oracle is the full-corpus BM25 (merged ≡ rebuilt, hash-proven;
+    the same certification pattern as the incremental op, now covering
+    the compaction direction). Tests additionally pin what the oracle
+    can't see: merged-segment query ≡ multi-segment query row-for-row,
+    merge reads only segment files (no documents scan in its plans), and
+    source segments are byte-untouched by the merge (mtime-pinned).
+
+    100 TB shape: merge cost ∝ merged postings rows — one
+    repartitionByRange shuffle on term keeps the merged files term-sorted
+    so row-group skipping survives compaction (`_MERGE_OUT_FILES` scales
+    the output fan-out); query cost after the merge is the same
+    postings-bounded plan, now over 1 segment's worth of file metadata
+    instead of N — which is the point of compacting. Merged index
+    persists via versioned state_dir; re-runs answer from it
+    (idempotent `_built` marker)."""
+    import os as _os
+
+    from bpspark.io import state_dir
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    idx = state_dir("bm25merge", sf)
+    segs = [f"{idx}/seg=0", f"{idx}/seg=1"]
+    merged = f"{idx}/merged"
+    if not _os.path.isdir(f"{idx}/_built"):
+        _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) != 0), segs[0])
+        _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) == 0), segs[1])
+        _bm25_merge_segments(spark, segs, merged)
+        _os.makedirs(f"{idx}/_built", exist_ok=True)
+    return _bm25_query_segments(spark, [merged], list(_MERGE_QUERY_TERMS))
+
+
 @op(
     "search_bm25_incremental",
     sql=f"""
@@ -435,46 +622,4 @@ def search_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
         _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) == 0), segs[1])
         _os.makedirs(f"{idx}/_built", exist_ok=True)
 
-    terms = list(_INC_QUERY_TERMS)
-    postings = spark.read.parquet(*[f"{s}/postings" for s in segs]).filter(
-        F.col("tok").isin(*terms)
-    )
-    dl = spark.read.parquet(*[f"{s}/doclens" for s in segs])
-    df = (
-        spark.read.parquet(*[f"{s}/df" for s in segs])
-        .filter(F.col("tok").isin(*terms))
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-    )
-    stats = spark.read.parquet(*[f"{s}/stats" for s in segs]).agg(
-        F.sum("n_docs").cast("double").alias("n_docs"),
-        F.sum("tot_len").alias("tot_len"),
-    )
-    scored = (
-        postings.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-                )
-                * (F.col("tf") * 2.2)
-                / (
-                    F.col("tf")
-                    + 1.2
-                    * (
-                        0.25
-                        + 0.75 * F.col("dl") * F.col("n_docs") / F.col("tot_len")
-                    )
-                )
-            ).alias("s"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
-    )
+    return _bm25_query_segments(spark, segs, list(_INC_QUERY_TERMS))

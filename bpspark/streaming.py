@@ -1388,3 +1388,92 @@ def stream_ivf_index_append(spark: SparkSession, sf: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="bpspark_sivf_")
     summary, _cent, _idx = _stream_ivf_index_build(spark, sf, stage)
     return summary
+
+
+def _ivf_batched_index_build(spark: SparkSession, sf: str, stage: str) -> str:
+    """The per-batch index layout stream_ivf_index_append produces —
+    batch={i}/cluster_id={c} postings under one root — built with plain
+    batch writes (same vec_id % 3 wave split, same wave-0-frozen
+    quantizer, same map-side assignment; the streaming harness adds
+    nothing to the LAYOUT, and streamed ≡ batch assignment is already
+    row-identical by stream_ivf_index_append's own tests). Returns the
+    index root."""
+    from bpspark.llm_ops import _assign_home, _with_norm
+
+    e = _with_norm(table(spark, sf, "embeddings")).select("vec_id", "embedding", "norm")
+    idx = f"{stage}/index"
+    waves = [e.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    cent_lit, _k = _ivf_stream_quantizer(waves[0])
+    for i, w in enumerate(waves):
+        _assign_home(w, cent_lit).select(
+            "vec_id", F.col("home_cent").alias("cluster_id")
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(f"{idx}/batch={i}")
+    return idx
+
+
+def _ivf_compact_index(spark: SparkSession, idx: str, compacted: str) -> None:
+    """Consolidate a per-batch IVF postings index (batch={i}/cluster_id=…)
+    into ONE file per cell. Pure layout work — postings rows are moved,
+    never recomputed: one hash repartition on cluster_id routes every
+    cell's rows (across all batches) to exactly one task, and the
+    partitionBy write then emits exactly one file per cell. Queries see
+    identical postings through nprobe cell-pruned reads, but open
+    O(cells) files instead of O(batches × cells) — the streaming append's
+    small-files debt, paid down offline (FAISS merge / Lucene compaction
+    for the ANN index)."""
+    import glob as _glob
+
+    assigned = spark.read.option("basePath", idx).parquet(
+        *sorted(_glob.glob(f"{idx}/batch=*"))
+    )
+    (
+        assigned.select("vec_id", "cluster_id")
+        .repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(compacted)
+    )
+
+
+@op("sim_ivf_index_compact", sql=None)
+def sim_ivf_index_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index COMPACTION — closes the index lifecycle that
+    stream_ivf_index_append opens (append writes per-batch cell files;
+    compaction consolidates them, exactly as search_bm25_segment_merge
+    does for the lexical index): the per-batch postings layout is built
+    under the frozen wave-0 quantizer, then compacted to ONE file per
+    cell (_ivf_compact_index), and the op emits the compacted index's
+    per-cell summary with the observed file fan-out.
+
+    Output: (cluster_id, n_vecs, n_files, vec_hash) — n_files counted
+    distributively via input_file_name() and equal to 1 for every cell
+    after compaction; n_vecs/vec_hash are the same canonical member
+    summary stream_ivf_index_append emits, so compaction provably moved
+    rows without dropping, duplicating, or reassigning any posting
+    (tests compare the summaries row-identically; rows-only driver check
+    by design — the cell assignment depends on the engine quantizer).
+
+    100 TB shape: compaction cost is one shuffle of the postings rows
+    being compacted (8-16 B/vector — ids only, never embeddings),
+    embarrassingly partition-parallel by cell; it runs offline like
+    quantizer training and is idempotent (overwrite into a versioned
+    target). The query-side win is file-metadata pressure: nprobe
+    cell-pruned reads open O(cells) files instead of
+    O(batches × cells) — after a day of 1-minute micro-batches that is
+    1440× fewer footer reads for identical bytes of postings."""
+    stage = tempfile.mkdtemp(prefix="bpspark_sivfc_")
+    idx = _ivf_batched_index_build(spark, sf, stage)
+    compacted = f"{stage}/compacted"
+    _ivf_compact_index(spark, idx, compacted)
+    comp = spark.read.parquet(compacted)
+    n_files = (
+        comp.select("cluster_id", F.input_file_name().alias("_f"))
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("_f").alias("n_files"))
+    )
+    return (
+        _ivf_index_cell_summary(comp)
+        .join(n_files, "cluster_id")
+        .select("cluster_id", "n_vecs", "n_files", "vec_hash")
+        .orderBy("cluster_id")
+    )

@@ -911,3 +911,15 @@ def test_stream_ivf_assignment_is_map_only(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, "assignment must not shuffle"
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_bm25_segment_merge_query_plan_matches_incremental(spark):
+    """The merged segment is served by the SAME read path as the live
+    segments (shared _bm25_query_segments): pushed term predicate on the
+    postings scan, broadcast df + stats, TakeOrdered top-10, no
+    cartesian — compaction must not change the query plan shape."""
+    plan = plan_of(spark, "search_bm25_segment_merge")
+    assert "PushedFilters: [In(tok," in plan, "term filter not pushed to postings scan"
+    assert plan.count("BroadcastExchange") >= 2  # df + stats
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

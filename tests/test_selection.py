@@ -290,3 +290,54 @@ def test_bm25_incremental_append_only_and_reuse(spark, tmp_path):
     b = OPS["search_bm25_incremental"].fn(spark, SF_SMALL).toPandas()  # reuse path
     assert not compare_frames(a, b, "bm25_incremental_reuse")
     assert len(a) == 10 and a["bm25"].is_monotonic_decreasing
+
+
+def test_bm25_segment_merge_equals_multisegment_and_preserves_sources(spark, tmp_path):
+    """The compaction contract: (a) querying the ONE merged segment must
+    return exactly the multi-segment query's rows (merge moved statistics
+    without changing any — merged ≡ live segments; the op's DuckDB oracle
+    separately proves merged ≡ whole-corpus rebuild), (b) the merge reads
+    segment files only and leaves the source segments byte-untouched
+    (mtime-pinned — merge is not a rebuild), (c) a merged segment is
+    itself a segment: the same read path serves it (closure under merge,
+    Lucene's tiered-compaction invariant)."""
+    import glob
+    import os
+
+    from bpspark.io import table
+    from bpspark.search import (
+        _MERGE_QUERY_TERMS,
+        _bm25_build_segment,
+        _bm25_merge_segments,
+        _bm25_query_segments,
+    )
+
+    d = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    s0, s1 = str(tmp_path / "seg=0"), str(tmp_path / "seg=1")
+    merged = str(tmp_path / "merged")
+    _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) != 0), s0)
+    _bm25_build_segment(d.filter(F.pmod("doc_id", F.lit(5)) == 0), s1)
+    before = {
+        p: os.stat(p).st_mtime_ns
+        for s in (s0, s1)
+        for p in glob.glob(f"{s}/**/*.parquet", recursive=True)
+    }
+    _bm25_merge_segments(spark, [s0, s1], merged)
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for s in (s0, s1)
+        for p in glob.glob(f"{s}/**/*.parquet", recursive=True)
+    }
+    assert after == before, "merge touched source segment files"
+
+    terms = list(_MERGE_QUERY_TERMS)
+    live = _bm25_query_segments(spark, [s0, s1], terms).toPandas()
+    compacted = _bm25_query_segments(spark, [merged], terms).toPandas()
+    assert not compare_frames(compacted, live, "bm25_merged_vs_live")
+    # compaction actually consolidated: one postings file vs >= 2
+    assert len(glob.glob(f"{merged}/postings/*.parquet")) == 1
+
+    a = OPS["search_bm25_segment_merge"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["search_bm25_segment_merge"].fn(spark, SF_SMALL).toPandas()  # reuse
+    assert not compare_frames(a, b, "bm25_segment_merge_reuse")
+    assert len(a) == 10 and a["bm25"].is_monotonic_decreasing

@@ -220,3 +220,43 @@ def test_stream_ivf_index_rerun_identical(spark):
     assert not compare_frames(a, b, "stream_ivf_rerun")
     assert len(a) >= 2  # multiple cells actually populated
     assert int(a["n_vecs"].sum()) == table(spark, SF_SMALL, "embeddings").count()
+
+
+def test_ivf_compact_preserves_postings_and_consolidates_files(spark, tmp_path):
+    """Compaction contract for the streamed IVF index: the compacted
+    index's per-cell member summary must be row-identical to the
+    per-batch layout's (no posting dropped, duplicated, or reassigned),
+    and every cell must land in exactly ONE file where the per-batch
+    layout had one file per (batch, cell) — the small-files debt the op
+    exists to pay down."""
+    import glob
+
+    from bpspark.registry import all_ops
+    from bpspark.streaming import (
+        _ivf_batched_index_build,
+        _ivf_compact_index,
+        _ivf_index_cell_summary,
+    )
+
+    idx = _ivf_batched_index_build(spark, SF_SMALL, str(tmp_path))
+    pre = spark.read.option("basePath", idx).parquet(
+        *sorted(glob.glob(f"{idx}/batch=*"))
+    )
+    pre_summary = _ivf_index_cell_summary(pre).toPandas()
+    files_before = len(glob.glob(f"{idx}/batch=*/cluster_id=*/*.parquet"))
+
+    compacted = str(tmp_path / "compacted")
+    _ivf_compact_index(spark, idx, compacted)
+    post = spark.read.parquet(compacted)
+    post_summary = _ivf_index_cell_summary(post).toPandas()
+    assert not compare_frames(post_summary, pre_summary, "ivf_compact_summary")
+
+    cell_dirs = glob.glob(f"{compacted}/cluster_id=*")
+    assert cell_dirs
+    for cd in cell_dirs:
+        assert len(glob.glob(f"{cd}/*.parquet")) == 1, f"{cd} not single-file"
+    assert files_before > len(cell_dirs), "nothing to compact — layout changed?"
+
+    out = all_ops()["sim_ivf_index_compact"].fn(spark, SF_SMALL).toPandas()
+    assert (out["n_files"] == 1).all()
+    assert int(out["n_vecs"].sum()) == table(spark, SF_SMALL, "embeddings").count()
