@@ -1435,6 +1435,115 @@ def _ivf_compact_index(spark: SparkSession, idx: str, compacted: str) -> None:
     )
 
 
+_SBM25_QUERY_TERMS = ("table", "row", "group")
+
+
+@op(
+    "stream_bm25_index_append",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               SUM(dl) AS tot_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok IN {_SBM25_QUERY_TERMS!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
+                 AS s
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def stream_bm25_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING lexical index maintenance — Lucene's NRT flush model as
+    a structured-streaming query, completing the text-retrieval matrix
+    (text_bm25_rank one-shot / search_bm25_incremental append /
+    search_bm25_segment_merge compact / THIS streaming) exactly as
+    stream_ivf_index_append completed the similarity family's: document
+    waves arrive through the checkpointed file source (mtime-ordered,
+    maxFilesPerTrigger=1) and each foreachBatch FLUSHES the micro-batch
+    as one immutable index segment (seg={batch_id} — reusing
+    search.py's `_bm25_build_segment` verbatim, so a streamed segment is
+    bit-compatible with a batch-built one); the query then merges all
+    flushed segments through the shared `_bm25_query_segments` read path.
+
+    ORACLE-BACKED STREAMING (rare — most streaming ops are rows-only by
+    nature): because per-segment statistics are integer partials, the
+    streamed segments' merged scores equal a whole-corpus rebuild
+    EXACTLY, so the DuckDB oracle is full-corpus BM25 — streamed ≡
+    rebuilt, hash-proven every sweep.
+
+    Idempotency: a replayed micro-batch rewrites its own seg={id} dir
+    (per-table overwrite inside `_bm25_build_segment`) instead of
+    appending duplicates — the same batch-id pattern as
+    stream_ivf_index_append; checkpointed file offsets give exactly-once
+    per wave.
+
+    100 TB shape: per-micro-batch cost ∝ batch tokens (the segment
+    build's two map-side aggregates + term-sorted write) — earlier
+    segments are never re-read, let alone re-tokenized; segment count
+    grows 1/micro-batch until search_bm25_segment_merge compacts, which
+    is exactly Lucene's flush-then-merge tiering; query cost ∝ probed
+    terms' postings across live segments."""
+    import glob as _glob
+    import shutil
+
+    from bpspark.search import _bm25_build_segment, _bm25_query_segments
+
+    stage = tempfile.mkdtemp(prefix="bpspark_sbm25_")
+    src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    waves = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _bm25_build_segment(batch_df, f"{idx}/seg={batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    segs = sorted(_glob.glob(f"{idx}/seg=*"))
+    return _bm25_query_segments(spark, segs, list(_SBM25_QUERY_TERMS))
+
+
 @op("sim_ivf_index_compact", sql=None)
 def sim_ivf_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     """IVF index COMPACTION — closes the index lifecycle that

@@ -260,3 +260,36 @@ def test_ivf_compact_preserves_postings_and_consolidates_files(spark, tmp_path):
     out = all_ops()["sim_ivf_index_compact"].fn(spark, SF_SMALL).toPandas()
     assert (out["n_files"] == 1).all()
     assert int(out["n_vecs"].sum()) == table(spark, SF_SMALL, "embeddings").count()
+
+
+def test_stream_bm25_flushes_segment_per_batch_and_reruns_identical(spark):
+    """Lucene NRT flush contract: each of the 3 micro-batches must land
+    as one complete immutable segment (seg={batch_id} holding all four
+    index tables), and a second full run (fresh stage + checkpoint) must
+    reproduce byte-identical query output. Streamed ≡ whole-corpus
+    rebuild is the op's DuckDB oracle (test_oracle_parity); this test
+    covers the on-disk flush behavior the oracle can't see."""
+    import glob
+    import os
+    import tempfile
+
+    from bpspark.registry import all_ops
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_sbm25_*")))
+    fn = all_ops()["stream_bm25_index_append"].fn
+    a = fn(spark, SF_SMALL).toPandas()
+    new_stage = [
+        d
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_sbm25_*"))
+        if d not in before
+    ]
+    assert len(new_stage) == 1
+    segs = sorted(glob.glob(f"{new_stage[0]}/index/seg=*"))
+    assert len(segs) == 3, segs  # one flushed segment per micro-batch
+    for s in segs:
+        for t in ("postings", "doclens", "df", "stats"):
+            assert glob.glob(f"{s}/{t}/*.parquet"), f"{s}/{t} missing"
+
+    b = fn(spark, SF_SMALL).toPandas()
+    assert not compare_frames(a, b, "stream_bm25_rerun")
+    assert len(a) == 10 and a["bm25"].is_monotonic_decreasing
