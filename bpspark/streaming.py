@@ -1544,6 +1544,73 @@ def stream_bm25_index_append(spark: SparkSession, sf: str) -> DataFrame:
     return _bm25_query_segments(spark, segs, list(_SBM25_QUERY_TERMS))
 
 
+@op("sim_ivf_index_retrain", sql=None)
+def sim_ivf_index_retrain(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF quantizer RETRAIN + re-bucket — the offline job
+    stream_ivf_index_append's contract defers to ("quantizer
+    (re)training is an offline job, because moving cell boundaries would
+    force re-bucketing every existing posting" — this op IS that
+    re-bucketing), completing the ANN index lifecycle: train (wave 0) →
+    append (streaming) → compact → RETRAIN (full corpus).
+
+    Shape: the appended index is built under the wave-0 frozen
+    quantizer; a NEW quantizer is trained on the FULL corpus; every
+    existing posting is re-bucketed by joining posting ids back to their
+    vectors (the index stores ids only — 8-16 B/vector — so re-bucketing
+    is the one operation that must touch embeddings again, which is
+    exactly why it is offline) and map-assigning against the new
+    centroid literal, then cell-partitioned rewritten.
+
+    Output: 2 rows — ('after'|'before', n_cells, n_vecs, max_cell,
+    imbalance = max/avg cell size) — the capacity-planning numbers a
+    retrain decision reads. The conservation invariant (n_vecs identical
+    before/after, every id exactly once) is what the tests pin;
+    deterministic scalars only (rows-only driver check by design — cell
+    geometry depends on the engine quantizer).
+
+    100 TB shape: one equi-join of posting ids against the embeddings
+    table (co-partition both by vec_id in production for a shuffle-free
+    probe), map-side assignment O(n·k·d), one cell-partitioned write —
+    a full-corpus pass by design, scheduled like quantizer training
+    itself; the online append path never pays it."""
+    import glob as _glob
+
+    from bpspark.llm_ops import _assign_home, _with_norm
+
+    stage = tempfile.mkdtemp(prefix="bpspark_sivfr_")
+    idx = _ivf_batched_index_build(spark, sf, stage)
+    e = _with_norm(table(spark, sf, "embeddings")).select("vec_id", "embedding", "norm")
+    new_cent, _k = _ivf_stream_quantizer(e)
+    old = spark.read.option("basePath", idx).parquet(
+        *sorted(_glob.glob(f"{idx}/batch=*"))
+    ).select("vec_id", "cluster_id")
+    rebucketed = _assign_home(old.select("vec_id").join(e, "vec_id"), new_cent).select(
+        "vec_id", F.col("home_cent").alias("cluster_id")
+    )
+    new_idx = f"{stage}/retrained"
+    (
+        rebucketed.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(new_idx)
+    )
+
+    def balance(postings: DataFrame, phase: str) -> DataFrame:
+        per = postings.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_vecs"),
+            F.max("n").alias("max_cell"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return (
+        balance(old, "before")
+        .unionAll(balance(spark.read.parquet(new_idx), "after"))
+        .orderBy("phase")
+    )
+
+
 @op("sim_ivf_index_compact", sql=None)
 def sim_ivf_index_compact(spark: SparkSession, sf: str) -> DataFrame:
     """IVF index COMPACTION — closes the index lifecycle that

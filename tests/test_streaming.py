@@ -293,3 +293,23 @@ def test_stream_bm25_flushes_segment_per_batch_and_reruns_identical(spark):
     b = fn(spark, SF_SMALL).toPandas()
     assert not compare_frames(a, b, "stream_bm25_rerun")
     assert len(a) == 10 and a["bm25"].is_monotonic_decreasing
+
+
+def test_ivf_retrain_conserves_postings(spark):
+    """Re-bucketing contract: retraining moves every posting to its new
+    home cell without losing or duplicating any — n_vecs identical
+    before/after and equal to the corpus; deterministic across runs.
+    The 'after' phase must cover every vector exactly once even though
+    cell boundaries moved."""
+    from bpspark.io import table
+    from bpspark.registry import all_ops
+
+    fn = all_ops()["sim_ivf_index_retrain"].fn
+    a = fn(spark, SF_SMALL).toPandas()
+    b = fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b), "retrain output not deterministic"
+    assert list(a["phase"]) == ["after", "before"]
+    n_corpus = table(spark, SF_SMALL, "embeddings").count()
+    assert (a["n_vecs"] == n_corpus).all(), a
+    assert (a["n_cells"] >= 2).all()
+    assert (a["imbalance"] >= 1.0).all()  # max/avg is >= 1 by construction
