@@ -23,6 +23,50 @@ from bpspark.registry import op
 _QUERY_TERMS = ("vector", "merge", "stream")
 
 
+def _bm25_oracle(terms: tuple[str, ...]) -> str:
+    """Whole-corpus BM25 DuckDB oracle (k1=1.2, b=0.75, top-10) — the
+    single source of truth for every BM25-family op's certification SQL,
+    parameterized only by the query-terms tuple. text_bm25_rank keeps an
+    inline copy to preserve its driver-certified source hash
+    (tools/stale_ops.py hashes getsource incl. the decorator); a test
+    pins that copy byte-identical to this builder so the formula can
+    never silently de-sync across ops."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               SUM(dl) AS tot_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok IN {terms!r}
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
+                 AS s
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """
+
+
 @op(
     "text_inverted_index_search",
     sql=f"""
@@ -464,43 +508,7 @@ _MERGE_OUT_FILES = 1
 _MERGE_QUERY_TERMS = ("scan", "batch", "column")
 
 
-@op(
-    "search_bm25_segment_merge",
-    sql=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents
-    ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               SUM(dl) AS tot_len
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, tok, COUNT(*) AS tf
-        FROM tok WHERE tok IN {_MERGE_QUERY_TERMS!r}
-        GROUP BY doc_id, tok
-    ),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-        SELECT tf.doc_id,
-               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                 * (tf.tf * 2.2)
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
-                 AS s
-        FROM tf
-        JOIN df ON tf.tok = df.tok
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats
-    )
-    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 10
-    """,
-)
+@op("search_bm25_segment_merge", sql=_bm25_oracle(_MERGE_QUERY_TERMS))
 def search_bm25_segment_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Segment MERGE/compaction — the other half of the index lifecycle
     search_bm25_incremental opens (append creates segments; merge
@@ -543,43 +551,7 @@ def search_bm25_segment_merge(spark: SparkSession, sf: str) -> DataFrame:
     return _bm25_query_segments(spark, [merged], list(_MERGE_QUERY_TERMS))
 
 
-@op(
-    "search_bm25_incremental",
-    sql=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents
-    ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               SUM(dl) AS tot_len
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, tok, COUNT(*) AS tf
-        FROM tok WHERE tok IN {_INC_QUERY_TERMS!r}
-        GROUP BY doc_id, tok
-    ),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-        SELECT tf.doc_id,
-               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                 * (tf.tf * 2.2)
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
-                 AS s
-        FROM tf
-        JOIN df ON tf.tok = df.tok
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats
-    )
-    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 10
-    """,
-)
+@op("search_bm25_incremental", sql=_bm25_oracle(_INC_QUERY_TERMS))
 def search_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL inverted-index maintenance + BM25 over merged segments —
     the production search shape (Lucene's segment model; text_bm25_rank is

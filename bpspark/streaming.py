@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from bpspark.io import table
 from bpspark.registry import op
+from bpspark.search import _bm25_oracle as _search_mod_bm25_oracle
 
 
 @contextlib.contextmanager
@@ -1258,6 +1259,20 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(*sorted(_glob.glob(f"{out}/batch=*"))).orderBy("doc_id")
 
 
+def _materialize_and_clean(spark: SparkSession, df: DataFrame, stage: str) -> DataFrame:
+    """Collect a BOUNDED result (per-cell summaries / top-k rows — the
+    audited bounded-driver-visit class) and then DELETE the op's mkdtemp
+    staging tree, returning a local-relation frame with the identical
+    schema. Without this, every invocation of a staged index op leaves a
+    full index copy in /tmp (the driver sweeps each op twice per round;
+    state_dir GC only covers versioned state dirs, not per-call stages)."""
+    import shutil
+
+    rows, schema = df.collect(), df.schema
+    shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _ivf_stream_quantizer(e_train: DataFrame):
     """Frozen quantizer for the streaming IVF index: trained ONCE on the
     pre-stream corpus slice and never updated by the stream. Shared by the
@@ -1387,7 +1402,7 @@ def stream_ivf_index_append(spark: SparkSession, sf: str) -> DataFrame:
     Checkpointed file offsets give exactly-once per wave."""
     stage = tempfile.mkdtemp(prefix="bpspark_sivf_")
     summary, _cent, _idx = _stream_ivf_index_build(spark, sf, stage)
-    return summary
+    return _materialize_and_clean(spark, summary, stage)
 
 
 def _ivf_batched_index_build(spark: SparkSession, sf: str, stage: str) -> str:
@@ -1438,43 +1453,49 @@ def _ivf_compact_index(spark: SparkSession, idx: str, compacted: str) -> None:
 _SBM25_QUERY_TERMS = ("table", "row", "group")
 
 
-@op(
-    "stream_bm25_index_append",
-    sql=f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-        FROM documents
-    ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
-    stats AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               SUM(dl) AS tot_len
-        FROM dl
-    ),
-    tf AS (
-        SELECT doc_id, tok, COUNT(*) AS tf
-        FROM tok WHERE tok IN {_SBM25_QUERY_TERMS!r}
-        GROUP BY doc_id, tok
-    ),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-        SELECT tf.doc_id,
-               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                 * (tf.tf * 2.2)
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.tot_len))
-                 AS s
-        FROM tf
-        JOIN df ON tf.tok = df.tok
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN stats
+def _stream_bm25_segments_build(spark: SparkSession, sf: str, stage: str) -> list[str]:
+    """Core of stream_bm25_index_append, staged under ``stage`` so tests
+    can inspect the flushed-segment layout. Three document waves
+    (doc_id % 3, mtime-ordered) drain through the checkpointed file
+    source; each foreachBatch flushes one immutable segment
+    (seg={batch_id}, idempotent overwrite on replay). Returns the sorted
+    segment dirs."""
+    import glob as _glob
+    import shutil
+
+    from bpspark.search import _bm25_build_segment
+
+    src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    waves = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _bm25_build_segment(batch_df, f"{idx}/seg={batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
     )
-    SELECT doc_id, ROUND(SUM(s), 6) AS bm25
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 10
-    """,
-)
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return sorted(_glob.glob(f"{idx}/seg=*"))
+
+
+@op("stream_bm25_index_append", sql=_search_mod_bm25_oracle(_SBM25_QUERY_TERMS))
 def stream_bm25_index_append(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING lexical index maintenance — Lucene's NRT flush model as
     a structured-streaming query, completing the text-retrieval matrix
@@ -1506,42 +1527,13 @@ def stream_bm25_index_append(spark: SparkSession, sf: str) -> DataFrame:
     grows 1/micro-batch until search_bm25_segment_merge compacts, which
     is exactly Lucene's flush-then-merge tiering; query cost ∝ probed
     terms' postings across live segments."""
-    import glob as _glob
-    import shutil
-
-    from bpspark.search import _bm25_build_segment, _bm25_query_segments
+    from bpspark.search import _bm25_query_segments
 
     stage = tempfile.mkdtemp(prefix="bpspark_sbm25_")
-    src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
-    os.makedirs(src, exist_ok=True)
-    d = table(spark, sf, "documents").select("doc_id", "text")
-    waves = [d.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
-    for i, w in enumerate(waves):
-        tmp = f"{stage}/w{i}_tmp"
-        w.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dst = f"{src}/wave{i}.parquet"
-        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        _bm25_build_segment(batch_df, f"{idx}/seg={batch_id}")
-
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    segs = _stream_bm25_segments_build(spark, sf, stage)
+    return _materialize_and_clean(
+        spark, _bm25_query_segments(spark, segs, list(_SBM25_QUERY_TERMS)), stage
     )
-    with harness_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    segs = sorted(_glob.glob(f"{idx}/seg=*"))
-    return _bm25_query_segments(spark, segs, list(_SBM25_QUERY_TERMS))
 
 
 @op("sim_ivf_index_retrain", sql=None)
@@ -1604,10 +1596,12 @@ def sim_ivf_index_retrain(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
         ).select(F.lit(phase).alias("phase"), "*")
 
-    return (
+    return _materialize_and_clean(
+        spark,
         balance(old, "before")
         .unionAll(balance(spark.read.parquet(new_idx), "after"))
-        .orderBy("phase")
+        .orderBy("phase"),
+        stage,
     )
 
 
@@ -1647,9 +1641,11 @@ def sim_ivf_index_compact(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count_distinct("_f").alias("n_files"))
     )
-    return (
+    return _materialize_and_clean(
+        spark,
         _ivf_index_cell_summary(comp)
         .join(n_files, "cluster_id")
         .select("cluster_id", "n_vecs", "n_files", "vec_hash")
-        .orderBy("cluster_id")
+        .orderBy("cluster_id"),
+        stage,
     )

@@ -341,3 +341,23 @@ def test_bm25_segment_merge_equals_multisegment_and_preserves_sources(spark, tmp
     b = OPS["search_bm25_segment_merge"].fn(spark, SF_SMALL).toPandas()  # reuse
     assert not compare_frames(a, b, "bm25_segment_merge_reuse")
     assert len(a) == 10 and a["bm25"].is_monotonic_decreasing
+
+
+def test_bm25_oracle_single_source():
+    """Every BM25-family certification oracle must be the one formula:
+    the three uncertified ops take theirs from _bm25_oracle directly;
+    text_bm25_rank keeps an inline literal (its driver-certified source
+    hash must not churn on a refactor) — this pin guarantees that copy
+    can never silently de-sync from the shared builder."""
+    from bpspark.search import (
+        _INC_QUERY_TERMS,
+        _MERGE_QUERY_TERMS,
+        _QUERY_TERMS,
+        _bm25_oracle,
+    )
+    from bpspark.streaming import _SBM25_QUERY_TERMS
+
+    assert OPS["text_bm25_rank"].sql == _bm25_oracle(_QUERY_TERMS)
+    assert OPS["search_bm25_incremental"].sql == _bm25_oracle(_INC_QUERY_TERMS)
+    assert OPS["search_bm25_segment_merge"].sql == _bm25_oracle(_MERGE_QUERY_TERMS)
+    assert OPS["stream_bm25_index_append"].sql == _bm25_oracle(_SBM25_QUERY_TERMS)

@@ -262,34 +262,28 @@ def test_ivf_compact_preserves_postings_and_consolidates_files(spark, tmp_path):
     assert int(out["n_vecs"].sum()) == table(spark, SF_SMALL, "embeddings").count()
 
 
-def test_stream_bm25_flushes_segment_per_batch_and_reruns_identical(spark):
+def test_stream_bm25_flushes_segment_per_batch_and_reruns_identical(spark, tmp_path):
     """Lucene NRT flush contract: each of the 3 micro-batches must land
     as one complete immutable segment (seg={batch_id} holding all four
-    index tables), and a second full run (fresh stage + checkpoint) must
-    reproduce byte-identical query output. Streamed ≡ whole-corpus
+    index tables), and a second full op run (fresh stage + checkpoint)
+    must reproduce byte-identical query output. Streamed ≡ whole-corpus
     rebuild is the op's DuckDB oracle (test_oracle_parity); this test
-    covers the on-disk flush behavior the oracle can't see."""
+    covers the on-disk flush behavior the oracle can't see (the
+    registered op deletes its stage after materializing — the build is
+    staged here under tmp_path to inspect the layout)."""
     import glob
-    import os
-    import tempfile
 
     from bpspark.registry import all_ops
+    from bpspark.streaming import _stream_bm25_segments_build
 
-    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_sbm25_*")))
-    fn = all_ops()["stream_bm25_index_append"].fn
-    a = fn(spark, SF_SMALL).toPandas()
-    new_stage = [
-        d
-        for d in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_sbm25_*"))
-        if d not in before
-    ]
-    assert len(new_stage) == 1
-    segs = sorted(glob.glob(f"{new_stage[0]}/index/seg=*"))
+    segs = _stream_bm25_segments_build(spark, SF_SMALL, str(tmp_path))
     assert len(segs) == 3, segs  # one flushed segment per micro-batch
     for s in segs:
         for t in ("postings", "doclens", "df", "stats"):
             assert glob.glob(f"{s}/{t}/*.parquet"), f"{s}/{t} missing"
 
+    fn = all_ops()["stream_bm25_index_append"].fn
+    a = fn(spark, SF_SMALL).toPandas()
     b = fn(spark, SF_SMALL).toPandas()
     assert not compare_frames(a, b, "stream_bm25_rerun")
     assert len(a) == 10 and a["bm25"].is_monotonic_decreasing

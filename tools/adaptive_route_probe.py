@@ -71,7 +71,7 @@ def synth_corpus(spark, n: int, path: str) -> None:
     )
 
 
-def _recall_at_5(spark, e, res) -> float:
+def _recall_at_5(e, res) -> float:
     """Mean per-query overlap of the routed result's top-5 neighbor set
     with the exact brute-force top-5 (ties broken identically: cosine
     desc, neighbor_id asc — the op's own ordering)."""
@@ -140,7 +140,7 @@ def main() -> None:
             # recall@5 vs exact brute force AT SATURATED k (the sf-dir
             # recall test runs at 800 vectors where k = 28 < cap, so it
             # cannot observe the cap's effect; this can)
-            recall = round(_recall_at_5(spark, e, res), 3)
+            recall = round(_recall_at_5(e, res), 3)
             print(
                 json.dumps(
                     {
