@@ -309,3 +309,101 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BP_N = 3           # gram width — tuned to the synthetic corpus's ~20-word
+                    # vocabulary: at n=5 no gram repeats across 3 docs of a
+                    # source at sf<=0.1 (degenerate signal); real web corpora
+                    # use longer grams/lines with the same plan
+_BP_MIN_DOCS = 3    # distinct docs (per source) before a gram is boilerplate
+_BP_CONCAT = " || ' ' || ".join(f"ws[i+{k}]" for k in range(_BP_N))
+
+
+@op(
+    "text_boilerplate_ngrams",
+    sql=f"""
+    WITH g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(
+                   list_transform(range(1, len(ws) - {_BP_N - 2}),
+                                  i -> {_BP_CONCAT}))) AS gram
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents)
+    ),
+    bp AS (
+        SELECT source, gram FROM g
+        GROUP BY source, gram HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    ),
+    per AS (
+        SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+               -- CAST: DuckDB integer SUM promotes to HUGEINT -> pandas
+               -- float64 vs Spark int64 (cookbook rule, r3 hash FAIL)
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bp
+        FROM g LEFT JOIN bp b USING (source, gram)
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT doc_id, source, n_grams, n_bp,
+           ROUND(CAST(n_bp AS DOUBLE) / n_grams, 6) AS bp_frac
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN boilerplate detection (the line/passage-dedup stage of
+    CCNet and RefinedWeb, adapted to these newline-free docs): an n-gram
+    that appears in >= _BP_MIN_DOCS DISTINCT documents of the same
+    ``source`` is template chrome (headers, navigation, license tails) —
+    repeated WITHIN one doc doesn't count (that's text_repetition_signals'
+    job), and repetition across different sources doesn't either (that's
+    corpus-level dedup_substring_spans). Emits the per-doc audit record:
+    distinct-gram count, boilerplate-gram count, and the fraction a
+    cleaning pass would strip.
+
+    Plan shape: explode distinct per-doc grams once; the boilerplate set
+    is a (source, gram) partial-count aggregate (map-side combine, the
+    shuffle carries distinct grams — vocabulary-sized, not corpus-sized);
+    the flag-back is a left join ON THE SAME (source, gram) key, so AQE
+    reuses the aggregate's partitioning rather than re-shuffling the gram
+    rows. At 100 TB the per-source boilerplate sets are small enough to
+    broadcast per partition-of-sources; strings stay un-hashed here so the
+    DuckDB oracle is byte-identical (same trade as dedup_substring_spans).
+
+    Reference provenance: generalises the reference's per-record validity
+    gate (MetadataIngestionServiceImpl.java:112-116) to a corpus-derived
+    cleaning signal, per SURVEY §2.3's text-analysis charter."""
+    return boilerplate_frame(table(spark, sf, "documents"))
+
+
+def boilerplate_frame(d: DataFrame) -> DataFrame:
+    """Core plan over any (doc_id, source, text) frame — split out so tests
+    can plant template docs and assert the flagging rules directly."""
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(_word_shingles(F.col("text"), _BP_N))
+        ).alias("gram"),
+    )
+    bp = (
+        g.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select("source", "gram")
+    )
+    flagged = g.join(bp, ["source", "gram"], "left_semi")
+    per = g.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    nb = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bp"))
+    return (
+        per.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.coalesce("n_bp", F.lit(0)).cast("long").alias("n_bp"),
+            F.round(
+                F.coalesce("n_bp", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("bp_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank", "graph_triangle_count", "graph_degree_distribution",
     "stream_ivf_index_append", "search_bm25_incremental",
     "sim_ivf_index_compact", "search_bm25_segment_merge",
-    "stream_bm25_index_append",
+    "stream_bm25_index_append", "text_boilerplate_ngrams",
     "embedding_pq_encode", "sim_pq_adc_search", "dedup_semdedup",
     "dedup_simhash", "ml_kmeans_lloyd", "ml_pca_top_component",
     "ml_logreg_gd", "set_except_all", "join_right_outer", "reshape_unpivot",

@@ -853,3 +853,40 @@ def test_adaptive_route_beats_pure_ivf(spark):
         f"adaptive {recall_adaptive:.3f} must beat pure IVF {recall_ivf:.3f}"
     )
     assert recall_adaptive >= 0.7, f"adaptive recall {recall_adaptive:.3f} too low"
+
+
+def test_boilerplate_ngrams_flagging_rules(spark):
+    """The three defining rules of per-source boilerplate: (1) a gram in
+    >= _BP_MIN_DOCS distinct docs of ONE source flags every doc carrying
+    it; (2) the same gram in a different source does NOT flag (domain
+    scoping); (3) within-doc repetition counts once (array_distinct), so
+    a single doc repeating the template 5x is not boilerplate."""
+    from bpspark.quality import _BP_MIN_DOCS, boilerplate_frame
+
+    tmpl = "sign up for our newsletter today"
+    rows = (
+        # source A: template appears in exactly _BP_MIN_DOCS docs
+        [(i, "a", f"{tmpl} plus unique filler words {i} x y z w")
+         for i in range(_BP_MIN_DOCS)]
+        # source B: SAME template but only one doc -> not boilerplate there
+        + [(100, "b", f"{tmpl} other body entirely distinct here")]
+        # source A: one doc repeating a PRIVATE phrase 5x -> distinct once
+        + [(101, "a", " ".join(["private repeated phrase only here"] * 5))]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in boilerplate_frame(d).collect()}
+    for i in range(_BP_MIN_DOCS):
+        assert out[i]["n_bp"] >= 4, out[i]  # the template's 4 trigrams
+    assert out[100]["n_bp"] == 0, out[100]
+    assert out[101]["n_bp"] == 0, out[101]
+    assert out[101]["n_grams"] < 5 * 3  # distinct collapsed the repeats
+
+
+def test_boilerplate_ngrams_nondegenerate_at_sf001(spark):
+    """At sf0.01 the corpus must actually produce flagged docs — guards
+    against a parameter drift that silences the signal entirely (n=5 was
+    degenerate on this vocabulary; see _BP_N comment)."""
+    pdf = OPS["text_boilerplate_ngrams"].fn(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) == 500
+    assert (pdf.n_bp > 0).sum() >= 10
+    assert ((pdf.bp_frac >= 0) & (pdf.bp_frac <= 1)).all()
