@@ -3547,6 +3547,98 @@ def sim_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@op("sim_ivfpq_search", sql=None)  # approximate ANN — recall floor in tests
+def sim_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ — the two halves COMPOSED, which is the actual shape of
+    every billion-vector production index (FAISS IVFADC, Jégou et al.):
+    the coarse IVF quantizer routes each query to ``IVF_NPROBE`` cells,
+    and only the vectors homed in those cells are scored — by ADC table
+    lookups over their 12-bit PQ codes, never their raw floats.
+    sim_cosine_ivf prunes but scores full vectors (d multiplies the scan
+    cost); sim_pq_adc_search compresses but scans every code (n
+    multiplies it); this op pays nprobe/k_cells of the corpus at 3 bits
+    per subspace per vector. Encodes raw vectors, not residuals
+    (FAISS ``by_residual=False``) so the shared, numpy-parity-tested
+    _pq_train/_pq_encode_long stack is reused verbatim.
+
+    Plan: index build = one map-side home-cell assignment against the
+    literal quantizer + one map-side PQ encode, joined on vec_id (the
+    one build shuffle — in production this frame IS the persisted index,
+    written cell-partitioned once, cf. sim_ivf_index_persist). Query =
+    the 10 collected query rows ride in as ONE literal carrying each
+    query's probe-cell list and its m×k ADC table; scoring is a map-side
+    probe-cell filter + m table lookups, then one window top-5 per
+    query. Scored candidates ≈ n·nprobe/k_cells per query; with
+    k = √n (capped) that fraction vanishes as the corpus grows, and the
+    scored payload is 12-bit codes — the raw embedding column is never
+    read after the build."""
+    e = _with_norm(_embeddings_with_planted_twins(spark, sf).select("vec_id", "embedding"))
+    cent_lit, _n_cells = _ivf_centroid_literal(e)
+    books = _pq_train(spark, e)
+    assigned = _assign_home(e, cent_lit).select("vec_id", "home_cent")
+    codes = (
+        _pq_encode_long(e, books)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"code{s}")
+                for s in range(PQ_M)
+            ]
+        )
+    )
+    index = codes.join(assigned, "vec_id")
+
+    # query side: probe lists from the SAME quantizer (map-side, then a
+    # 10-row collect) + exact per-subspace ADC tables from the codebooks
+    import math
+
+    sub_d = len(books[0][0])
+    qrows = _ivf_probe_assign(
+        e.filter(F.col("vec_id") < 10), IVF_NPROBE, cent_lit
+    ).collect()
+    q_structs = []
+    for qr in sorted(qrows, key=lambda r: r["vec_id"]):
+        qv = [float(x) for x in qr["embedding"]]
+        tables = [
+            [
+                math.fsum(
+                    (qv[s * sub_d + j] - books[s][i][j]) ** 2 for j in range(sub_d)
+                )
+                for i in range(PQ_K)
+            ]
+            for s in range(PQ_M)
+        ]
+        tab = "array(" + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")" for row in tables
+        ) + ")"
+        probes = "array(" + ",".join(str(int(c)) for c in qr["probe_cents"]) + ")"
+        q_structs.append(
+            f"struct({qr['vec_id']}L as qid, {probes} as probes, {tab} as t)"
+        )
+    q_lit = F.expr("array(" + ",".join(q_structs) + ")")
+    cand = index.select("*", F.explode(q_lit).alias("q")).filter(
+        F.array_contains(F.col("q.probes"), F.col("home_cent"))
+        & (F.col("vec_id") != F.col("q.qid"))
+    )
+    adc = sum(
+        F.element_at(F.element_at(F.col("q.t"), s + 1), F.col(f"code{s}") + 1)
+        for s in range(PQ_M)
+    )
+    scored = cand.select(
+        F.col("q.qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("home_cent").alias("cell"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cell", "adc_dist")
+        .orderBy("query_id", "adc_dist", "neighbor_id")
+    )
+
+
 _MMR_LAMBDA = 0.7
 _MMR_CANDIDATES = 20
 _MMR_K = 5

@@ -88,9 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified", "agg_weighted_avg", "win_first_last_ignore_nulls",
     "win_nth_value", "agg_skew_kurt", "join_fuzzy_levenshtein",
     "agg_gini_impurity", "win_cumulative_distinct", "sample_hash_mod",
-    # r6-window front: the IVF retrain/re-bucket job (kept out of the
-    # r5 window's 50 to hold its pre-timed ~67-95 s budget)
-    "sim_ivf_index_retrain",
+    # r6-window front: the IVF retrain/re-bucket job and the IVF-PQ
+    # composition (kept out of the r5 window's 50 to hold its pre-timed
+    # ~67-95 s budget)
+    "sim_ivf_index_retrain", "sim_ivfpq_search",
     "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
     "join_bucketed_colocated", "sink_overwrite_dynamic",
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",

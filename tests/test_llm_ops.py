@@ -681,6 +681,56 @@ def test_pq_codes_match_numpy_ground_truth(spark):
     assert checked == 160
 
 
+def test_ivfpq_recall_and_pruning(spark):
+    """IVF-PQ composition: the planted twin must survive BOTH
+    approximations at once — coarse probe pruning (only IVF_NPROBE cells
+    scored per query) AND 12-bit ADC scoring — for nearly all of the 10
+    queries, and the output must prove the pruning actually happened
+    (every returned neighbor's cell sits inside the probe budget)."""
+    from bpspark import llm_ops
+    from tests.conftest import SF_SMALL
+
+    res = OPS["sim_ivfpq_search"].fn(spark, SF_SMALL).toPandas()
+    assert res.query_id.nunique() == 10
+    assert (res.groupby("query_id").size() == 5).all()
+    twin_hits = sum(
+        1
+        for q in range(10)
+        if ((res.query_id == q) & (res.neighbor_id == q + 1_000_000)).any()
+    )
+    assert twin_hits >= 8, f"IVF-PQ lost the twin for {10 - twin_hits} queries"
+    # pruning is observable: per query, neighbors come from <= nprobe cells
+    assert (res.groupby("query_id").cell.nunique() <= llm_ops.IVF_NPROBE).all()
+
+
+def test_ivfpq_deterministic_and_no_cartesian(spark):
+    """Deterministic end-to-end (xxhash64-seeded quantizer + Lloyd
+    codebooks), and the query side must stay joinless: the 10 queries
+    ride in as ONE literal (explode + probe-cell filter), so the only
+    join in the plan is the build-side vec_id equi-join — any
+    CartesianProduct/BroadcastNestedLoopJoin means the probe filter
+    degenerated into an all-pairs scan."""
+    import contextlib
+    import io
+
+    from tests.conftest import SF_SMALL
+
+    a = OPS["sim_ivfpq_search"].fn(spark, SF_SMALL).toPandas()
+    b = OPS["sim_ivfpq_search"].fn(spark, SF_SMALL).toPandas()
+    assert a.equals(b)
+
+    df = OPS["sim_ivfpq_search"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # scoring is pure JVM expression work: no Python boundary anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
 def test_incremental_minhash_detects_twins_and_verifies_matches(spark):
     """The batch-vs-persisted-LSH-index probe must (a) catch every
     replanted twin and tie it to its original, (b) be deterministic and
