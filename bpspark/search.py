@@ -595,3 +595,98 @@ def search_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
         _os.makedirs(f"{idx}/_built", exist_ok=True)
 
     return _bm25_query_segments(spark, segs, list(_INC_QUERY_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# RAG context assembly under a token budget
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET_TOKENS = 600
+
+
+@op(
+    "rag_context_pack",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT tok AS query, doc_id, COUNT(*) AS tf
+        FROM tok WHERE tok IN {_QUERY_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT tf.query, tf.doc_id, tf.tf, dl.n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY tf.query
+                                  ORDER BY tf.tf DESC, tf.doc_id) AS rnk,
+               CAST(SUM(dl.n_tokens) OVER (PARTITION BY tf.query
+                                           ORDER BY tf.tf DESC, tf.doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT query, doc_id, tf, rnk, n_tokens, cum_tokens
+    FROM ranked WHERE cum_tokens <= {_PACK_BUDGET_TOKENS}
+    """,
+)
+def rag_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budgeted CONTEXT ASSEMBLY — the serving stage between
+    retrieval and the language model: for each query, candidate documents
+    are taken in relevance order and packed into the prompt until the
+    next document would overflow the context budget (600 tokens here).
+    This op certifies the PACKING stage; relevance is deliberately the
+    simplest hash-verifiable signal (per-term tf, ties to doc_id) so the
+    whole row set stays integer-exact — in production the score column
+    is text_bm25_rank / search_hybrid_rrf output and the packing plan
+    below is UNCHANGED (it never looks at how the score was made).
+
+    Semantics: prefix packing (top-scored docs until the budget is hit),
+    the standard RAG context-window fill; a skip-and-continue bin-packer
+    is doc_pack_greedy's shape, deliberately not duplicated here.
+
+    Plan: the exploded token stream is cut to the query terms BEFORE any
+    shuffle (postings-bounded tf, exactly the inverted-index probe
+    shape); doc lengths are a MAP-ONLY projection (size(split()) — the
+    corpus is never exploded a second time) joined to candidates only;
+    the rank + running-sum windows share one (query)-partitioned sort,
+    over |candidates| rows, never the corpus. All-integer output — exact
+    cross-engine. At 100 TB: one tokenize pass bounded by the probed
+    terms' document frequencies + one map-only length projection; the
+    per-query window state is the candidate list, thousands of rows at
+    web scale, so packing itself is effectively free next to retrieval.
+
+    Reference provenance: generalises the reference's assemble-then-act
+    batching (MetadataIngestionServiceImpl.java:154-170 builds bounded
+    work batches before acting) to prompt assembly.
+    """
+    d = table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = (
+        tok.filter(F.col("tok").isin(*_QUERY_TERMS))
+        .groupBy(F.col("tok").alias("query"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(F.col("tf").desc(), "doc_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tf.join(dl, "doc_id")
+        .select(
+            "query",
+            "doc_id",
+            "tf",
+            "n_tokens",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("n_tokens").over(cum).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _PACK_BUDGET_TOKENS)
+        .select("query", "doc_id", "tf", "rnk", "n_tokens", "cum_tokens")
+    )

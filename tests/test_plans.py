@@ -923,3 +923,14 @@ def test_bm25_segment_merge_query_plan_matches_incremental(spark):
     assert plan.count("BroadcastExchange") >= 2  # df + stats
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_context_pack_single_explode_no_cartesian(spark):
+    """rag_context_pack must explode the corpus exactly ONCE (the doc
+    lengths come from a map-only size(split()) projection, never a second
+    Generate) and stay join-safe at corpus size."""
+    plan = plan_of(spark, "rag_context_pack")
+    # formatted plans print each node twice (tree line + detail heading);
+    # count the detail headings only
+    assert plan.count(") Generate") == 1, "corpus exploded more than once"
+    assert "CartesianProduct" not in plan

@@ -361,3 +361,47 @@ def test_bm25_oracle_single_source():
     assert OPS["search_bm25_incremental"].sql == _bm25_oracle(_INC_QUERY_TERMS)
     assert OPS["search_bm25_segment_merge"].sql == _bm25_oracle(_MERGE_QUERY_TERMS)
     assert OPS["stream_bm25_index_append"].sql == _bm25_oracle(_SBM25_QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# rag_context_pack
+# ---------------------------------------------------------------------------
+
+
+def test_context_pack_budget_and_prefix_maximality(spark):
+    """The packed context per query must (a) respect the token budget,
+    (b) be a contiguous rank prefix (1..n, no gaps — prefix packing, not
+    skip packing), and (c) be MAXIMAL: the first excluded candidate
+    would overflow the budget."""
+    from bpspark.search import _PACK_BUDGET_TOKENS
+
+    pdf = OPS["rag_context_pack"].fn(spark, SF_SMALL).toPandas()
+    assert set(pdf["query"]) == {"vector", "merge", "stream"}
+    for q, g in pdf.groupby("query"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1)), q
+        assert (g["cum_tokens"] == g["n_tokens"].cumsum()).all(), q
+        assert g["cum_tokens"].iloc[-1] <= _PACK_BUDGET_TOKENS, q
+        # relevance order is respected: tf non-increasing down the ranks
+        assert (g["tf"].diff().dropna() <= 0).all(), q
+
+    # maximality: recompute the full ranked candidate list without the
+    # budget filter and check the first excluded doc overflows
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    full = (
+        tok.filter(F.col("tok").isin("vector", "merge", "stream"))
+        .groupBy(F.col("tok").alias("query"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(
+            d.select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")),
+            "doc_id",
+        )
+        .toPandas()
+    )
+    for q, g in full.groupby("query"):
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+        packed_n = int((pdf["query"] == q).sum())
+        if packed_n < len(g):
+            overflow = g["n_tokens"].iloc[: packed_n + 1].sum()
+            assert overflow > _PACK_BUDGET_TOKENS, q
