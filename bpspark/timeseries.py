@@ -385,3 +385,109 @@ def ts_anomaly_iqr(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value")
     )
+
+
+@op(
+    "ts_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT *,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE) AS tsum,
+             COUNT(*) OVER w AS tn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, epoch_day, v, tsum / 7 AS trend,
+             epoch_day % 7 AS weekday,
+             CAST(ROUND(v - tsum / 7, 6) AS DECIMAL(18,6)) AS detr
+      FROM tr WHERE tn = 7
+    ),
+    seas AS (
+      SELECT event_type, weekday,
+             CAST(SUM(detr) AS DOUBLE) / COUNT(*) AS seasonal
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.v,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(d.v - d.trend - s.seasonal, 6) AS resid
+    FROM det d
+    JOIN seas s ON d.event_type = s.event_type AND d.weekday = s.weekday
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL descends from) of each event type's daily value series:
+    trend = centered 7-day moving average (full frames only, so edges
+    carry no half-window bias), seasonal = per-weekday mean of the
+    detrended series, residual = value − trend − seasonal. Weekday is
+    epoch-day mod 7 — integer arithmetic, immune to the engines'
+    dayofweek() origin disagreement (Spark 1=Sunday, DuckDB 0=Sunday).
+
+    Cross-engine float discipline (the repo's decimal-snap contract):
+    daily sums run in DECIMAL(18,2) (exact, associative — safe to
+    shuffle in any order); the windowed trend sum runs in DECIMAL too,
+    so trend = exact_sum / 7 is ONE IEEE division from identical inputs;
+    the detrended series is snapped to DECIMAL(18,6) before the
+    per-weekday mean so that aggregation is exact again. Every emitted
+    float is therefore a single rounded arithmetic op over exact inputs
+    — bit-identical in both engines.
+
+    Scale: the ONLY corpus-sized work is the daily partial aggregate
+    (map-side combine → shuffle of |types × days| rows). Everything
+    after operates on the daily panel — thousands of rows per decade —
+    so windows, the weekday profile (a broadcast back onto the panel),
+    and the final join are noise at 100 TB. This is the hypertable
+    continuous-aggregate shape: decompose reads the rollup, never the
+    raw events."""
+    ev = table(spark, sf, "events").select("event_type", "ts", "value")
+    d = F.to_date("ts")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            d.cast("string").alias("day"),
+            F.datediff(d, F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "epoch_day",
+        "v",
+        F.sum(F.col("v").cast("decimal(18,2)")).over(w).cast("double").alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+    )
+    det = tr.filter(F.col("tn") == 7).select(
+        "event_type",
+        "day",
+        "v",
+        (F.col("tsum") / 7).alias("trend"),
+        (F.col("epoch_day") % 7).alias("weekday"),
+        F.round(F.col("v") - F.col("tsum") / 7, 6).cast("decimal(18,6)").alias("detr"),
+    )
+    seas = det.groupBy("event_type", "weekday").agg(
+        (F.sum("detr").cast("double") / F.count(F.lit(1))).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "weekday"]).select(
+        "event_type",
+        "day",
+        "v",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )

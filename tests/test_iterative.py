@@ -166,3 +166,31 @@ def test_min_label_cc_matches_union_find_on_random_graphs(spark):
             for r in _min_label_cc(nodes, pairs).collect()
         }
         assert got == want, f"seed={seed}: {got} != {want}"
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    """v must equal trend + seasonal + resid exactly up to output
+    rounding, trend must equal the pandas centered 7-day mean on full
+    frames, and each type keeps days-minus-6 edge-trimmed rows."""
+    import numpy as np
+
+    ops = all_ops()
+    pdf = ops["ts_seasonal_decompose"].fn(spark, SF).toPandas()
+    assert (pdf["v"] - (pdf["trend"] + pdf["seasonal"] + pdf["resid"])).abs().max() < 2e-6
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    daily = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "day"], as_index=False)["value"]
+        .sum()
+    )
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        trend = g["value"].rolling(7, center=True).mean().dropna()
+        got = (
+            pdf[pdf["event_type"] == et]
+            .sort_values("day")["trend"]
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(g) - 6, et
+        assert np.allclose(got, trend.to_numpy(), atol=2e-6), et
