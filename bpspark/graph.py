@@ -242,3 +242,103 @@ def graph_shortest_paths(spark: SparkSession, sf: str) -> DataFrame:
         visited = visited.unionByName(new).localCheckpoint()
         frontier = new
     return visited.groupBy("landmark", "dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_iter_sql(i: int) -> str:
+    """One synchronous LPA round as chained CTEs (votes → counts → argmax
+    with (count DESC, label ASC) tie-break). Unrolled because recursive
+    CTEs cannot aggregate in the recursive term — the same reason the
+    Spark side is a driver loop of whole-frame rounds."""
+    p = i - 1
+    return f"""
+    v{i} AS (
+      SELECT ed.src AS node, l.label FROM ed JOIN l{p} l ON l.node = ed.dst
+      UNION ALL SELECT node, label FROM l{p}
+    ),
+    c{i} AS (SELECT node, label, COUNT(*) AS c FROM v{i} GROUP BY node, label),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+
+
+_LPA_SQL = (
+    f"""
+    WITH {_KNN_EDGES_SQL},
+    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+    """
+    + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+    + f"""
+    SELECT label AS community, COUNT(*) AS n_nodes
+    FROM l{_LPA_ROUNDS} GROUP BY label
+    """
+)
+
+
+@op("graph_label_propagation", sql=_LPA_SQL)
+def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan'07)
+    over the bounded-degree supplier similarity graph: every node starts
+    as its own community, and each round adopts the most frequent label
+    among its neighbors plus its own current label (the self-vote damps
+    the bipartite oscillation synchronous LPA is known for), ties broken
+    to the SMALLEST label — fully deterministic, unlike the random-order
+    sweeps of the original paper, which is what makes the op
+    hash-certifiable. 3 rounds; output is the community size histogram
+    (all-integer, exact cross-engine).
+
+    Plan: the symmetrized edge list is hash-partitioned on dst ONCE and
+    cached (loop-invariant); each round shuffles only the (node, label)
+    frame — |nodes| rows, tiny next to edges — through one co-partitioned
+    join + one vote count + one argmax window sharing the node
+    partitioning. localCheckpoint per round truncates the lineage
+    Catalyst would otherwise re-analyze quadratically. At 100 TB this is
+    the standard Pregel-on-DataFrames shape (degree ≤ 16 bounds each
+    round's join fan-out), and rounds are O(diameter-ish) constants, not
+    data-dependent loops."""
+    e = _knn_supplier_edges(spark, sf)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = _label_propagation(sym, _LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def _label_propagation(sym_edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous min-label LPA over a symmetrized (src, dst) edge list;
+    returns the final (node, label) frame. Factored out of the op so the
+    golden tests can drive it on synthetic graphs against a pure-Python
+    reference."""
+    from pyspark.sql.window import Window
+
+    ed = sym_edges.repartition("dst").cache()
+    labels = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(rounds):
+        votes = (
+            ed.join(labels, ed.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .unionByName(labels)
+        )
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

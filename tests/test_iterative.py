@@ -194,3 +194,69 @@ def test_seasonal_decompose_identity_and_trend(spark):
         )
         assert len(got) == len(g) - 6, et
         assert np.allclose(got, trend.to_numpy(), atol=2e-6), et
+
+
+def lpa_reference(nodes, edges, rounds):
+    """Pure-Python synchronous min-label LPA (self-vote included)."""
+    from collections import Counter, defaultdict
+
+    nb = defaultdict(list)
+    for a, b in edges:
+        nb[a].append(b)
+        nb[b].append(a)
+    label = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            c = Counter(label[m] for m in nb[n])
+            c[label[n]] += 1
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        label = new
+    return label
+
+
+def test_label_propagation_matches_reference(spark):
+    """Spark LPA ≡ pure-Python LPA on graphs exercising the tie-break
+    (cliques, a chain, a bipartite star pair — the oscillation case the
+    self-vote damps) over several round counts."""
+    import random
+
+    from bpspark.graph import _label_propagation
+
+    cases = []
+    # two 4-cliques joined by one bridge edge
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14) if b >= 10]
+    cases.append((list(range(4)) + list(range(10, 14)), k1 + k2 + [(3, 10)]))
+    # chain of 8
+    cases.append((list(range(8)), [(i, i + 1) for i in range(7)]))
+    # complete bipartite K3,3 (worst case for sync LPA oscillation)
+    cases.append((list(range(6)), [(a, b) for a in range(3) for b in range(3, 6)]))
+    # random sparse graph
+    rng = random.Random(7)
+    redges = list({tuple(sorted((rng.randrange(20), rng.randrange(20)))) for _ in range(25)})
+    redges = [(a, b) for a, b in redges if a != b]
+    rnodes = sorted({n for e in redges for n in e})
+    cases.append((rnodes, redges))
+
+    for rounds in (1, 3):
+        for nodes, edges in cases:
+            want = lpa_reference(nodes, edges, rounds)
+            sym = spark.createDataFrame(
+                [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+                "src long, dst long",
+            )
+            got = {r.node: r.label for r in _label_propagation(sym, rounds).collect()}
+            assert got == want, f"rounds={rounds}: {got} != {want}"
+
+
+def test_label_propagation_conserves_nodes(spark):
+    ops = all_ops()
+    pdf = ops["graph_label_propagation"].fn(spark, SF).toPandas()
+    ed = duckdb.sql(
+        f"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey
+                        FROM '{SF}/lineitem.parquet')
+            SELECT COUNT(DISTINCT l_suppkey) AS n FROM os"""
+    ).fetchone()[0]
+    assert pdf["n_nodes"].sum() == ed
