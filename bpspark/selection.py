@@ -1084,3 +1084,63 @@ def sample_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", "es_key")
         .orderBy("lang", "doc_id")
     )
+
+
+@op(
+    "privacy_l_diversity",
+    sql="""
+    WITH divers AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS group_size,
+               COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN d.group_size >= 5 AND d.l_div >= 3
+                THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS nation_qi,
+           CASE WHEN d.group_size >= 5 AND d.l_div >= 3
+                THEN c.c_mktsegment ELSE '*' END AS segment_qi,
+           d.group_size, d.l_div
+    FROM customer c
+    JOIN divers d ON c.c_nationkey = d.c_nationkey
+                 AND c.c_mktsegment = d.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity release gate (Machanavajjhala'06, l=3) — the attack
+    k-anonymity misses: a QI class can hold k people who all share ONE
+    sensitive value, so membership alone discloses it (homogeneity
+    attack). Here a (nation, segment) class is released only if it is
+    BOTH k-anonymous (≥5 members, privacy_k_anonymize's bar) AND
+    l-diverse (≥3 distinct account-balance bands among its members);
+    otherwise the quasi-identifiers are suppressed to '*'. Emits the
+    per-class group_size and diversity count alongside each row so the
+    release is auditable.
+
+    Plan: ONE hash aggregate builds the |QI classes| diversity table
+    (count + count-distinct per class — distinct-aggregate expansion is
+    bounded by members-per-class), which is broadcast back onto the
+    customer scan; a map-side CASE finishes. No window, no second
+    shuffle of the fact table. At 100 TB the class table is thousands
+    of rows and the released scan stays one pass — the same shape as
+    privacy_k_anonymize, so a generalization-lattice anonymizer can
+    iterate both gates per candidate banding at one aggregate each."""
+    c = table(spark, sf, "customer")
+    divers = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(F.floor(F.col("c_acctbal") / 1000)).alias("l_div"),
+    )
+    ok = (F.col("group_size") >= 5) & (F.col("l_div") >= 3)
+    return (
+        c.select("c_custkey", "c_nationkey", "c_mktsegment")
+        .join(F.broadcast(divers), ["c_nationkey", "c_mktsegment"])
+        .select(
+            "c_custkey",
+            F.when(ok, F.col("c_nationkey").cast("string")).otherwise("*").alias("nation_qi"),
+            F.when(ok, F.col("c_mktsegment")).otherwise("*").alias("segment_qi"),
+            "group_size",
+            "l_div",
+        )
+        .orderBy("c_custkey")
+    )

@@ -405,3 +405,18 @@ def test_context_pack_budget_and_prefix_maximality(spark):
         if packed_n < len(g):
             overflow = g["n_tokens"].iloc[: packed_n + 1].sum()
             assert overflow > _PACK_BUDGET_TOKENS, q
+
+
+def test_l_diversity_release_invariant(spark):
+    """Released rows must satisfy BOTH gates (k≥5, l≥3); suppressed rows
+    must violate at least one — and sf0.001 must actually exercise the
+    suppression branch."""
+    pdf = OPS["privacy_l_diversity"].fn(spark, SF_SMALL).toPandas()
+    released = pdf[pdf["nation_qi"] != "*"]
+    suppressed = pdf[pdf["nation_qi"] == "*"]
+    assert len(suppressed) > 0
+    assert ((released["group_size"] >= 5) & (released["l_div"] >= 3)).all()
+    assert ((suppressed["group_size"] < 5) | (suppressed["l_div"] < 3)).all()
+    # suppression is all-or-nothing per column pair
+    assert (suppressed["segment_qi"] == "*").all()
+    assert (released["segment_qi"] != "*").all()
