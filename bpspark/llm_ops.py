@@ -3836,3 +3836,82 @@ def _adaptive_route_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"), "route")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# coreset selection over embeddings
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 16
+
+
+@op("embedding_kcenter_coreset", sql=None)  # iterative argmax — no SQL form
+def embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling — the
+    core-set active-learning/data-selection criterion of Sener &
+    Savarese ICLR'18): starting from the lowest vec_id, repeatedly pick
+    the vector FARTHEST from everything selected so far. The selected
+    set is a 2-approximation of the optimal k-center cover, so its
+    radius sequence tells you how many exemplars summarize the corpus —
+    the geometric dual of dedup_semdedup (which prunes the CLOSE pairs;
+    this keeps the SPREAD ones).
+
+    Distribution shape: the only per-round state is one column,
+    min_sq = squared distance to the nearest selected center, riding
+    WITH the data. Each of the k rounds is (1) a MAP-ONLY pass folding
+    the newest center (a 64-float broadcast literal) into min_sq via a
+    JVM zip_with/aggregate — no Python, no shuffle — and (2) a global
+    top-1 argmax (TakeOrdered: per-partition max then a k-way merge of
+    |partitions| rows — the 1-row collect is bounded, per the repo's
+    collect() policy). Total O(k·n·d) work, k scans, zero shuffles of
+    the corpus; localCheckpoint truncates the k-deep lineage. At 100 TB
+    with large k, swap the exact argmax for per-IVF-cell argmaxes
+    (sim_ivf_index_persist's cells) and batch several centers per scan —
+    the per-round plan is unchanged.
+
+    Determinism: ties on min_sq break to the smaller vec_id; distances
+    are sequential double folds (bit-stable), so the selected ids and
+    radii are reproducible run-to-run. Output: selection order, vec_id,
+    and the coverage radius at selection time (0.0 by convention for
+    the seed row) — monotone non-increasing from rank 2 on by
+    construction (property-tested, plus an exact numpy-parity test of
+    ids and radii)."""
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    first = (
+        e.select("vec_id").orderBy("vec_id").limit(1).collect()[0][0]
+    )
+
+    def dist2_to(center_vals):
+        lit_c = F.array(*[F.lit(float(x)) for x in center_vals])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit_c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c0 = e.filter(F.col("vec_id") == first).select("embedding").collect()[0][0]
+    state = e.select(
+        "vec_id", "embedding", dist2_to(c0).alias("min_sq")
+    ).localCheckpoint()
+    picked = [(1, int(first), 0.0)]
+    for rnk in range(2, _KCENTER_K + 1):
+        far = (
+            state.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .orderBy(F.col("min_sq").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rnk, int(far["vec_id"]), float(far["min_sq"])))
+        state = state.select(
+            "vec_id",
+            "embedding",
+            F.least("min_sq", dist2_to(far["embedding"])).alias("min_sq"),
+        ).localCheckpoint()
+    import math as _math
+
+    rows = [(r, v, round(_math.sqrt(s), 6)) for r, v, s in picked]
+    return spark.createDataFrame(rows, "rnk int, vec_id long, radius double")

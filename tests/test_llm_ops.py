@@ -940,3 +940,39 @@ def test_boilerplate_ngrams_nondegenerate_at_sf001(spark):
     assert len(pdf) == 500
     assert (pdf.n_bp > 0).sum() >= 10
     assert ((pdf.bp_frac >= 0) & (pdf.bp_frac <= 1)).all()
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """Selected ids must equal the exact numpy farthest-point greedy
+    (same seed, same min-vec_id tie-break) and radii must match to 1e-6
+    (the output rounding); radii are non-increasing after the seed."""
+    import numpy as np
+    import pandas as pd
+
+    ops = all_ops()
+    pdf = (
+        ops["embedding_kcenter_coreset"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+
+    sel = [0]
+    min_sq = ((X - X[0]) ** 2).sum(axis=1)
+    want = [(1, int(ids[0]), 0.0)]
+    for rnk in range(2, 17):
+        masked = min_sq.copy()
+        masked[sel] = -1.0
+        far = int(np.lexsort((ids, -masked))[0])
+        want.append((rnk, int(ids[far]), float(np.sqrt(min_sq[far]))))
+        sel.append(far)
+        min_sq = np.minimum(min_sq, ((X - X[far]) ** 2).sum(axis=1))
+
+    assert list(pdf["vec_id"]) == [w[1] for w in want]
+    assert np.allclose(pdf["radius"], [round(w[2], 6) for w in want], atol=2e-6)
+    r = pdf["radius"].to_numpy()[1:]
+    assert (np.diff(r) <= 1e-12).all()
