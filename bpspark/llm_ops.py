@@ -3915,3 +3915,72 @@ def embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
 
     rows = [(r, v, round(_math.sqrt(s), 6)) for r, v, s in picked]
     return spark.createDataFrame(rows, "rnk int, vec_id long, radius double")
+
+
+@op("dedup_recall_eval", sql=None)  # self-evaluating metric op
+def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup detector against
+    EXACT shingle-Jaccard ground truth on a deterministic sample — the
+    dedup-family sibling of sim_ivf_recall_eval, closing the "measure,
+    don't guess" loop for the approximate dedup stack: the detector runs
+    corpus-wide, the ground truth is only ever affordable on a sample.
+
+    Sample = every 7th doc ∪ the planted twins and their sources (so the
+    known positives are all in-sample and recall is meaningful even at
+    tiny sf). Ground truth enumerates all sample pairs through ONE
+    broadcast nested-loop join bounded by |sample|² — ~10⁴ pairs here;
+    at 100 TB you keep |sample| ~10³ and this stays a single broadcast —
+    and keeps pairs with exact Jaccard ≥ 0.5 (the LSH design threshold).
+    Predictions are minhash_candidate_pairs restricted to in-sample
+    endpoints (two semi-joins). Output is ONE row: sample size, truth/
+    predicted/hit pair counts, precision, recall — all declarative, no
+    collection; the planted-twin property test pins recall = 1.0 on
+    them and the invariants hits ≤ min(truth, predicted)."""
+    docs = _docs_with_planted_neardups(spark, sf)
+    in_sample = (
+        (F.col("doc_id") % 7 == 0)
+        | (F.col("doc_id") >= 1_000_000)
+        | (F.col("doc_id") < 25)
+    )
+    sample = docs.filter(in_sample)
+    sh = sample.select(
+        "doc_id", F.array_distinct(_word_shingles(F.col("text"))).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    ids = sample.select("doc_id")
+    pred = (
+        minhash_candidate_pairs(docs)
+        .join(F.broadcast(ids.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_semi")
+        .join(F.broadcast(ids.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    hits = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
+    return (
+        sample.agg(F.count(F.lit(1)).alias("n_sample_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("truth_pairs")))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("pred_pairs")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hit_pairs")))
+        .select(
+            "n_sample_docs",
+            "truth_pairs",
+            "pred_pairs",
+            "hit_pairs",
+            F.when(
+                F.col("pred_pairs") > 0,
+                F.round(F.col("hit_pairs") / F.col("pred_pairs"), 4),
+            ).alias("precision"),
+            F.when(
+                F.col("truth_pairs") > 0,
+                F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4),
+            ).alias("recall"),
+        )
+    )

@@ -976,3 +976,14 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
     assert np.allclose(pdf["radius"], [round(w[2], 6) for w in want], atol=2e-6)
     r = pdf["radius"].to_numpy()[1:]
     assert (np.diff(r) <= 1e-12).all()
+
+
+def test_dedup_recall_eval_invariants(spark):
+    """hit ≤ min(truth, pred); planted twins guarantee truth_pairs ≥ 25
+    and the LSH detector must recover nearly all true pairs (the twins
+    are 1-word perturbations, far above the 0.5 design threshold)."""
+    row = all_ops()["dedup_recall_eval"].fn(spark, SF_SMALL).collect()[0]
+    assert row["hit_pairs"] <= min(row["truth_pairs"], row["pred_pairs"])
+    assert row["truth_pairs"] >= 25
+    assert row["recall"] >= 0.9
+    assert row["precision"] >= 0.5
