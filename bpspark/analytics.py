@@ -1833,3 +1833,152 @@ def agg_aqp_groupby_stratified(spark: SparkSession, sf: str) -> DataFrame:
         F.round(est - se, 2).alias("ci_lo"),
         F.round(est + se, 2).alias("ci_hi"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# histogram-based decision tree (the XGBoost/LightGBM approx-split shape)
+# ---------------------------------------------------------------------------
+
+_TREE_BINS = 16
+_TREE_DEPTH = 2
+_TREE_MIN_LEAF = 100
+
+
+@op("ml_decision_tree_hist", sql=None)  # driver-side argmax over exact moments
+def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 regression tree grown the way every distributed GBDT
+    grows trees (XGBoost's approx/hist algorithm, LightGBM): features
+    are pre-binned (16 fixed-width bins), each level is ONE map-side
+    partial aggregate building the per-(node, bin-cell) moment
+    histogram — count, Σy, Σy² — and split selection happens on that
+    tiny histogram, never on rows. Predicts l_extendedprice (centi-unit
+    integer y) from l_quantity and l_discount.
+
+    One 2-D (16×16) histogram per node serves BOTH features — each
+    feature's 1-D split scan is a marginal of it, so a level costs one
+    aggregate regardless of feature count up to the cell budget.
+    Moments accumulate in DECIMAL(38,0) off integer centi-units (exact,
+    associative, overflow-proof — the layout.py fingerprint idiom), so
+    the variance-gain argmax runs on exact integers and ties break
+    deterministically to (smaller feature, smaller bin). A split must
+    leave ≥100 rows per side and strictly reduce SSE, else the node
+    leaves.
+
+    The per-level collect is the |nodes|·256-cell histogram (≤ 1024
+    rows at depth 2) — a bounded model literal under the repo's
+    collect() policy, the same contract as k-means centroids. Scale:
+    per level, ONE pass over the fact table with map-side combine into
+    ≤ nodes×256 cells; assignment is a pure column expression (no
+    join); depth levels ⇒ depth passes. At 100 TB this is exactly the
+    histogram-aggregation tree-grow that powers distributed GBDT.
+
+    Output: one row per tree node — split nodes carry (feature,
+    split_bin, threshold), leaves carry NULLs — plus exact n and the
+    centi-unit-exact mean for every node. Certified by a pure-pandas
+    replica test that must reproduce the tree byte-for-byte."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x0"),
+        F.col("l_discount").cast("double").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mm = li.agg(
+        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
+        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+    ).collect()[0]
+    edges = {}
+    for f in (0, 1):
+        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
+        w = (mx - mn) / _TREE_BINS or 1.0
+        edges[f] = (mn, w)
+
+    def bin_col(f: int):
+        mn, w = edges[f]
+        return F.least(
+            F.lit(_TREE_BINS - 1),
+            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
+        )
+
+    df = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")).withColumn(
+        "node", F.lit(0)
+    )
+    nodes: dict[int, dict] = {}
+    active = [0]
+    for depth in range(_TREE_DEPTH + 1):
+        hist = (
+            df.filter(F.col("node").isin(active))
+            .groupBy("node", "b0", "b1")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+                F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+            )
+            .collect()
+        )
+        by_node: dict[int, list] = {}
+        for r in hist:
+            by_node.setdefault(r["node"], []).append(r)
+        splits = {}
+        for nid in active:
+            cells = by_node.get(nid, [])
+            n_tot = sum(r["n"] for r in cells)
+            sy_tot = sum(int(r["sy"]) for r in cells)
+            syy_tot = sum(int(r["syy"]) for r in cells)
+            nodes[nid] = {
+                "depth": depth, "n": n_tot, "sy": sy_tot,
+                "feature": None, "split_bin": None,
+            }
+            if depth == _TREE_DEPTH or n_tot < 2 * _TREE_MIN_LEAF:
+                continue
+            sse_parent = syy_tot - (sy_tot * sy_tot) / n_tot if n_tot else 0.0
+            best = None
+            for f in (0, 1):
+                marg = [[0, 0, 0] for _ in range(_TREE_BINS)]
+                for r in cells:
+                    m = marg[r[f"b{f}"]]
+                    m[0] += r["n"]; m[1] += int(r["sy"]); m[2] += int(r["syy"])
+                cn = cs = cq = 0
+                for s in range(_TREE_BINS - 1):
+                    cn += marg[s][0]; cs += marg[s][1]; cq += marg[s][2]
+                    rn, rs, rq = n_tot - cn, sy_tot - cs, syy_tot - cq
+                    if cn < _TREE_MIN_LEAF or rn < _TREE_MIN_LEAF:
+                        continue
+                    obj = (cq - cs * cs / cn) + (rq - rs * rs / rn)
+                    cand = (obj, f, s)
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None and best[0] < sse_parent:
+                splits[nid] = (best[1], best[2])
+                nodes[nid]["feature"] = best[1]
+                nodes[nid]["split_bin"] = best[2]
+        if not splits or depth == _TREE_DEPTH:
+            if depth == _TREE_DEPTH:
+                break
+        expr = F.col("node")
+        for nid, (f, s) in splits.items():
+            expr = F.when(
+                F.col("node") == nid,
+                F.lit(2 * nid + 1) + (F.col(f"b{f}") > s).cast("int"),
+            ).otherwise(expr)
+        df = df.withColumn("node", expr)
+        active = sorted(2 * n + 1 + side for n in splits for side in (0, 1))
+        if not active:
+            break
+
+    rows = []
+    for nid in sorted(nodes):
+        nd = nodes[nid]
+        f, s = nd["feature"], nd["split_bin"]
+        thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
+        mean = round(nd["sy"] / (100.0 * nd["n"]), 6) if nd["n"] else None
+        rows.append(
+            (
+                nid, nd["depth"],
+                "split" if f is not None else "leaf",
+                f, s, thr, nd["n"], mean,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "node int, depth int, kind string, feature int, split_bin int, "
+        "threshold double, n long, mean_y double",
+    )

@@ -987,3 +987,86 @@ def test_dedup_recall_eval_invariants(spark):
     assert row["truth_pairs"] >= 25
     assert row["recall"] >= 0.9
     assert row["precision"] >= 0.5
+
+
+def test_decision_tree_hist_matches_pandas_replica(spark):
+    """The distributed histogram tree must be reproduced byte-for-byte
+    by a sequential pandas/int replica of the same algorithm (same bins,
+    same exact integer moments, same tie-breaks)."""
+    import numpy as np
+    import pandas as pd
+
+    B, DEPTH, MIN_LEAF = 16, 2, 100
+    got = (
+        all_ops()["ml_decision_tree_hist"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    x = np.stack(
+        [li["l_quantity"].astype(float), li["l_discount"].astype(float)], axis=1
+    )
+    y = np.round(li["l_extendedprice"].astype(float) * 100).astype(np.int64)
+    edges = []
+    bins = np.zeros((len(li), 2), dtype=np.int64)
+    for f in (0, 1):
+        mn, mx = x[:, f].min(), x[:, f].max()
+        w = (mx - mn) / B or 1.0
+        edges.append((mn, w))
+        bins[:, f] = np.minimum(B - 1, np.floor((x[:, f] - mn) / w)).astype(np.int64)
+
+    node = np.zeros(len(li), dtype=np.int64)
+    want = {}
+    active = [0]
+    for depth in range(DEPTH + 1):
+        new_active = []
+        for nid in active:
+            m = node == nid
+            n_tot = int(m.sum())
+            sy = int(y[m].sum())
+            want[nid] = dict(depth=depth, n=n_tot, mean=round(sy / (100.0 * n_tot), 6),
+                             feature=None, sbin=None)
+            if depth == DEPTH or n_tot < 2 * MIN_LEAF:
+                continue
+            syy = int((y[m].astype(object) ** 2).sum())
+            sse_parent = syy - sy * sy / n_tot
+            best = None
+            for f in (0, 1):
+                for s in range(B - 1):
+                    lm = m & (bins[:, f] <= s)
+                    ln = int(lm.sum())
+                    rn = n_tot - ln
+                    if ln < MIN_LEAF or rn < MIN_LEAF:
+                        continue
+                    ls, lq = int(y[lm].sum()), int((y[lm].astype(object) ** 2).sum())
+                    rs, rq = sy - ls, syy - lq
+                    obj = (lq - ls * ls / ln) + (rq - rs * rs / rn)
+                    cand = (obj, f, s)
+                    if best is None or cand < best:
+                        best = cand
+            if best is not None and best[0] < sse_parent:
+                f, s = best[1], best[2]
+                want[nid]["feature"], want[nid]["sbin"] = f, s
+                right = m & (bins[:, f] > s)
+                node[m] = 2 * nid + 1
+                node[right] = 2 * nid + 2
+                new_active += [2 * nid + 1, 2 * nid + 2]
+        active = sorted(new_active)
+        if not active:
+            break
+
+    assert list(got["node"]) == sorted(want)
+    for _, r in got.iterrows():
+        w = want[r["node"]]
+        assert r["depth"] == w["depth"] and r["n"] == w["n"], r["node"]
+        assert abs(r["mean_y"] - w["mean"]) < 1e-9, r["node"]
+        if w["feature"] is None:
+            assert r["kind"] == "leaf" and pd.isna(r["feature"])
+        else:
+            assert r["kind"] == "split"
+            assert int(r["feature"]) == w["feature"] and int(r["split_bin"]) == w["sbin"]
+            mn, wdt = edges[w["feature"]]
+            assert abs(r["threshold"] - round(mn + wdt * (w["sbin"] + 1), 6)) < 1e-9
