@@ -1649,3 +1649,92 @@ def sim_ivf_index_compact(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("cluster_id"),
         stage,
     )
+
+
+@op(
+    "stream_drift_monitor",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bucket,
+             COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16') AS n_ref,
+             COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16') AS n_cur
+      FROM events GROUP BY 1
+    ), tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b)
+    SELECT bucket, n_ref, n_cur,
+           CASE WHEN n_ref > 0 THEN ROUND(
+             (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
+             * (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
+             / (n_ref * (t_cur / CAST(t_ref AS DOUBLE))), 6
+           ) END AS chi2_contrib
+    FROM b, tot
+    ORDER BY bucket
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING data-drift monitor — profile_distribution_drift's
+    production form: the reference histogram is frozen from the batch
+    table (the first 15 days), while the CURRENT window's histogram
+    accumulates as a streaming aggregation over the event stream
+    (value buckets, complete-mode groupBy — the state is |buckets|
+    rows, constant forever). After the replay the two histograms join
+    full-outer on bucket and the per-bucket chi-square contribution
+    against the expected-under-reference-mix count comes out exactly as
+    in the batch op.
+
+    ORACLE-BACKED STREAMING: bucket counts are integer-additive across
+    micro-batches, so the streamed histogram equals the batch histogram
+    EXACTLY and the DuckDB oracle is the whole-table chi-square — the
+    same streamed ≡ recompute certification as stream_bm25_index_append.
+    Integer counts + one rounded float per bucket keep the row set
+    hash-exact.
+
+    At 100 TB/day this is the nightly gate that never rescans: the
+    reference histogram is a |buckets|-row literal loaded from the
+    monitoring store, each micro-batch folds into |buckets| rows of
+    state map-side, and alerting reads Σ chi2_contrib off a 10-row
+    frame. Swap the memory sink for the metrics table and the plan is
+    unchanged (AvailableNow here so the op terminates)."""
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    bucket = F.least((F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket")
+
+    from bpspark.io import table as _table
+
+    ref = (
+        _table(spark, sf, "events")
+        .filter(F.col("ts") < cut)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cur_stream = (
+        events_stream(spark, sf)
+        .filter(F.col("ts") >= cut)
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cur = run_to_memory(cur_stream, output_mode="complete")
+    b = (
+        ref.join(cur, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = b.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    expected = F.col("n_ref") * (F.col("t_cur") / F.col("t_ref").cast("double"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.when(
+                F.col("n_ref") > 0,
+                F.round(
+                    (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected,
+                    6,
+                ),
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("bucket")
+    )

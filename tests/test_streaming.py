@@ -307,3 +307,23 @@ def test_ivf_retrain_conserves_postings(spark):
     assert (a["n_vecs"] == n_corpus).all(), a
     assert (a["n_cells"] >= 2).all()
     assert (a["imbalance"] >= 1.0).all()  # max/avg is >= 1 by construction
+
+
+def test_drift_monitor_stream_equals_batch_counts(spark):
+    """The streamed current-window histogram must account for every
+    post-cutoff event (Σ n_cur) and the frozen baseline for every
+    pre-cutoff one (Σ n_ref) — integer-additive micro-batch folding
+    loses nothing."""
+    from bpspark.registry import all_ops
+
+    pdf = all_ops()["stream_drift_monitor"].fn(spark, SF_SMALL).toPandas()
+    import duckdb
+
+    n_ref, n_cur = duckdb.sql(
+        f"""SELECT COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-16'),
+                   COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+            FROM '{SF_SMALL}/events.parquet'"""
+    ).fetchone()
+    assert pdf["n_ref"].sum() == n_ref
+    assert pdf["n_cur"].sum() == n_cur
+    assert pdf["chi2_contrib"].dropna().ge(0).all()
