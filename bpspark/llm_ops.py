@@ -3984,3 +3984,67 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _pack_bestfit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    src = pdf["source"].iloc[0]
+    packs: list[list] = []  # [room, n_docs, tokens, doc_ids-min, doc_ids-max]
+    assign: list[int] = []
+    for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+        placed = None
+        for i, p in enumerate(packs):  # first fit over packs in creation order
+            if p[0] >= n_tok:
+                placed = i
+                break
+        if placed is None:
+            packs.append([_PACK_BUDGET_TOKENS, 0, 0, doc_id, doc_id])
+            placed = len(packs) - 1
+        p = packs[placed]
+        p[0] -= n_tok
+        p[1] += 1
+        p[2] += n_tok
+        p[3] = min(p[3], doc_id)
+        p[4] = max(p[4], doc_id)
+        assign.append(placed)
+    return pd.DataFrame(
+        [
+            (src, i, p[1], p[2], p[3], p[4])
+            for i, p in enumerate(packs)
+        ],
+        columns=["source", "pack_id", "n_docs", "pack_tokens", "min_doc_id", "max_doc_id"],
+    )
+
+
+@op("doc_pack_bestfit", sql=None)  # sequential cut placement — rows-only
+def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
+    """First-fit-decreasing sequence packing — the bin-packing form
+    production training pipelines use when pack UTILIZATION matters more
+    than document order (doc_pack_greedy is the order-preserving form):
+    docs sort by token count descending and each drops into the first
+    open pack with room, so big docs claim packs early and small docs
+    backfill the gaps. FFD is the classic 11/9·OPT+1 approximation
+    (Johnson'73); the packs-used count is property-pinned ≤ greedy's and
+    the whole assignment is reproduced exactly by a pure-Python replica
+    in tests (deterministic: (n_tokens DESC, doc_id) order, first-fit
+    over packs in creation order).
+
+    Distribution: token counts are JVM-side (size(split()) in the scan
+    stage); Python does only the inherently sequential placement, one
+    Arrow batch per source group, parallel across groups — at 100 TB
+    subdivide to (source, shard) keys exactly as doc_pack_greedy
+    documents; an oversized single doc becomes its own pack, so nothing
+    is dropped."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    d = table(spark, sf, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return d.groupBy("source").applyInPandas(
+        _pack_bestfit_group,
+        "source string, pack_id long, n_docs long, pack_tokens long, "
+        "min_doc_id long, max_doc_id long",
+    )

@@ -1070,3 +1070,32 @@ def test_decision_tree_hist_matches_pandas_replica(spark):
             assert int(r["feature"]) == w["feature"] and int(r["split_bin"]) == w["sbin"]
             mn, wdt = edges[w["feature"]]
             assert abs(r["threshold"] - round(mn + wdt * (w["sbin"] + 1), 6)) < 1e-9
+
+
+def test_pack_bestfit_replica_and_bounds(spark):
+    """FFD packing must (a) conserve every doc, (b) never exceed the
+    budget on multi-doc packs, (c) use no more packs than greedy per
+    source, and (d) match a pure-Python FFD replica exactly."""
+    import pandas as pd
+
+    from bpspark.llm_ops import _PACK_BUDGET_TOKENS, _pack_bestfit_group
+
+    ops = all_ops()
+    bf = ops["doc_pack_bestfit"].fn(spark, SF_SMALL).toPandas()
+    gr = ops["doc_pack_greedy"].fn(spark, SF_SMALL).toPandas()
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    docs["n_tokens"] = docs["text"].str.split(" ").str.len()
+    assert bf["n_docs"].sum() == len(docs)
+    assert (bf[bf["n_docs"] > 1]["pack_tokens"] <= _PACK_BUDGET_TOKENS).all()
+    for src, g in bf.groupby("source"):
+        assert len(g) <= len(gr[gr["source"] == src]), src
+        want = _pack_bestfit_group(
+            docs[docs["source"] == src][["source", "doc_id", "n_tokens"]]
+        ).reset_index(drop=True)
+        got = g.sort_values("pack_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want, check_like=True
+        )
+    # token conservation
+    assert bf["pack_tokens"].sum() == docs["n_tokens"].sum()
