@@ -3925,12 +3925,15 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     don't guess" loop for the approximate dedup stack: the detector runs
     corpus-wide, the ground truth is only ever affordable on a sample.
 
-    Sample = every 7th doc ∪ the planted twins and their sources (so the
-    known positives are all in-sample and recall is meaningful even at
-    tiny sf). Ground truth enumerates all sample pairs through ONE
-    broadcast nested-loop join bounded by |sample|² — ~10⁴ pairs here;
-    at 100 TB you keep |sample| ~10³ and this stays a single broadcast —
-    and keeps pairs with exact Jaccard ≥ 0.5 (the LSH design threshold).
+    Sample = every 7th doc of the first 3500 doc ids ∪ the planted
+    twins and their sources (known positives always in-sample, so recall
+    is meaningful at tiny sf). The id cap BOUNDS |sample| independently
+    of corpus size — without it the |sample|² ground-truth join grows
+    quadratically with the corpus (measured: 6.7× per 10× before the
+    cap, ~1× after); at 100 TB the detector side stays corpus-wide and
+    linear while the ground truth stays a fixed-size broadcast
+    nested-loop join. Truth = exact Jaccard ≥ 0.5 (the LSH design
+    threshold).
     Predictions are minhash_candidate_pairs restricted to in-sample
     endpoints (two semi-joins). Output is ONE row: sample size, truth/
     predicted/hit pair counts, precision, recall — all declarative, no
@@ -3938,7 +3941,7 @@ def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     them and the invariants hits ≤ min(truth, predicted)."""
     docs = _docs_with_planted_neardups(spark, sf)
     in_sample = (
-        (F.col("doc_id") % 7 == 0)
+        ((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500))
         | (F.col("doc_id") >= 1_000_000)
         | (F.col("doc_id") < 25)
     )
