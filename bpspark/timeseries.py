@@ -491,3 +491,82 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
     )
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_SEASON = 0.3, 0.1, 0.2, 7
+_HW_HORIZON = 7
+
+
+def _holt_winters_group(pdf):
+    """Additive Holt-Winters (level/trend/7-day seasonal) over one
+    series, plus an _HW_HORIZON-day out-of-sample forecast. Standard
+    textbook initialization: level = first-season mean, trend =
+    week-over-week mean slope / m, seasonal = first-season deviations.
+    Runs in float64 off DECIMAL-exact daily sums, so the recurrence is
+    bit-reproducible for a given input order (enforced by the sort)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("epoch_day").reset_index(drop=True)
+    v = pdf["v"].to_numpy(dtype=np.float64)
+    m = _HW_SEASON
+    et = pdf["event_type"].iloc[0]
+    if len(v) < 2 * m:  # too short to initialize — emit nothing
+        return pd.DataFrame(
+            columns=["event_type", "epoch_day", "kind", "v", "fitted"]
+        ).astype({"event_type": str, "epoch_day": "int64", "kind": str,
+                  "v": "float64", "fitted": "float64"})
+    level = v[:m].mean()
+    trend = (v[m : 2 * m].mean() - v[:m].mean()) / m
+    season = list(v[:m] - level)
+    out = []
+    for i in range(len(v)):
+        s = season[i % m]
+        fitted = level + trend + s
+        out.append((et, int(pdf["epoch_day"].iloc[i]), "fit", float(v[i]), round(float(fitted), 6)))
+        prev_level = level
+        level = _HW_ALPHA * (v[i] - s) + (1 - _HW_ALPHA) * (level + trend)
+        trend = _HW_BETA * (level - prev_level) + (1 - _HW_BETA) * trend
+        season[i % m] = _HW_GAMMA * (v[i] - level) + (1 - _HW_GAMMA) * s
+    last_day = int(pdf["epoch_day"].iloc[-1])
+    for h in range(1, _HW_HORIZON + 1):
+        f = level + h * trend + season[(len(v) + h - 1) % m]
+        out.append((et, last_day + h, "forecast", None, round(float(f), 6)))
+    return pd.DataFrame(out, columns=["event_type", "epoch_day", "kind", "v", "fitted"])
+
+
+@op("ts_holt_winters", sql=None)  # sequential recurrence — rows-only
+def ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing: level +
+    trend + 7-day seasonality) per event type's daily series, with a
+    7-day out-of-sample forecast — the forecasting closure of the ts
+    family (ts_seasonal_decompose explains a series; this one predicts
+    it). α=0.3, β=0.1, γ=0.2, textbook first-two-weeks initialization.
+
+    Distribution contract = ts_ewma's: the recurrence is inherently
+    sequential PER SERIES, so the right strategy is one Arrow batch per
+    key group — parallel across series, sequential within. The input
+    panel is the DECIMAL-exact daily rollup (the only corpus-sized
+    pass: map-side combined partial aggregate, shuffle = |types×days|
+    rows); the Python recurrence sees days, not events. At 100 TB with
+    millions of series (per-entity forecasting) the same groupBy
+    applyInPandas fans across the cluster and each group's cost is its
+    own day count. Certified by an independently-written driver-side
+    recurrence replica (bit-equality) and forecast-shape properties."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    ev = table(spark, sf, "events").select("event_type", "ts", "value")
+    d = F.to_date("ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(d, F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            _holt_winters_group,
+            "event_type string, epoch_day long, kind string, v double, fitted double",
+        )
+        .orderBy("event_type", "epoch_day")
+    )

@@ -260,3 +260,45 @@ def test_label_propagation_conserves_nodes(spark):
             SELECT COUNT(DISTINCT l_suppkey) AS n FROM os"""
     ).fetchone()[0]
     assert pdf["n_nodes"].sum() == ed
+
+
+def test_holt_winters_matches_independent_recurrence(spark):
+    """Executor-side HW must equal an independently-coded driver-side
+    recurrence bit-for-bit; each series emits len(days) fits + 7
+    forecasts."""
+    import numpy as np
+
+    ops = all_ops()
+    got = ops["ts_holt_winters"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["epoch_day"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    daily = (
+        ev.groupby(["event_type", "epoch_day"], as_index=False)["value"]
+        .sum()
+        .sort_values(["event_type", "epoch_day"])
+    )
+    a, b, g, m, H = 0.3, 0.1, 0.2, 7, 7
+    for et, grp in daily.groupby("event_type"):
+        v = grp["value"].round(2).to_numpy(dtype=np.float64)
+        days = grp["epoch_day"].to_numpy()
+        lvl = v[:m].mean()
+        tr = (v[m : 2 * m].mean() - v[:m].mean()) / m
+        sea = (v[:m] - lvl).tolist()
+        fits, fcs = [], []
+        for i, x in enumerate(v):
+            s = sea[i % m]
+            fits.append(round(lvl + tr + s, 6))
+            pl = lvl
+            lvl = a * (x - s) + (1 - a) * (lvl + tr)
+            tr = b * (lvl - pl) + (1 - b) * tr
+            sea[i % m] = g * (x - lvl) + (1 - g) * s
+        for h in range(1, H + 1):
+            fcs.append(round(lvl + h * tr + sea[(len(v) + h - 1) % m], 6))
+        sub = got[got["event_type"] == et].sort_values("epoch_day")
+        fit = sub[sub["kind"] == "fit"]
+        fc = sub[sub["kind"] == "forecast"]
+        assert len(fit) == len(v) and len(fc) == H, et
+        assert list(fit["epoch_day"]) == list(days), et
+        assert np.array_equal(fit["fitted"].to_numpy(), np.array(fits)), et
+        assert np.array_equal(fc["fitted"].to_numpy(), np.array(fcs)), et
+        assert fc["v"].isna().all() and fit["v"].notna().all(), et
