@@ -1144,3 +1144,124 @@ def privacy_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@op(
+    "sample_neyman_allocation",
+    sql="""
+    WITH mo AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        FROM orders GROUP BY 1
+    ),
+    sig AS (
+        SELECT *,
+               sqrt((syy - sy * sy / n_rows) / (n_rows - 1)) AS sigma
+        FROM mo
+    ),
+    wts AS (
+        SELECT *, CAST(ROUND(n_rows * sigma, 4) AS DECIMAL(18,4)) AS w FROM sig
+    ),
+    tot AS (SELECT SUM(w) AS wsum FROM wts),
+    alloc AS (
+        SELECT wts.*, CAST(FLOOR(1000 * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) AS BIGINT) AS n_alloc
+        FROM wts, tot
+    ),
+    ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT),
+                            o_orderkey) AS rk
+        FROM orders
+    ),
+    est AS (
+        SELECT r.o_orderpriority,
+               CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ssum,
+               COUNT(*) AS n_drawn
+        FROM ranked r JOIN alloc a ON r.o_orderpriority = a.o_orderpriority
+        WHERE r.rk <= a.n_alloc
+        GROUP BY 1
+    )
+    SELECT a.o_orderpriority AS stratum, a.n_rows,
+           ROUND(a.sigma, 6) AS sigma, a.n_alloc,
+           e.n_drawn,
+           ROUND(e.ssum / e.n_drawn, 4) AS est_mean,
+           ROUND(a.sy / a.n_rows, 4) AS true_mean
+    FROM alloc a JOIN est e ON a.o_orderpriority = e.o_orderpriority
+    ORDER BY stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sampling (Neyman 1934, the survey-
+    sampling allocation every stratified estimator wants): a total
+    budget of 1000 draws is split across order-priority strata
+    ∝ N_h·σ_h — big, high-variance strata get the samples; uniform
+    allocation wastes budget on quiet strata. The whole chain is
+    hash-certified: exact DECIMAL moments → σ_h (one sqrt over exact
+    sums), weights snapped to DECIMAL(18,4) before the cross-stratum
+    sum (5-float addition order would otherwise fork engines), FLOOR
+    allocation, then the draw itself is the md5-rank trick (top-n_h by
+    md5(o_orderkey) per stratum) — seeded inverse-CDF-style sampling,
+    reproducible across engines, retries, and re-runs, so even the
+    sampled means hash-match. Output: per-stratum size, σ, allocation,
+    drawn count, sampled vs true mean.
+
+    Plan: ONE aggregate pass for moments (map-side combined,
+    |strata| rows), one window for the ranked draw (shuffle on the
+    stratum key), one broadcast join of the |strata| allocation table.
+    At 100 TB the moments pass rides any existing scan; the md5 rank
+    needs no global state — the standard trick that replaces a
+    distributed RNG."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    mo = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    sig = mo.withColumn(
+        "sigma",
+        F.sqrt(
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_rows"))
+            / (F.col("n_rows") - 1)
+        ),
+    )
+    wts = sig.withColumn("w", F.round(F.col("n_rows") * F.col("sigma"), 4).cast("decimal(18,4)"))
+    tot = wts.agg(F.sum("w").alias("wsum"))
+    alloc = wts.crossJoin(F.broadcast(tot)).withColumn(
+        "n_alloc",
+        F.floor(1000 * F.col("w").cast("double") / F.col("wsum").cast("double")).cast("long"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(h, "o_orderkey")
+    )
+    ranked = o.select("o_orderpriority", "o_totalprice", rk.alias("rk"))
+    est = (
+        ranked.join(
+            F.broadcast(alloc.select("o_orderpriority", "n_alloc")), "o_orderpriority"
+        )
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("ssum"),
+            F.count(F.lit(1)).alias("n_drawn"),
+        )
+    )
+    return (
+        alloc.join(est, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("stratum"),
+            "n_rows",
+            F.round("sigma", 6).alias("sigma"),
+            "n_alloc",
+            "n_drawn",
+            F.round(F.col("ssum") / F.col("n_drawn"), 4).alias("est_mean"),
+            F.round(F.col("sy") / F.col("n_rows"), 4).alias("true_mean"),
+        )
+        .orderBy("stratum")
+    )

@@ -420,3 +420,16 @@ def test_l_diversity_release_invariant(spark):
     # suppression is all-or-nothing per column pair
     assert (suppressed["segment_qi"] == "*").all()
     assert (released["segment_qi"] != "*").all()
+
+
+def test_neyman_allocation_properties(spark):
+    """Allocation must be FLOOR(1000·w_h/Σw) on 4dp-snapped weights,
+    total ≤ 1000, and the draw must fill every allocation exactly."""
+    import math
+
+    pdf = OPS["sample_neyman_allocation"].fn(spark, SF_SMALL).toPandas()
+    w = (pdf["n_rows"] * pdf["sigma"]).round(4)
+    want_alloc = (1000 * w / w.sum()).apply(math.floor)
+    assert list(pdf["n_alloc"]) == list(want_alloc)
+    assert pdf["n_alloc"].sum() <= 1000
+    assert (pdf["n_drawn"] == pdf["n_alloc"]).all()
