@@ -268,13 +268,17 @@ def _lpa_iter_sql(i: int) -> str:
     )"""
 
 
-_LPA_SQL = (
+_LPA_CTES = (
     f"""
     WITH {_KNN_EDGES_SQL},
     ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
     """
     + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+)
+
+_LPA_SQL = (
+    _LPA_CTES
     + f"""
     SELECT label AS community, COUNT(*) AS n_nodes
     FROM l{_LPA_ROUNDS} GROUP BY label
@@ -342,3 +346,91 @@ def _label_propagation(sym_edges: DataFrame, rounds: int) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+_MODULARITY_SQL = (
+    _LPA_CTES
+    + f""",
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM ed GROUP BY src),
+    mm AS (SELECT COUNT(*) AS m FROM e),
+    nc AS (
+      SELECT l.node, l.label, deg.degree
+      FROM l{_LPA_ROUNDS} l JOIN deg ON deg.node = l.node
+    ),
+    lc AS (
+      SELECT la.label, COUNT(*) AS internal_edges
+      FROM e
+      JOIN nc la ON la.node = e.a
+      JOIN nc lb ON lb.node = e.b AND lb.label = la.label
+      GROUP BY la.label
+    ),
+    dc AS (
+      SELECT label, COUNT(*) AS n_nodes,
+             CAST(SUM(degree) AS BIGINT) AS degree_sum
+      FROM nc GROUP BY label
+    )
+    SELECT dc.label AS community, dc.n_nodes,
+           COALESCE(lc.internal_edges, 0) AS internal_edges,
+           dc.degree_sum,
+           ROUND(COALESCE(lc.internal_edges, 0) / CAST(mm.m AS DOUBLE)
+                 - (dc.degree_sum / (2.0 * mm.m)) * (dc.degree_sum / (2.0 * mm.m)),
+                 6) AS q_contrib
+    FROM dc LEFT JOIN lc ON lc.label = dc.label CROSS JOIN mm
+    """
+)
+
+
+@op("graph_community_modularity", sql=_MODULARITY_SQL)
+def graph_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the 'measure, don't
+    guess' companion to graph_label_propagation (communities without a
+    quality score are just labels): per community c,
+    q_c = L_c/m − (D_c/2m)², where L_c = intra-community edges, D_c =
+    degree sum, m = |edges|; Q = Σ q_c. Everything up to the final
+    division is INTEGER (edge counts, degree sums — the oracle re-runs
+    the identical unrolled LPA), so the per-community contribution is
+    one exact-input IEEE expression, rounded once — hash-stable.
+
+    Plan: the label frame joins the degree table (both |nodes| rows,
+    co-partitioned on node), intra-edges are ONE join of the a<b edge
+    list against two broadcast label maps, and m is a 1-row broadcast.
+    All bounded by the degree-≤16 edge list — at 100 TB this is two
+    hash joins over |E| plus |communities|-row aggregates, the standard
+    distributed modularity evaluation (and the scoring loop a Louvain
+    implementation would call per pass)."""
+    e = _knn_supplier_edges(spark, sf)
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = _label_propagation(sym, _LPA_ROUNDS)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    nc = labels.join(deg, "node")
+    mm = e.agg(F.count(F.lit(1)).alias("m"))
+    la = nc.select(F.col("node").alias("a"), F.col("label").alias("label_a"))
+    lb = nc.select(F.col("node").alias("b"), F.col("label").alias("label_b"))
+    lc = (
+        e.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    dc = nc.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").alias("degree_sum"),
+    )
+    half = F.col("degree_sum") / (2.0 * F.col("m"))
+    return (
+        dc.join(lc, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0)))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round(
+                F.col("internal_edges").cast("double") / F.col("m") - half * half, 6
+            ).alias("q_contrib"),
+        )
+    )

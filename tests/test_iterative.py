@@ -302,3 +302,24 @@ def test_holt_winters_matches_independent_recurrence(spark):
         assert np.array_equal(fit["fitted"].to_numpy(), np.array(fits)), et
         assert np.array_equal(fc["fitted"].to_numpy(), np.array(fcs)), et
         assert fc["v"].isna().all() and fit["v"].notna().all(), et
+
+
+def test_modularity_invariants(spark):
+    """Σ internal_edges ≤ m, Σ degree_sum = 2m, per-community q_contrib
+    bounded by [-1, 1], and edges internal to the ONE community of a
+    fully-merged graph equal m exactly (sf0.001 merges to one)."""
+    ops = all_ops()
+    pdf = ops["graph_community_modularity"].fn(spark, SF).toPandas()
+    m_edges = duckdb.sql(
+        f"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM '{SF}/lineitem.parquet'),
+            d AS (SELECT x.l_suppkey a, y.l_suppkey b, COUNT(*) s FROM os x JOIN os y
+                  ON x.l_orderkey=y.l_orderkey AND x.l_suppkey<>y.l_suppkey GROUP BY 1,2),
+            t AS (SELECT a,b FROM (SELECT a,b,ROW_NUMBER() OVER
+                  (PARTITION BY a ORDER BY s DESC, b) rn FROM d) WHERE rn<=8)
+            SELECT COUNT(*) FROM (SELECT DISTINCT LEAST(a,b), GREATEST(a,b) FROM t)"""
+    ).fetchone()[0]
+    assert pdf["internal_edges"].sum() <= m_edges
+    assert pdf["degree_sum"].sum() == 2 * m_edges
+    assert pdf["q_contrib"].abs().le(1).all()
+    if len(pdf) == 1:
+        assert pdf["internal_edges"].iloc[0] == m_edges
