@@ -1982,3 +1982,86 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
         "node int, depth int, kind string, feature int, split_bin int, "
         "threshold double, n long, mean_y double",
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidate pass + exact verification pass
+# ---------------------------------------------------------------------------
+
+_HH_K = 50  # report terms with frequency > n/K
+_HH_SUMMARY = 80  # per-partition MG counters (> _HH_K for slack)
+
+
+def _mg_partition(batches):
+    """Weighted Misra-Gries over one partition's token batches: each
+    Arrow batch collapses to (term, count) via value_counts, then merges
+    into a bounded counter set; overflow subtracts the minimum count
+    from everyone (the batched decrement) and evicts zeros. Summary
+    guarantee: any term with partition count > n_p/_HH_SUMMARY survives.
+    Emits the surviving terms (candidate superset), ≤ _HH_SUMMARY rows
+    per partition."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for term, cnt in pdf["tok"].value_counts().items():
+            counters[term] = counters.get(term, 0) + int(cnt)
+            if len(counters) > _HH_SUMMARY:
+                m = min(counters.values())
+                counters = {t: c - m for t, c in counters.items() if c > m}
+    yield pd.DataFrame({"term": list(counters.keys())})
+
+
+@op(
+    "agg_heavy_hitters_mg",
+    sql=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS c FROM tok)
+    SELECT tok AS term, COUNT(*) AS cnt
+    FROM tok, n
+    GROUP BY tok, n.c
+    HAVING {_HH_K} * COUNT(*) > c
+    ORDER BY cnt DESC, term
+    """,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent-items (heavy hitters) over the corpus vocabulary by the
+    classic TWO-PASS distributed recipe: pass 1 runs weighted
+    Misra-Gries per partition (bounded 80-counter summaries — Arrow
+    batches collapse to value_counts before touching the counter set),
+    whose union is a GUARANTEED superset of every term with global
+    count > n/50 (averaging argument: a globally heavy term is heavy in
+    at least one partition, and MG never evicts a partition-heavy
+    term); pass 2 counts ONLY the candidates exactly (semi-join of the
+    token stream against the tiny candidate frame) and keeps
+    50·cnt > n — integer-exact. Because the MG superset can't miss a
+    true heavy hitter, the output EQUALS the exact frequency-threshold
+    query, so this approximate-algorithm op is fully ORACLE-BACKED (the
+    incremental≡recompute certification pattern).
+
+    Scale: pass 1 is map-only with O(80) state per partition and ≤80
+    output rows per partition — no corpus shuffle; pass 2's aggregation
+    is cut to candidate postings BEFORE the shuffle (the same
+    postings-bounded shape as the BM25 tf table). n itself is one
+    map-side count. At 100 TB this is how you get exact top-vocabulary
+    without ever shuffling the token stream: the only corpus-sized work
+    is two map passes."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    tok = table(spark, sf, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    candidates = tok.mapInPandas(_mg_partition, "term string").distinct()
+    n = tok.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(F.broadcast(candidates), tok.tok == candidates.term, "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(_HH_K * F.col("cnt") > F.col("c"))
+        .select(F.col("tok").alias("term"), "cnt")
+        .orderBy(F.col("cnt").desc(), "term")
+    )

@@ -4195,3 +4195,93 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SNM_WINDOW = 5  # sorted-neighborhood sliding window (pairs within w-1 ranks)
+
+
+@op(
+    "er_sorted_neighborhood",
+    sql=f"""
+    WITH recs AS (
+        SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nat FROM supplier
+        UNION ALL
+        SELECT s_suppkey + 1000000, s_name || 'x', s_nationkey
+        FROM supplier WHERE s_suppkey < 15
+    ),
+    keyed AS (
+        SELECT id, name, nat,
+               regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS k,
+               substr(regexp_replace(lower(name), '[^a-z0-9]', '', 'g'), 1, 1) AS blk
+        FROM recs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k, id) AS rn
+        FROM keyed
+    )
+    SELECT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+           levenshtein(a.name, b.name) AS lev,
+           a.nat = b.nat AS nat_match
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) —
+    the complementary blocking method to er_resolve_entities' hash
+    blocks: records sort by a cleaned key and only a sliding window of
+    w=5 neighbors is compared, so candidates survive even when the
+    equality block key itself is dirty (the case hash blocking
+    structurally misses — the planted variants here append a typo to
+    the NAME the key derives from, yet still sort adjacent). Residual
+    predicate: Levenshtein ≤ 2 JVM-side, with the nation-agreement flag
+    carried for downstream scoring.
+
+    Plan: ONE sort per block partition (prefix-of-key blocks keep the
+    sort distributed — no global single-partition window), then the
+    window pairs come from lead(·, k) for k = 1..w-1 — MAP-side after
+    the sort, never a self-join; cost is exactly (w-1)·n pairs before
+    the predicate. The oracle states the identical pair set as a
+    rank-distance self-join. At 100 TB this is the canonical SNM
+    shuffle shape (sort by key, slide the window inside partitions);
+    multi-pass SNM = union over several sort keys, boundary pairs
+    between prefix blocks are the documented single-pass tradeoff."""
+    s = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nat"),
+    )
+    recs = s.unionByName(
+        s.filter(F.col("id") < 15).select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.concat(F.col("name"), F.lit("x")).alias("name"),
+            "nat",
+        )
+    )
+    k = F.regexp_replace(F.lower("name"), "[^a-z0-9]", "")
+    keyed = recs.select(
+        "id", "name", "nat", k.alias("k"), F.substring(k, 1, 1).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    pairs = None
+    for step in range(1, _SNM_WINDOW):
+        nxt = keyed.select(
+            "id", "name", "nat",
+            F.lead("id", step).over(w).alias("id2"),
+            F.lead("name", step).over(w).alias("name2"),
+            F.lead("nat", step).over(w).alias("nat2"),
+        ).filter(F.col("id2").isNotNull())
+        pairs = nxt if pairs is None else pairs.unionByName(nxt)
+    lev = F.levenshtein("name", "name2")
+    return (
+        pairs.filter(lev <= 2)
+        .select(
+            F.least("id", "id2").alias("id_a"),
+            F.greatest("id", "id2").alias("id_b"),
+            lev.alias("lev"),
+            (F.col("nat") == F.col("nat2")).alias("nat_match"),
+        )
+        .orderBy("id_a", "id_b")
+    )

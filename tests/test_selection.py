@@ -433,3 +433,35 @@ def test_neyman_allocation_properties(spark):
     assert list(pdf["n_alloc"]) == list(want_alloc)
     assert pdf["n_alloc"].sum() <= 1000
     assert (pdf["n_drawn"] == pdf["n_alloc"]).all()
+
+
+def test_sorted_neighborhood_planted_recall_and_window(spark):
+    """Every planted key-dirty variant must pair with its source (hash
+    blocking on the name-derived key would miss them all), and every
+    emitted pair must come from within the sliding window of the same
+    prefix block (pandas replica of the rank geometry)."""
+    import pandas as pd
+
+    pdf = OPS["er_sorted_neighborhood"].fn(spark, SF_SMALL).toPandas()
+    sup = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    n_planted = int((sup["s_suppkey"] < 15).sum())
+    planted = pdf[(pdf["id_b"] - pdf["id_a"]) == 1_000_000]
+    assert len(planted) == n_planted
+    assert (planted["lev"] == 1).all() and planted["nat_match"].all()
+
+    recs = pd.concat([
+        sup.rename(columns={"s_suppkey": "id", "s_name": "name"})[["id", "name"]],
+        sup[sup["s_suppkey"] < 15].assign(
+            id=lambda d: d["s_suppkey"] + 1_000_000,
+            name=lambda d: d["s_name"] + "x",
+        )[["id", "name"]],
+    ])
+    recs["k"] = recs["name"].str.lower().str.replace("[^a-z0-9]", "", regex=True)
+    recs["blk"] = recs["k"].str[0]
+    recs = recs.sort_values(["blk", "k", "id"]).reset_index(drop=True)
+    recs["rn"] = recs.groupby("blk").cumcount()
+    pos = dict(zip(recs["id"], zip(recs["blk"], recs["rn"])))
+    for _, r in pdf.iterrows():
+        ba, ra = pos[r["id_a"]]
+        bb, rb = pos[r["id_b"]]
+        assert ba == bb and 1 <= abs(ra - rb) <= 4, (r["id_a"], r["id_b"])

@@ -110,3 +110,48 @@ def test_aqp_stratified_per_group_ci_coverage(spark):
     assert ((a.ci_lo <= a.exact_revenue) & (a.exact_revenue <= a.ci_hi)).all()
     assert ((a.n_sample >= 0.05 * a.n_total) & (a.n_sample <= 0.15 * a.n_total)).all()
     assert (abs(a.est_revenue - a.exact_revenue) / a.exact_revenue < 0.05).all()
+
+
+def test_mg_partition_superset_guarantee():
+    """Any term with count > n/_HH_SUMMARY in the stream must survive the
+    bounded Misra-Gries summary, under adversarial orderings (heavy terms
+    first, last, interleaved) and across batch splits."""
+    import pandas as pd
+
+    from bpspark.analytics import _HH_SUMMARY, _mg_partition
+
+    heavy = ["h%d" % i for i in range(5)]
+    light = ["t%d" % i for i in range(3000)]
+    stream = []
+    for h in heavy:
+        stream += [h] * 200  # 1000 heavy tokens
+    stream += light  # 3000 singletons -> n=4000, n/S = 50 < 200
+    for order in ("asis", "reversed", "interleaved"):
+        s = list(stream)
+        if order == "reversed":
+            s = s[::-1]
+        elif order == "interleaved":
+            s = [t for pair in zip(s[:2000], s[2000:]) for t in pair]
+        for nbatches in (1, 7):
+            sz = (len(s) + nbatches - 1) // nbatches
+            batches = [pd.DataFrame({"tok": s[i * sz : (i + 1) * sz]}) for i in range(nbatches)]
+            out = pd.concat(list(_mg_partition(iter(batches))))
+            surv = set(out["term"])
+            assert len(out) <= _HH_SUMMARY + 1
+            for h in heavy:
+                assert h in surv, (order, nbatches, h)
+
+
+def test_heavy_hitters_equal_exact_threshold(spark):
+    """The two-pass output must equal the exact frequency-threshold
+    query computed independently in pandas."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMALL
+
+    pdf = all_ops()["agg_heavy_hitters_mg"].fn(spark, SF_SMALL).toPandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    toks = docs["text"].str.lower().str.split(" ").explode()
+    vc = toks.value_counts()
+    want = vc[50 * vc > len(toks)]
+    assert dict(zip(pdf["term"], pdf["cnt"])) == want.to_dict()
