@@ -4285,3 +4285,86 @@ def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@op("pipeline_multimodal_corpus", sql=None)  # flagship composition — funnel
+def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The MULTIMODAL corpus-prep flow as one composed pipeline — the
+    image sibling of pipeline_llm_corpus: payload build → decode +
+    feature extraction → quality gates (size floor, brightness band,
+    histogram entropy) → exact perceptual dedup (identical dHash
+    collapses to the min doc) → byte-budgeted shard packing. Each stage
+    reuses the standalone ops' exact logic (ppm_image_payloads,
+    _decode_image_batches, _phash_batches — the banded NEAR-dup channel
+    stays dedup_image_phash's standalone job), so their tests transfer;
+    the returned funnel (stage, n_rows) is the run's audit record.
+
+    Scale shape per stage: decode/hash are Arrow-batched map-only
+    passes ∝ image bytes; the entropy gate is a JVM higher-order fold
+    over the 16-bin histogram (no Python); perceptual dedup is one
+    |images|-row groupBy on the 8-byte hash; shard packing is a window
+    cumsum per source (the sink_training_shards discipline). Stage
+    frames that feed multiple counted stages are persisted
+    MEMORY_AND_DISK, exactly like pipeline_llm_corpus materializes
+    between curation phases."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    docs = table(spark, sf, "documents").select("doc_id", "text", "source")
+    payloads = ppm_image_payloads(docs.select("doc_id", "text"))
+    feats = payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA)
+    decoded = feats.filter((F.col("width") > 0) & (F.col("height") > 0))
+
+    entropy = F.aggregate(
+        "feature_vec",
+        F.lit(0.0),
+        lambda acc, x: acc
+        - F.when(x > 0, x.cast("double") * F.log(x.cast("double"))).otherwise(0.0),
+    )
+    gated = decoded.filter(
+        (F.col("n_bytes") >= 12 * 8 * 3)
+        & F.col("feature_mean").between(30, 120)
+        & (entropy >= F.lit(1.0))
+    )
+
+    sig = (
+        payloads.join(gated.select("doc_id"), "doc_id", "left_semi")
+        .mapInPandas(_phash_batches, "doc_id long, phash long")
+    )
+    keep = sig.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    shard_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shards = (
+        deduped.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            "n_bytes",
+            F.floor(F.sum("n_bytes").over(shard_w) / F.lit(65536)).alias("shard_id"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_images"), F.sum("n_bytes").alias("shard_bytes"))
+    )
+
+    decoded = decoded.persist()
+    gated = gated.persist()
+    deduped = deduped.persist()
+    try:
+        stages = [
+            ("0_raw", docs),
+            ("1_decoded", decoded),
+            ("2_quality_gate", gated),
+            ("3_phash_dedup", deduped),
+            ("4_shards", shards),
+        ]
+        counts = [(name, df.count()) for name, df in stages]
+    finally:
+        decoded.unpersist()
+        gated.unpersist()
+        deduped.unpersist()
+    return spark.createDataFrame(counts, "stage string, n_rows long")

@@ -97,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_decision_tree_hist", "stream_drift_monitor", "doc_pack_bestfit",
     "dedup_image_phash", "ts_holt_winters", "sample_neyman_allocation",
     "graph_community_modularity", "agg_heavy_hitters_mg",
-    "er_sorted_neighborhood",
+    "er_sorted_neighborhood", "pipeline_multimodal_corpus",
     "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
     "join_bucketed_colocated", "sink_overwrite_dynamic",
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",

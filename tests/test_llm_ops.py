@@ -1150,3 +1150,19 @@ def test_image_dhash_matches_independent_reference(spark):
         if want >= 1 << 63:
             want -= 1 << 64
         assert phash == want, doc_id
+
+
+def test_multimodal_pipeline_funnel(spark):
+    """Funnel counts must be monotone non-increasing through the
+    filtering stages, every stage must be populated, and the quality
+    gate must genuinely drop rows on this corpus."""
+    pdf = (
+        all_ops()["pipeline_multimodal_corpus"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index("stage")["n_rows"]
+    )
+    assert pdf["0_raw"] == pdf["1_decoded"]  # every payload decodes
+    assert pdf["1_decoded"] >= pdf["2_quality_gate"] >= pdf["3_phash_dedup"] > 0
+    assert pdf["2_quality_gate"] < pdf["1_decoded"]
+    assert 0 < pdf["4_shards"] <= pdf["3_phash_dedup"]
