@@ -2012,9 +2012,10 @@ def _mg_partition(batches):
     yield pd.DataFrame({"term": list(counters.keys())})
 
 
-@op(
-    "agg_heavy_hitters_mg",
-    sql=f"""
+# Single source of truth for the heavy-hitter certification SQL — the
+# batch op and stream_heavy_hitters are both exactly this query (integer
+# partials make streamed ≡ whole-corpus recompute).
+_HH_ORACLE_SQL = f"""
     WITH tok AS (
         SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
     ),
@@ -2024,8 +2025,10 @@ def _mg_partition(batches):
     GROUP BY tok, n.c
     HAVING {_HH_K} * COUNT(*) > c
     ORDER BY cnt DESC, term
-    """,
-)
+    """
+
+
+@op("agg_heavy_hitters_mg", sql=_HH_ORACLE_SQL)
 def agg_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     """Frequent-items (heavy hitters) over the corpus vocabulary by the
     classic TWO-PASS distributed recipe: pass 1 runs weighted

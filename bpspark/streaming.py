@@ -1738,3 +1738,90 @@ def stream_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+from bpspark.analytics import _HH_ORACLE_SQL as _HH_ORACLE_REF
+
+
+@op("stream_heavy_hitters", sql=_HH_ORACLE_REF)
+def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING heavy hitters — agg_heavy_hitters_mg's production
+    form, on the segment model every other streaming index op here
+    uses: each micro-batch (three mtime-pinned document waves through a
+    checkpointed file source) flushes (a) its per-batch EXACT (term,
+    cnt) partial-count segment, term-sorted so the final probe can
+    row-group-skip, and (b) its Misra-Gries candidate set (the bounded
+    summary — the thing that lets the final query prune to candidate
+    terms instead of the full vocabulary). The final answer sums
+    integer partials for the candidate union and keeps 50·cnt > n — and
+    because per-batch MG candidates are a guaranteed superset of
+    global heavy hitters (the batch averaging argument applies to
+    micro-batches exactly as to partitions), streamed ≡ whole-corpus
+    recompute EXACTLY: ORACLE-BACKED STREAMING, the
+    stream_bm25_index_append certification pattern.
+
+    Replayed batches rewrite their own seg={id}/cand={id} dirs —
+    idempotent by batch id. 100 TB shape: per-micro-batch cost ∝ batch
+    tokens (one vocab-bounded aggregate + one bounded MG map pass);
+    the nightly heavy-hitter report reads candidate postings across
+    segments, never the token stream; segment compaction is plain
+    count addition (search_bm25_segment_merge's contract)."""
+    from bpspark.analytics import _HH_K, _mg_partition
+
+    import glob as _glob
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="bpspark_shh_")
+    src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    for i in range(3):
+        tmp = f"{stage}/w{i}_tmp"
+        d.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tok = batch_df.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .repartitionByRange(1, "tok")
+            .sortWithinPartitions("tok")
+            .write.mode("overwrite")
+            .parquet(f"{idx}/seg={batch_id}")
+        )
+        tok.mapInPandas(_mg_partition, "term string").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/cand={batch_id}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    segs = spark.read.parquet(*sorted(_glob.glob(f"{idx}/seg=*")))
+    cands = spark.read.parquet(*sorted(_glob.glob(f"{idx}/cand=*"))).distinct()
+    n = segs.agg(F.sum("cnt").alias("c"))
+    out = (
+        segs.join(F.broadcast(cands), segs.tok == cands.term, "left_semi")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(_HH_K * F.col("cnt") > F.col("c"))
+        .select(F.col("tok").alias("term"), "cnt")
+        .orderBy(F.col("cnt").desc(), "term")
+    )
+    return _materialize_and_clean(spark, out, stage)

@@ -327,3 +327,21 @@ def test_drift_monitor_stream_equals_batch_counts(spark):
     assert pdf["n_ref"].sum() == n_ref
     assert pdf["n_cur"].sum() == n_cur
     assert pdf["chi2_contrib"].dropna().ge(0).all()
+
+
+def test_stream_heavy_hitters_equals_batch(spark):
+    """Streamed heavy hitters (3-wave segment flushes + MG candidate
+    pruning) must equal the batch two-pass op row-for-row — integer
+    partials make the merge exact."""
+    from bpspark.registry import all_ops
+
+    ops = all_ops()
+    got = (
+        ops["stream_heavy_hitters"].fn(spark, SF_SMALL).toPandas()
+        .sort_values(["term"]).reset_index(drop=True)
+    )
+    want = (
+        ops["agg_heavy_hitters_mg"].fn(spark, SF_SMALL).toPandas()
+        .sort_values(["term"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
