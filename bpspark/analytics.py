@@ -1844,63 +1844,14 @@ _TREE_DEPTH = 2
 _TREE_MIN_LEAF = 100
 
 
-@op("ml_decision_tree_hist", sql=None)  # driver-side argmax over exact moments
-def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
-    """Depth-2 regression tree grown the way every distributed GBDT
-    grows trees (XGBoost's approx/hist algorithm, LightGBM): features
-    are pre-binned (16 fixed-width bins), each level is ONE map-side
-    partial aggregate building the per-(node, bin-cell) moment
-    histogram — count, Σy, Σy² — and split selection happens on that
-    tiny histogram, never on rows. Predicts l_extendedprice (centi-unit
-    integer y) from l_quantity and l_discount.
-
-    One 2-D (16×16) histogram per node serves BOTH features — each
-    feature's 1-D split scan is a marginal of it, so a level costs one
-    aggregate regardless of feature count up to the cell budget.
-    Moments accumulate in DECIMAL(38,0) off integer centi-units (exact,
-    associative, overflow-proof — the layout.py fingerprint idiom), so
-    the variance-gain argmax runs on exact integers and ties break
-    deterministically to (smaller feature, smaller bin). A split must
-    leave ≥100 rows per side and strictly reduce SSE, else the node
-    leaves.
-
-    The per-level collect is the |nodes|·256-cell histogram (≤ 1024
-    rows at depth 2) — a bounded model literal under the repo's
-    collect() policy, the same contract as k-means centroids. Scale:
-    per level, ONE pass over the fact table with map-side combine into
-    ≤ nodes×256 cells; assignment is a pure column expression (no
-    join); depth levels ⇒ depth passes. At 100 TB this is exactly the
-    histogram-aggregation tree-grow that powers distributed GBDT.
-
-    Output: one row per tree node — split nodes carry (feature,
-    split_bin, threshold), leaves carry NULLs — plus exact n and the
-    centi-unit-exact mean for every node. Certified by a pure-pandas
-    replica test that must reproduce the tree byte-for-byte."""
-    li = table(spark, sf, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x0"),
-        F.col("l_discount").cast("double").alias("x1"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
-    mm = li.agg(
-        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
-        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
-    ).collect()[0]
-    edges = {}
-    for f in (0, 1):
-        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
-        w = (mx - mn) / _TREE_BINS or 1.0
-        edges[f] = (mn, w)
-
-    def bin_col(f: int):
-        mn, w = edges[f]
-        return F.least(
-            F.lit(_TREE_BINS - 1),
-            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
-        )
-
-    df = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")).withColumn(
-        "node", F.lit(0)
-    )
+def _grow_hist_tree(df):
+    """Histogram tree-grow over a binned frame (columns: y int64-exact,
+    b0, b1) — the shared core of ml_decision_tree_hist and ml_gbdt_hist.
+    One map-side-combined (node, b0, b1) DECIMAL-moment aggregate per
+    level, split argmax on the collected ≤ nodes×256-cell histogram
+    (a bounded model literal), assignment as a pure column expression.
+    Returns (nodes dict, frame with the final ``node`` column)."""
+    df = df.withColumn("node", F.lit(0))
     nodes: dict[int, dict] = {}
     active = [0]
     for depth in range(_TREE_DEPTH + 1):
@@ -1963,6 +1914,65 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
         active = sorted(2 * n + 1 + side for n in splits for side in (0, 1))
         if not active:
             break
+    return nodes, df
+
+
+@op("ml_decision_tree_hist", sql=None)  # driver-side argmax over exact moments
+def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 regression tree grown the way every distributed GBDT
+    grows trees (XGBoost's approx/hist algorithm, LightGBM): features
+    are pre-binned (16 fixed-width bins), each level is ONE map-side
+    partial aggregate building the per-(node, bin-cell) moment
+    histogram — count, Σy, Σy² — and split selection happens on that
+    tiny histogram, never on rows. Predicts l_extendedprice (centi-unit
+    integer y) from l_quantity and l_discount.
+
+    One 2-D (16×16) histogram per node serves BOTH features — each
+    feature's 1-D split scan is a marginal of it, so a level costs one
+    aggregate regardless of feature count up to the cell budget.
+    Moments accumulate in DECIMAL(38,0) off integer centi-units (exact,
+    associative, overflow-proof — the layout.py fingerprint idiom), so
+    the variance-gain argmax runs on exact integers and ties break
+    deterministically to (smaller feature, smaller bin). A split must
+    leave ≥100 rows per side and strictly reduce SSE, else the node
+    leaves.
+
+    The per-level collect is the |nodes|·256-cell histogram (≤ 1024
+    rows at depth 2) — a bounded model literal under the repo's
+    collect() policy, the same contract as k-means centroids. Scale:
+    per level, ONE pass over the fact table with map-side combine into
+    ≤ nodes×256 cells; assignment is a pure column expression (no
+    join); depth levels ⇒ depth passes. At 100 TB this is exactly the
+    histogram-aggregation tree-grow that powers distributed GBDT.
+
+    Output: one row per tree node — split nodes carry (feature,
+    split_bin, threshold), leaves carry NULLs — plus exact n and the
+    centi-unit-exact mean for every node. Certified by a pure-pandas
+    replica test that must reproduce the tree byte-for-byte."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x0"),
+        F.col("l_discount").cast("double").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mm = li.agg(
+        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
+        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+    ).collect()[0]
+    edges = {}
+    for f in (0, 1):
+        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
+        w = (mx - mn) / _TREE_BINS or 1.0
+        edges[f] = (mn, w)
+
+    def bin_col(f: int):
+        mn, w = edges[f]
+        return F.least(
+            F.lit(_TREE_BINS - 1),
+            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
+        )
+
+    df = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1"))
+    nodes, _df_assigned = _grow_hist_tree(df)
 
     rows = []
     for nid in sorted(nodes):
@@ -2067,4 +2077,93 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
         .filter(_HH_K * F.col("cnt") > F.col("c"))
         .select(F.col("tok").alias("term"), "cnt")
         .orderBy(F.col("cnt").desc(), "term")
+    )
+
+
+_GBDT_ROUNDS = 3
+_GBDT_LR = 0.5
+
+
+@op("ml_gbdt_hist", sql=None)  # iterative residual fitting — rows-only
+def ml_gbdt_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Gradient-boosted trees with squared loss = iterated residual
+    fitting — 3 rounds of the SAME histogram tree-grow
+    ml_decision_tree_hist certifies (shared `_grow_hist_tree`), each on
+    the previous round's residuals, with learning rate 0.5. This is
+    the full distributed-GBDT shape (XGBoost/LightGBM): per round, per
+    level, ONE map-side-combined histogram aggregate; leaf values are
+    bounded model literals; the residual update is a pure column
+    expression (leaf → prediction via a ≤7-way CASE, then a HALF_UP
+    round back to exact centi-unit integers so the NEXT round's
+    DECIMAL moments stay exact — the trick that keeps an iterative
+    float algorithm hash-reproducible end to end). localCheckpoint per
+    round truncates lineage.
+
+    Output: every tree node of every round (leaves carry the shrunken
+    leaf value) plus a per-round training-RMSE row — the RMSE sequence
+    must be non-increasing (boosting on train always is; test-pinned),
+    and the whole table is reproduced byte-for-byte by a sequential
+    pandas/int replica. At 100 TB: rounds × levels passes over the
+    fact table, constant-size shuffles (≤ nodes×256 cells), no row
+    ever leaves the cluster."""
+    import math as _math
+
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x0"),
+        F.col("l_discount").cast("double").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mm = li.agg(
+        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
+        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+    ).collect()[0]
+    edges = {}
+    for f in (0, 1):
+        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
+        w = (mx - mn) / _TREE_BINS or 1.0
+        edges[f] = (mn, w)
+
+    def bin_col(f: int):
+        mn, w = edges[f]
+        return F.least(
+            F.lit(_TREE_BINS - 1),
+            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
+        )
+
+    cur = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")).localCheckpoint()
+    out_rows = []
+    for rnd in range(1, _GBDT_ROUNDS + 1):
+        nodes, assigned = _grow_hist_tree(cur)
+        leaves = {
+            nid: nd for nid, nd in nodes.items() if nd["feature"] is None and nd["n"] > 0
+        }
+        preds = {nid: _GBDT_LR * nd["sy"] / nd["n"] for nid, nd in leaves.items()}
+        for nid in sorted(nodes):
+            nd = nodes[nid]
+            f, s = nd["feature"], nd["split_bin"]
+            thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
+            val = round(preds[nid] / 100.0, 6) if nid in preds else None
+            out_rows.append(
+                (rnd, nid, nd["depth"], "split" if f is not None else "leaf",
+                 f, s, thr, nd["n"], val)
+            )
+        pred_expr = F.lit(0.0)
+        for nid, p in preds.items():
+            pred_expr = F.when(F.col("node") == nid, F.lit(p)).otherwise(pred_expr)
+        cur = (
+            assigned.withColumn("y", F.round(F.col("y") - pred_expr).cast("long"))
+            .select("y", "b0", "b1")
+            .localCheckpoint()
+        )
+        mom = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        ).collect()[0]
+        rmse = _math.sqrt(int(mom["syy"]) / mom["n"]) / 100.0
+        out_rows.append((rnd, -1, None, "round_rmse", None, None, None,
+                         mom["n"], round(rmse, 6)))
+    return spark.createDataFrame(
+        out_rows,
+        "rnd int, node int, depth int, kind string, feature int, "
+        "split_bin int, threshold double, n long, value double",
     )

@@ -1166,3 +1166,105 @@ def test_multimodal_pipeline_funnel(spark):
     assert pdf["1_decoded"] >= pdf["2_quality_gate"] >= pdf["3_phash_dedup"] > 0
     assert pdf["2_quality_gate"] < pdf["1_decoded"]
     assert 0 < pdf["4_shards"] <= pdf["3_phash_dedup"]
+
+
+def test_gbdt_hist_matches_pandas_replica(spark):
+    """3-round boosted ensemble must match a sequential pandas/int
+    replica byte-for-byte (same bins, moments, tie-breaks, learning
+    rate, HALF_UP residual rounding), and train RMSE must be
+    non-increasing."""
+    import numpy as np
+    import pandas as pd
+
+    B, DEPTH, MIN_LEAF, ROUNDS, LR = 16, 2, 100, 3, 0.5
+    got = (
+        all_ops()["ml_gbdt_hist"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["rnd", "node"])
+        .reset_index(drop=True)
+    )
+    rmse_rows = got[got["kind"] == "round_rmse"]
+    assert (rmse_rows["value"].diff().dropna() <= 1e-9).all()
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    x = np.stack([li["l_quantity"].astype(float), li["l_discount"].astype(float)], axis=1)
+    y = np.round(li["l_extendedprice"].astype(float) * 100).astype(np.int64)
+    bins = np.zeros((len(li), 2), dtype=np.int64)
+    edges = []
+    for f in (0, 1):
+        mn, mx = x[:, f].min(), x[:, f].max()
+        w = (mx - mn) / B or 1.0
+        edges.append((mn, w))
+        bins[:, f] = np.minimum(B - 1, np.floor((x[:, f] - mn) / w)).astype(np.int64)
+
+    def grow(yv):
+        node = np.zeros(len(yv), dtype=np.int64)
+        nodes, active = {}, [0]
+        for depth in range(DEPTH + 1):
+            new_active = []
+            for nid in active:
+                m = node == nid
+                n_tot = int(m.sum())
+                sy = int(yv[m].sum())
+                nodes[nid] = dict(depth=depth, n=n_tot, sy=sy, feature=None, sbin=None)
+                if depth == DEPTH or n_tot < 2 * MIN_LEAF:
+                    continue
+                syy = int((yv[m].astype(object) ** 2).sum())
+                sse_parent = syy - sy * sy / n_tot
+                best = None
+                for f in (0, 1):
+                    for s in range(B - 1):
+                        lm = m & (bins[:, f] <= s)
+                        ln = int(lm.sum()); rn = n_tot - ln
+                        if ln < MIN_LEAF or rn < MIN_LEAF:
+                            continue
+                        ls = int(yv[lm].sum()); lq = int((yv[lm].astype(object) ** 2).sum())
+                        rs, rq = sy - ls, syy - lq
+                        obj = (lq - ls * ls / ln) + (rq - rs * rs / rn)
+                        if best is None or (obj, f, s) < best:
+                            best = (obj, f, s)
+                if best is not None and best[0] < sse_parent:
+                    f, s = best[1], best[2]
+                    nodes[nid]["feature"], nodes[nid]["sbin"] = f, s
+                    right = m & (bins[:, f] > s)
+                    node[m] = 2 * nid + 1
+                    node[right] = 2 * nid + 2
+                    new_active += [2 * nid + 1, 2 * nid + 2]
+            active = sorted(new_active)
+            if not active:
+                break
+        return nodes, node
+
+    resid = y.copy()
+    want = []
+    for rnd in range(1, ROUNDS + 1):
+        nodes, node = grow(resid)
+        preds = {
+            nid: LR * nd["sy"] / nd["n"]
+            for nid, nd in nodes.items()
+            if nd["feature"] is None and nd["n"] > 0
+        }
+        for nid in sorted(nodes):
+            nd = nodes[nid]
+            f, s = nd["feature"], nd["sbin"]
+            thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
+            val = round(preds[nid] / 100.0, 6) if nid in preds else None
+            want.append((rnd, nid, nd["depth"], "split" if f is not None else "leaf",
+                         f, s, thr, nd["n"], val))
+        p = np.array([preds.get(nd, 0.0) for nd in node])
+        delta = resid - p
+        resid = (np.sign(delta) * np.floor(np.abs(delta) + 0.5)).astype(np.int64)
+        rmse = float(np.sqrt(int((resid.astype(object) ** 2).sum()) / len(resid)) / 100.0)
+        want.append((rnd, -1, None, "round_rmse", None, None, None, len(resid), round(rmse, 6)))
+
+    want.sort(key=lambda r: (r[0], r[1]))
+    assert len(got) == len(want)
+    for grow_row, w in zip(got.itertuples(index=False), want):
+        g = tuple(grow_row)
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
+        for gi, wi in ((g[4], w[4]), (g[5], w[5])):
+            assert (pd.isna(gi) and wi is None) or int(gi) == wi, (g, w)
+        for gi, wi in ((g[6], w[6]), (g[8], w[8])):
+            assert (pd.isna(gi) and wi is None) or abs(gi - wi) < 1e-9, (g, w)
+        assert g[7] == w[7], (g, w)
