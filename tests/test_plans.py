@@ -934,3 +934,23 @@ def test_context_pack_single_explode_no_cartesian(spark):
     # count the detail headings only
     assert plan.count(") Generate") == 1, "corpus exploded more than once"
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_pairs_without_self_join(spark):
+    """er_sorted_neighborhood's window pairs must come from lead() after
+    one per-block sort — never a self-join (the SNM efficiency claim):
+    no join node of any kind in the plan, exactly one Window spec
+    reused, no cartesian."""
+    plan = plan_of(spark, "er_sorted_neighborhood")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
+def test_heavy_hitters_candidate_semi_join(spark):
+    """The exact pass must aggregate ONLY candidate postings: a
+    broadcast left-semi join cuts the token stream before the count
+    shuffle, and nothing goes cartesian."""
+    plan = plan_of(spark, "agg_heavy_hitters_mg")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
