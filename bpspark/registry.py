@@ -98,7 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_image_phash", "ts_holt_winters", "sample_neyman_allocation",
     "graph_community_modularity", "agg_heavy_hitters_mg",
     "er_sorted_neighborhood", "pipeline_multimodal_corpus",
-    "stream_heavy_hitters", "ml_gbdt_hist",
+    "stream_heavy_hitters", "ml_gbdt_hist", "privacy_pseudonymize_consistent",
     "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
     "join_bucketed_colocated", "sink_overwrite_dynamic",
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",

@@ -1265,3 +1265,67 @@ def sample_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+_PSEUD_KEY = "bpspark-pseud-v1"
+
+
+@op(
+    "privacy_pseudonymize_consistent",
+    sql=f"""
+    WITH c AS (
+        SELECT 'c_' || substr(md5('{_PSEUD_KEY}:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                   AS cust_token
+        FROM customer
+    ),
+    o AS (
+        SELECT 'c_' || substr(md5('{_PSEUD_KEY}:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS cust_token,
+               o_totalprice
+        FROM orders
+    )
+    SELECT c.cust_token AS cust_token,
+           COUNT(o.cust_token) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM c LEFT JOIN o ON o.cust_token = c.cust_token
+    GROUP BY 1
+    ORDER BY c.cust_token
+    """,
+)
+def privacy_pseudonymize_consistent(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistent keyed pseudonymization — the release technique when
+    downstream still needs JOINS (redaction, text_pii_redact's job,
+    destroys them): every identifier is replaced by a keyed-hash token,
+    so the same customer maps to the same token in EVERY table and
+    analytics run entirely in token space, while the raw key never
+    leaves the boundary. Demonstrated end-to-end: customer and orders
+    are tokenized independently, then joined ON THE TOKEN — the
+    per-token order counts and DECIMAL-exact revenue equal the raw-key
+    join's, which is precisely the property the technique promises (and
+    what the oracle hash-certifies, since DuckDB derives the identical
+    md5 tokens). Customers with no orders survive the left join with
+    n_orders = 0 — pseudonymization must not drop population.
+
+    The token is md5(secret_key || id) — deterministic across engines,
+    retries, and tables (in production the key lives in a KMS and
+    rotation re-keys the release, not the source). Plan: two map-side
+    token projections + one equi-join on the token (hash-partitioned
+    exactly like the raw key would be — tokenization changes NOTHING
+    about the join strategy or skew profile at 100 TB) + one aggregate."""
+    key = F.lit(_PSEUD_KEY + ":")
+    c = table(spark, sf, "customer").select(
+        F.concat(F.lit("c_"), F.substring(F.md5(F.concat(key, F.col("c_custkey").cast("string"))), 1, 12)).alias("cust_token")
+    )
+    o = table(spark, sf, "orders").select(
+        F.concat(F.lit("c_"), F.substring(F.md5(F.concat(key, F.col("o_custkey").cast("string"))), 1, 12)).alias("cust_token"),
+        "o_totalprice",
+    )
+    return (
+        c.join(o.withColumnRenamed("cust_token", "o_tok"), c.cust_token == F.col("o_tok"), "left")
+        .groupBy("cust_token")
+        .agg(
+            F.count("o_tok").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("cust_token")
+    )

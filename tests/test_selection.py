@@ -465,3 +465,33 @@ def test_sorted_neighborhood_planted_recall_and_window(spark):
         ba, ra = pos[r["id_a"]]
         bb, rb = pos[r["id_b"]]
         assert ba == bb and 1 <= abs(ra - rb) <= 4, (r["id_a"], r["id_b"])
+
+
+def test_pseudonymize_token_space_equals_raw_key_space(spark):
+    """The token-space join must reproduce the raw-key join exactly
+    (consistency + collision-freedom on this population), with tokens
+    derived via the keyed hash."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = OPS["privacy_pseudonymize_consistent"].fn(spark, SF_SMALL).toPandas()
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+
+    def tok(k):
+        return "c_" + hashlib.md5(f"bpspark-pseud-v1:{k}".encode()).hexdigest()[:12]
+
+    want = (
+        orders.assign(cust_token=orders["o_custkey"].map(tok))
+        .groupby("cust_token")
+        .agg(n_orders=("o_custkey", "size"),
+             total_price=("o_totalprice", lambda s: round(s.round(2).sum(), 2)))
+    )
+    # every customer appears exactly once; tokens collide for no one
+    assert len(pdf) == len(cust)
+    assert pdf["cust_token"].is_unique
+    got = pdf.set_index("cust_token")
+    for t, row in want.iterrows():
+        assert got.loc[t, "n_orders"] == row["n_orders"], t
+        assert abs(got.loc[t, "total_price"] - row["total_price"]) < 1e-6, t
