@@ -1844,6 +1844,35 @@ _TREE_DEPTH = 2
 _TREE_MIN_LEAF = 100
 
 
+def _binned_lineitem(spark: SparkSession, sf: str):
+    """Shared feature prep for the two histogram-tree ops: centi-unit
+    integer target + 16 fixed-width bins per feature. Returns
+    (binned frame with y/b0/b1, per-feature (min, width) edges)."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x0"),
+        F.col("l_discount").cast("double").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mm = li.agg(
+        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
+        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+    ).collect()[0]
+    edges = {}
+    for f in (0, 1):
+        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
+        w = (mx - mn) / _TREE_BINS or 1.0
+        edges[f] = (mn, w)
+
+    def bin_col(f: int):
+        mn, w = edges[f]
+        return F.least(
+            F.lit(_TREE_BINS - 1),
+            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
+        )
+
+    return li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")), edges
+
+
 def _grow_hist_tree(df):
     """Histogram tree-grow over a binned frame (columns: y int64-exact,
     b0, b1) — the shared core of ml_decision_tree_hist and ml_gbdt_hist.
@@ -1902,8 +1931,7 @@ def _grow_hist_tree(df):
                 nodes[nid]["feature"] = best[1]
                 nodes[nid]["split_bin"] = best[2]
         if not splits or depth == _TREE_DEPTH:
-            if depth == _TREE_DEPTH:
-                break
+            break
         expr = F.col("node")
         for nid, (f, s) in splits.items():
             expr = F.when(
@@ -1949,29 +1977,7 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
     split_bin, threshold), leaves carry NULLs — plus exact n and the
     centi-unit-exact mean for every node. Certified by a pure-pandas
     replica test that must reproduce the tree byte-for-byte."""
-    li = table(spark, sf, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x0"),
-        F.col("l_discount").cast("double").alias("x1"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
-    mm = li.agg(
-        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
-        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
-    ).collect()[0]
-    edges = {}
-    for f in (0, 1):
-        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
-        w = (mx - mn) / _TREE_BINS or 1.0
-        edges[f] = (mn, w)
-
-    def bin_col(f: int):
-        mn, w = edges[f]
-        return F.least(
-            F.lit(_TREE_BINS - 1),
-            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
-        )
-
-    df = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1"))
+    df, edges = _binned_lineitem(spark, sf)
     nodes, _df_assigned = _grow_hist_tree(df)
 
     rows = []
@@ -2108,29 +2114,8 @@ def ml_gbdt_hist(spark: SparkSession, sf: str) -> DataFrame:
     ever leaves the cluster."""
     import math as _math
 
-    li = table(spark, sf, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x0"),
-        F.col("l_discount").cast("double").alias("x1"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
-    mm = li.agg(
-        F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
-        F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
-    ).collect()[0]
-    edges = {}
-    for f in (0, 1):
-        mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])
-        w = (mx - mn) / _TREE_BINS or 1.0
-        edges[f] = (mn, w)
-
-    def bin_col(f: int):
-        mn, w = edges[f]
-        return F.least(
-            F.lit(_TREE_BINS - 1),
-            F.floor((F.col(f"x{f}") - F.lit(mn)) / F.lit(w)).cast("int"),
-        )
-
-    cur = li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")).localCheckpoint()
+    binned, edges = _binned_lineitem(spark, sf)
+    cur = binned.localCheckpoint()
     out_rows = []
     for rnd in range(1, _GBDT_ROUNDS + 1):
         nodes, assigned = _grow_hist_tree(cur)

@@ -4212,7 +4212,7 @@ _SNM_WINDOW = 5  # sorted-neighborhood sliding window (pairs within w-1 ranks)
     keyed AS (
         SELECT id, name, nat,
                regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS k,
-               substr(regexp_replace(lower(name), '[^a-z0-9]', '', 'g'), 1, 1) AS blk
+               substr(regexp_replace(lower(name), '[^a-z0-9]', '', 'g'), 1, 15) AS blk
         FROM recs
     ),
     ranked AS (
@@ -4239,8 +4239,15 @@ def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     predicate: Levenshtein ≤ 2 JVM-side, with the nation-agreement flag
     carried for downstream scoring.
 
-    Plan: ONE sort per block partition (prefix-of-key blocks keep the
-    sort distributed — no global single-partition window), then the
+    Plan: ONE sort per block partition — the block is a 15-char prefix
+    of the sort key, long enough to SUBDIVIDE this keyspace (a 1-char
+    prefix degenerates to one block here: every supplier name shares
+    the 'supplier#' stem, which would funnel the whole relation through
+    a single-partition window — the thing this op must avoid at scale);
+    a planted variant always shares its source's full key as a prefix,
+    so twins can never straddle a block boundary, while production SNM
+    range-partitions the sort with w−1 rows of overlap to also keep
+    boundary pairs between unrelated keys. Then the
     window pairs come from lead(·, k) for k = 1..w-1 — MAP-side after
     the sort, never a self-join; cost is exactly (w-1)·n pairs before
     the predicate. The oracle states the identical pair set as a
@@ -4262,7 +4269,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     )
     k = F.regexp_replace(F.lower("name"), "[^a-z0-9]", "")
     keyed = recs.select(
-        "id", "name", "nat", k.alias("k"), F.substring(k, 1, 1).alias("blk")
+        "id", "name", "nat", k.alias("k"), F.substring(k, 1, 15).alias("blk")
     )
     w = Window.partitionBy("blk").orderBy("k", "id")
     pairs = None
@@ -4311,7 +4318,10 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
     bpspark.ensure_worker_imports(spark)
     docs = table(spark, sf, "documents").select("doc_id", "text", "source")
-    payloads = ppm_image_payloads(docs.select("doc_id", "text"))
+    # persisted: BOTH the feature branch and the phash branch read the
+    # payloads — without this the payload build re-runs for the dedup
+    # stage's decode pass
+    payloads = ppm_image_payloads(docs.select("doc_id", "text")).persist()
     feats = payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA)
     decoded = feats.filter((F.col("width") > 0) & (F.col("height") > 0))
 
@@ -4364,6 +4374,7 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
         ]
         counts = [(name, df.count()) for name, df in stages]
     finally:
+        payloads.unpersist()
         decoded.unpersist()
         gated.unpersist()
         deduped.unpersist()

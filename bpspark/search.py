@@ -601,7 +601,7 @@ def search_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
 # RAG context assembly under a token budget
 # ---------------------------------------------------------------------------
 
-_PACK_BUDGET_TOKENS = 600
+_RAG_CONTEXT_BUDGET_TOKENS = 600
 
 
 @op(
@@ -632,7 +632,7 @@ _PACK_BUDGET_TOKENS = 600
         FROM tf JOIN dl ON tf.doc_id = dl.doc_id
     )
     SELECT query, doc_id, tf, rnk, n_tokens, cum_tokens
-    FROM ranked WHERE cum_tokens <= {_PACK_BUDGET_TOKENS}
+    FROM ranked WHERE cum_tokens <= {_RAG_CONTEXT_BUDGET_TOKENS}
     """,
 )
 def rag_context_pack(spark: SparkSession, sf: str) -> DataFrame:
@@ -687,6 +687,6 @@ def rag_context_pack(spark: SparkSession, sf: str) -> DataFrame:
             F.row_number().over(w).alias("rnk"),
             F.sum("n_tokens").over(cum).alias("cum_tokens"),
         )
-        .filter(F.col("cum_tokens") <= _PACK_BUDGET_TOKENS)
+        .filter(F.col("cum_tokens") <= _RAG_CONTEXT_BUDGET_TOKENS)
         .select("query", "doc_id", "tf", "rnk", "n_tokens", "cum_tokens")
     )

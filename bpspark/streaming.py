@@ -1771,6 +1771,9 @@ def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     import glob as _glob
     import shutil
 
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
     stage = tempfile.mkdtemp(prefix="bpspark_shh_")
     src, idx, ckpt = f"{stage}/src", f"{stage}/index", f"{stage}/ckpt"
     os.makedirs(src, exist_ok=True)

@@ -403,7 +403,7 @@ def ts_anomaly_iqr(spark: SparkSession, sf: str) -> DataFrame:
              COUNT(*) OVER w AS tn
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
-                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ),
     det AS (
       SELECT event_type, day, epoch_day, v, tsum / 7 AS trend,
@@ -427,8 +427,9 @@ def ts_anomaly_iqr(spark: SparkSession, sf: str) -> DataFrame:
 def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     """Classical additive seasonal decomposition (the moving-average
     method STL descends from) of each event type's daily value series:
-    trend = centered 7-day moving average (full frames only, so edges
-    carry no half-window bias), seasonal = per-weekday mean of the
+    trend = centered 7-day moving average over a CALENDAR range frame
+    (full frames only, so edges carry no half-window bias and gapped
+    panels never mix non-adjacent weeks), seasonal = per-weekday mean of the
     detrended series, residual = value − trend − seasonal. Weekday is
     epoch-day mod 7 — integer arithmetic, immune to the engines'
     dayofweek() origin disagreement (Spark 1=Sunday, DuckDB 0=Sunday).
@@ -459,10 +460,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
     )
+    # RANGE frame on epoch_day: the ±3-day window is CALENDAR-correct
+    # even across gaps in the panel (a rows frame would mix non-adjacent
+    # weeks); the tn = 7 filter then keeps only full calendar weeks
     w = (
         Window.partitionBy("event_type")
         .orderBy("epoch_day")
-        .rowsBetween(-3, 3)
+        .rangeBetween(-3, 3)
     )
     tr = daily.select(
         "event_type",
@@ -509,6 +513,7 @@ def _holt_winters_group(pdf):
 
     pdf = pdf.sort_values("epoch_day").reset_index(drop=True)
     v = pdf["v"].to_numpy(dtype=np.float64)
+    days = pdf["epoch_day"].to_numpy(dtype=np.int64)
     m = _HW_SEASON
     et = pdf["event_type"].iloc[0]
     if len(v) < 2 * m:  # too short to initialize — emit nothing
@@ -518,19 +523,23 @@ def _holt_winters_group(pdf):
                   "v": "float64", "fitted": "float64"})
     level = v[:m].mean()
     trend = (v[m : 2 * m].mean() - v[:m].mean()) / m
-    season = list(v[:m] - level)
+    # seasonal slots keyed by CALENDAR weekday (epoch_day mod 7), not row
+    # position — on a gapped panel positional indexing would silently
+    # shift every later observation into the wrong weekday slot
+    season = {int(days[j]) % m: v[j] - level for j in range(m)}
     out = []
     for i in range(len(v)):
-        s = season[i % m]
+        slot = int(days[i]) % m
+        s = season[slot]
         fitted = level + trend + s
-        out.append((et, int(pdf["epoch_day"].iloc[i]), "fit", float(v[i]), round(float(fitted), 6)))
+        out.append((et, int(days[i]), "fit", float(v[i]), round(float(fitted), 6)))
         prev_level = level
         level = _HW_ALPHA * (v[i] - s) + (1 - _HW_ALPHA) * (level + trend)
         trend = _HW_BETA * (level - prev_level) + (1 - _HW_BETA) * trend
-        season[i % m] = _HW_GAMMA * (v[i] - level) + (1 - _HW_GAMMA) * s
-    last_day = int(pdf["epoch_day"].iloc[-1])
+        season[slot] = _HW_GAMMA * (v[i] - level) + (1 - _HW_GAMMA) * s
+    last_day = int(days[-1])
     for h in range(1, _HW_HORIZON + 1):
-        f = level + h * trend + season[(len(v) + h - 1) % m]
+        f = level + h * trend + season[(last_day + h) % m]
         out.append((et, last_day + h, "forecast", None, round(float(f), 6)))
     return pd.DataFrame(out, columns=["event_type", "epoch_day", "kind", "v", "fitted"])
 

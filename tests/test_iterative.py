@@ -283,17 +283,18 @@ def test_holt_winters_matches_independent_recurrence(spark):
         days = grp["epoch_day"].to_numpy()
         lvl = v[:m].mean()
         tr = (v[m : 2 * m].mean() - v[:m].mean()) / m
-        sea = (v[:m] - lvl).tolist()
+        sea = {int(days[j]) % m: v[j] - lvl for j in range(m)}
         fits, fcs = [], []
         for i, x in enumerate(v):
-            s = sea[i % m]
+            slot = int(days[i]) % m
+            s = sea[slot]
             fits.append(round(lvl + tr + s, 6))
             pl = lvl
             lvl = a * (x - s) + (1 - a) * (lvl + tr)
             tr = b * (lvl - pl) + (1 - b) * tr
-            sea[i % m] = g * (x - lvl) + (1 - g) * s
+            sea[slot] = g * (x - lvl) + (1 - g) * s
         for h in range(1, H + 1):
-            fcs.append(round(lvl + h * tr + sea[(len(v) + h - 1) % m], 6))
+            fcs.append(round(lvl + h * tr + sea[(int(days[-1]) + h) % m], 6))
         sub = got[got["event_type"] == et].sort_values("epoch_day")
         fit = sub[sub["kind"] == "fit"]
         fc = sub[sub["kind"] == "forecast"]

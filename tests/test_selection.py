@@ -373,7 +373,7 @@ def test_context_pack_budget_and_prefix_maximality(spark):
     (b) be a contiguous rank prefix (1..n, no gaps — prefix packing, not
     skip packing), and (c) be MAXIMAL: the first excluded candidate
     would overflow the budget."""
-    from bpspark.search import _PACK_BUDGET_TOKENS
+    from bpspark.search import _RAG_CONTEXT_BUDGET_TOKENS
 
     pdf = OPS["rag_context_pack"].fn(spark, SF_SMALL).toPandas()
     assert set(pdf["query"]) == {"vector", "merge", "stream"}
@@ -381,7 +381,7 @@ def test_context_pack_budget_and_prefix_maximality(spark):
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, len(g) + 1)), q
         assert (g["cum_tokens"] == g["n_tokens"].cumsum()).all(), q
-        assert g["cum_tokens"].iloc[-1] <= _PACK_BUDGET_TOKENS, q
+        assert g["cum_tokens"].iloc[-1] <= _RAG_CONTEXT_BUDGET_TOKENS, q
         # relevance order is respected: tf non-increasing down the ranks
         assert (g["tf"].diff().dropna() <= 0).all(), q
 
@@ -404,7 +404,7 @@ def test_context_pack_budget_and_prefix_maximality(spark):
         packed_n = int((pdf["query"] == q).sum())
         if packed_n < len(g):
             overflow = g["n_tokens"].iloc[: packed_n + 1].sum()
-            assert overflow > _PACK_BUDGET_TOKENS, q
+            assert overflow > _RAG_CONTEXT_BUDGET_TOKENS, q
 
 
 def test_l_diversity_release_invariant(spark):
@@ -457,7 +457,7 @@ def test_sorted_neighborhood_planted_recall_and_window(spark):
         )[["id", "name"]],
     ])
     recs["k"] = recs["name"].str.lower().str.replace("[^a-z0-9]", "", regex=True)
-    recs["blk"] = recs["k"].str[0]
+    recs["blk"] = recs["k"].str[:15]
     recs = recs.sort_values(["blk", "k", "id"]).reset_index(drop=True)
     recs["rn"] = recs.groupby("blk").cumcount()
     pos = dict(zip(recs["id"], zip(recs["blk"], recs["rn"])))
