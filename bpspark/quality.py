@@ -407,3 +407,83 @@ def boilerplate_frame(d: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@op(
+    "dq_referential_audit",
+    sql="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}->{p}' AS fk_edge,
+               COUNT(*) AS n_child_rows,
+               COUNT(*) FILTER (WHERE {ck} IS NULL) AS n_null_keys,
+               COUNT(*) FILTER (
+                   WHERE {ck} IS NOT NULL
+                     AND {ck} NOT IN (SELECT {pk} FROM {p})
+               ) AS n_orphans
+        FROM {c}
+        """
+        for c, ck, p, pk in _FK_EDGES
+    )
+    + """
+    ) ORDER BY fk_edge
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-wide referential-integrity audit — ONE row per foreign-key
+    edge of the whole star schema (7 edges), each carrying child row
+    count, NULL-key count, and ORPHAN count (non-null keys with no
+    parent). dq_expectations checks one FK rule among many per-row
+    predicates; this op is the nightly relationship health report a
+    warehouse runs across every edge at once — the first thing to
+    consult when a join suddenly loses rows.
+
+    Each edge is a LEFT-ANTI join of the child's DISTINCT keys against
+    the parent key (distinct first, so the anti join probes |distinct
+    child keys| rows, not |child|), then the orphan count re-joins the
+    child's key histogram — cost per edge is one map-side distinct-agg
+    + one broadcast-able anti join against the parent's key projection.
+    At 100 TB the parent key sides (orders/customer/part/...) are the
+    dimension scans a nightly stats job already pays; nothing here
+    touches a fact row twice. All-integer output — exact cross-engine."""
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        row = _fk_edge_audit(
+            table(spark, sf, child).select(F.col(ck).alias("k")),
+            table(spark, sf, parent).select(F.col(pk).alias("k")),
+            f"{child}->{parent}",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+def _fk_edge_audit(child_keys: DataFrame, parent_keys: DataFrame, label: str) -> DataFrame:
+    """One FK edge's audit row from a child key column and a parent key
+    column — factored so tests can inject orphans/NULLs directly."""
+    p = parent_keys.distinct()
+    key_hist = child_keys.filter(F.col("k").isNotNull()).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    orphans = key_hist.join(p, "k", "left_anti").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans")
+    )
+    totals = child_keys.agg(
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.count_if(F.col("k").isNull()).alias("n_null_keys"),
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(label).alias("fk_edge"), "n_child_rows", "n_null_keys", "n_orphans"
+    )

@@ -149,3 +149,25 @@ def test_linreg_normal_least_squares_optimality(spark):
     ).collect()[0]
     sse_mean = stats["syy"] - stats["sy"] ** 2 / stats["n"]
     assert stats["sse_model"] <= sse_mean * (1 + 1e-9)
+
+
+def test_fk_edge_audit_counts_orphans_and_nulls(spark):
+    """Injected violations must be counted exactly: duplicate orphan
+    keys count per ROW, NULLs are reported separately and never as
+    orphans, and a clean edge reports zeros."""
+    from bpspark.quality import _fk_edge_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (99,), (99,), (None,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    row = _fk_edge_audit(child, parent, "t->p").collect()[0]
+    assert row["fk_edge"] == "t->p"
+    assert row["n_child_rows"] == 8
+    assert row["n_null_keys"] == 2
+    assert row["n_orphans"] == 3  # key 99 appears on 3 rows
+
+    clean = _fk_edge_audit(
+        spark.createDataFrame([(1,), (2,)], "k long"), parent, "c->p"
+    ).collect()[0]
+    assert clean["n_orphans"] == 0 and clean["n_null_keys"] == 0
