@@ -4379,3 +4379,77 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
         gated.unpersist()
         deduped.unpersist()
     return spark.createDataFrame(counts, "stage string, n_rows long")
+
+
+FILTERED_TOPK_SQL = """
+WITH q AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings WHERE vec_id < 10
+), c AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (q.norm * c.norm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (q.norm * c.norm) DESC,
+                        c.vec_id
+           ) AS rn
+    FROM q JOIN c ON q.vec_id <> c.vec_id AND q.label = c.label
+)
+SELECT query_id, label, neighbor_id, ROUND(cosine, 8) AS cosine
+FROM scored WHERE rn <= 5
+"""
+
+
+@op("sim_filtered_topk", sql=FILTERED_TOPK_SQL)
+def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search — top-5 cosine neighbors SHARING THE
+    QUERY'S LABEL, the metadata-predicate ANN every production vector
+    store ships (category-scoped retrieval, tenant isolation, freshness
+    windows). This op is the exact PRE-FILTER form: the predicate cuts
+    the corpus before any scoring, so each query scores only its label
+    stratum — correct at any selectivity, and the form post-filtered
+    ANN must be measured against (post-filtering an IVF probe
+    under-fills k when the predicate is selective: probed cells may
+    hold few matching vectors; production systems over-fetch k/sel or
+    maintain per-label postings — sim_ivf_index_persist's cells
+    partitioned by (label, cell) gives exactly that here).
+
+    Plan shape: queries broadcast with their labels; the label
+    equi-condition joins each corpus row to ONLY the queries of its
+    label (a broadcast hash join on label + the self-pair exclusion),
+    so the corpus still streams through MAP-ONLY — the filter costs
+    nothing extra — and the per-query window sees one stratum. Exact
+    cross-engine: sequential double folds, rank on the unrounded
+    cosine with id tie-break."""
+    e = _with_norm(table(spark, sf, "embeddings").select("vec_id", "label", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id")) & (F.col("label") == F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("q_label").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "label", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+    )

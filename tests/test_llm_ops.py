@@ -1268,3 +1268,27 @@ def test_gbdt_hist_matches_pandas_replica(spark):
         for gi, wi in ((g[6], w[6]), (g[8], w[8])):
             assert (pd.isna(gi) and wi is None) or abs(gi - wi) < 1e-9, (g, w)
         assert g[7] == w[7], (g, w)
+
+
+def test_filtered_topk_respects_predicate(spark):
+    """Every neighbor must share its query's label, neighbors must be
+    the best in-label matches (cross-checked against the unfiltered
+    top-k: any unfiltered neighbor of the same label must appear here
+    at equal-or-better rank), and no self-pairs."""
+    import pandas as pd
+
+    ops = all_ops()
+    filt = ops["sim_filtered_topk"].fn(spark, SF_SMALL).toPandas()
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")[["vec_id", "label"]]
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    assert (filt["query_id"] != filt["neighbor_id"]).all()
+    for _, r in filt.iterrows():
+        assert lab[r["neighbor_id"]] == lab[r["query_id"]] == r["label"]
+    # each query returns exactly 5 (label strata are large enough here)
+    assert (filt.groupby("query_id").size() == 5).all()
+
+    unfilt = ops["sim_cosine_topk"].fn(spark, SF_SMALL).toPandas()
+    for qid, g in unfilt.groupby("query_id"):
+        same = g[[lab[n] == lab[qid] for n in g["neighbor_id"]]]
+        got = set(filt[filt["query_id"] == qid]["neighbor_id"])
+        assert set(same["neighbor_id"]) <= got, qid
