@@ -579,3 +579,85 @@ def ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "epoch_day")
     )
+
+
+@op(
+    "sessionize_pattern_funnel",
+    sql="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             substr(event_type, 1, 1) AS initial,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us, event_id, initial,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM g
+    ), seqs AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             string_agg(initial, '' ORDER BY ts_us, event_id) AS seq
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, n_events,
+           len(regexp_extract_all(seq, 'vc*p')) AS n_funnels
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_pattern_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-pattern detection over sessions — MATCH_RECOGNIZE's
+    most common use (the funnel 'view, any clicks, purchase'), emulated
+    on an engine that lacks the clause: each session's events collapse
+    to an ORDERED initial string ('vccp…', every event type here starts
+    with a distinct letter) and the pattern becomes a regex counted
+    per session — non-overlapping left-to-right matches, identical
+    semantics in Java regex and RE2, so the count is hash-exact. This
+    is the classic trick that turns CEP-style row-pattern queries into
+    two aggregates; arbitrary MATCH_RECOGNIZE patterns with quantifiers
+    map to regexes over the symbolized stream the same way.
+
+    Plan: the sessionizer is sessionize_batch's exact lag→flag→running
+    sum (one user_id exchange shared by both windows); the ordered
+    collapse is array_sort(collect_list(struct(ts, id, initial))) —
+    deterministic by (ts, event_id) — then one map-side regexp_count.
+    Per-session state is its event initials (bytes, not rows); at
+    100 TB sessions are bounded by the 30-min gap so no string grows
+    with the corpus, and the whole op is two aggregates over one
+    partitioning."""
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("initial"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.when(
+        F.lag("ts_us").over(order).isNull()
+        | (F.col("ts_us") - F.lag("ts_us").over(order) > _SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("session_id", F.sum(gap).over(running))
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "initial"))),
+                lambda s: s.initial,
+            ),
+            "",
+        ).alias("seq"),
+    )
+    n_funnels = F.regexp_count("seq", F.lit("vc*p"))
+    return (
+        seqs.select("user_id", "session_id", "n_events", n_funnels.alias("n_funnels"))
+        .filter(F.col("n_funnels") >= 1)
+        .orderBy("user_id", "session_id")
+    )

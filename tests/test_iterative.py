@@ -324,3 +324,34 @@ def test_modularity_invariants(spark):
     assert pdf["q_contrib"].abs().le(1).all()
     if len(pdf) == 1:
         assert pdf["internal_edges"].iloc[0] == m_edges
+
+
+def test_pattern_funnel_matches_pandas_regex(spark):
+    """Funnel counts must equal an independent pandas sessionize +
+    regex count over the same ordered initial strings."""
+    import re
+
+    ops = all_ops()
+    got = ops["sessionize_pattern_funnel"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    # the parquet timestamp loads as datetime64[us] — cast explicitly so
+    # the int64 view is microseconds regardless of pandas' chosen unit
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        sid, prev = 0, None
+        seqs = {}
+        for _, r in g.iterrows():
+            if prev is None or r["ts_us"] - prev > 1_800_000_000:
+                sid += 1
+            prev = r["ts_us"]
+            seqs.setdefault(sid, []).append(r["event_type"][0])
+        for sid_, chars in seqs.items():
+            n = len(re.findall("vc*p", "".join(chars)))
+            if n >= 1:
+                want[(uid, sid_)] = (len(chars), n)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        k = (r["user_id"], r["session_id"])
+        assert k in want and want[k] == (r["n_events"], r["n_funnels"]), k
