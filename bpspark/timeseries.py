@@ -661,3 +661,137 @@ def sessionize_pattern_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_funnels") >= 1)
         .orderBy("user_id", "session_id")
     )
+
+
+@op(
+    "ts_changepoint_cusum",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS epoch_day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             COUNT(*) AS n
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.*, CAST(ROUND(d.v - st.sv / st.n, 6) AS DECIMAL(18,6)) AS dv
+      FROM daily d JOIN st ON d.event_type = st.event_type
+    ),
+    cs AS (
+      SELECT *, CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY epoch_day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS cusum
+      FROM dev
+    ),
+    cp AS (
+      SELECT event_type, day AS cp_day, epoch_day AS cp_epoch,
+             ROUND(ABS(cusum), 6) AS cusum_stat
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ABS(cusum) DESC, epoch_day) AS rn
+            FROM cs)
+      WHERE rn = 1
+    ),
+    seg AS (
+      SELECT d.event_type,
+             CAST(SUM(CAST(d.v AS DECIMAL(18,2)))
+                  FILTER (WHERE d.epoch_day <= cp.cp_epoch) AS DOUBLE) AS sb,
+             COUNT(*) FILTER (WHERE d.epoch_day <= cp.cp_epoch) AS nb,
+             CAST(SUM(CAST(d.v AS DECIMAL(18,2)))
+                  FILTER (WHERE d.epoch_day > cp.cp_epoch) AS DOUBLE) AS sa,
+             COUNT(*) FILTER (WHERE d.epoch_day > cp.cp_epoch) AS na
+      FROM daily d JOIN cp ON d.event_type = cp.event_type
+      GROUP BY 1
+    )
+    SELECT cp.event_type AS event_type, cp.cp_day, cp.cusum_stat,
+           seg.sb / seg.nb AS mean_before,
+           seg.sa / seg.na AS mean_after,
+           seg.nb AS n_days_before, seg.na AS n_days_after
+    FROM cp JOIN seg ON cp.event_type = seg.event_type
+    ORDER BY cp.event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detection per event type's daily series (Page
+    1954 — the classic mean-shift detector): the cumulative sum of
+    deviations from the series mean peaks in magnitude at the most
+    likely level-shift day; emit that day, the |CUSUM| statistic, and
+    the before/after means whose gap it detects. Decimal-snap
+    discipline throughout (daily sums, the deviation column, and its
+    running sum all aggregate in DECIMAL), so the argmax over |cusum|
+    compares identical doubles in both engines and ties break to the
+    earliest day — the whole detection is hash-certified, unusual for
+    a statistics op.
+
+    Plan: the daily rollup is the only corpus-sized pass; everything
+    after runs on |types × days| rows — one window cumsum + one argmax
+    window sharing the type partitioning, then one broadcast join of
+    the |types|-row changepoint table back onto the panel for the
+    segment means. At 100 TB: the monitoring shape again — detect on
+    the rollup, never the raw stream; a streaming form holds mu and
+    the running cusum as |types| rows of state."""
+    ev = table(spark, sf, "events").select("event_type", "ts", "value")
+    d = F.to_date("ts")
+    daily = ev.groupBy(
+        "event_type",
+        d.cast("string").alias("day"),
+        F.datediff(d, F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    st = daily.groupBy("event_type").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = daily.join(F.broadcast(st), "event_type").withColumn(
+        "dv", F.round(F.col("v") - F.col("sv") / F.col("n"), 6).cast("decimal(18,6)")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.withColumn("cusum", F.sum("dv").over(wcum).cast("double"))
+    warg = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "epoch_day"
+    )
+    cp = (
+        cs.withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("epoch_day").alias("cp_epoch"),
+            F.round(F.abs(F.col("cusum")), 6).alias("cusum_stat"),
+        )
+    )
+    seg = (
+        daily.join(F.broadcast(cp), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("epoch_day") <= F.col("cp_epoch"), F.col("v").cast("decimal(18,2)"))
+            ).cast("double").alias("sb"),
+            F.count_if(F.col("epoch_day") <= F.col("cp_epoch")).alias("nb"),
+            F.sum(
+                F.when(F.col("epoch_day") > F.col("cp_epoch"), F.col("v").cast("decimal(18,2)"))
+            ).cast("double").alias("sa"),
+            F.count_if(F.col("epoch_day") > F.col("cp_epoch")).alias("na"),
+        )
+    )
+    return (
+        cp.join(seg, "event_type")
+        .select(
+            "event_type",
+            "cp_day",
+            "cusum_stat",
+            (F.col("sb") / F.col("nb")).alias("mean_before"),
+            (F.col("sa") / F.col("na")).alias("mean_after"),
+            F.col("nb").alias("n_days_before"),
+            F.col("na").alias("n_days_after"),
+        )
+        .orderBy("event_type")
+    )

@@ -355,3 +355,31 @@ def test_pattern_funnel_matches_pandas_regex(spark):
     for _, r in got.iterrows():
         k = (r["user_id"], r["session_id"])
         assert k in want and want[k] == (r["n_events"], r["n_funnels"]), k
+
+
+def test_cusum_changepoint_is_argmax_and_means_split(spark):
+    """The reported day must maximize |cusum| in a pandas recomputation
+    (earliest-day tie-break), and the before/after means must equal the
+    segment means around it; day counts must cover the panel."""
+    import numpy as np
+
+    ops = all_ops()
+    got = ops["ts_changepoint_cusum"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = (
+        ev.groupby(["event_type", "day"], as_index=False)["value"]
+        .apply(lambda s: s.round(2).sum())
+        .rename(columns={"value": "v"})
+        .sort_values(["event_type", "day"])
+    )
+    for et, g in daily.groupby("event_type"):
+        v = g["v"].to_numpy()
+        cus = np.cumsum(np.round(v - v.mean(), 6))
+        best = int(np.lexsort((np.arange(len(v)), -np.abs(cus)))[0])
+        row = got[got["event_type"] == et].iloc[0]
+        assert row["cp_day"] == str(g["day"].iloc[best].date()), et
+        assert abs(row["cusum_stat"] - abs(cus[best])) < 1e-4, et
+        assert abs(row["mean_before"] - v[: best + 1].mean()) < 1e-6, et
+        assert abs(row["mean_after"] - v[best + 1 :].mean()) < 1e-6, et
+        assert row["n_days_before"] + row["n_days_after"] == len(v), et
