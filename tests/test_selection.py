@@ -495,3 +495,27 @@ def test_pseudonymize_token_space_equals_raw_key_space(spark):
     for t, row in want.iterrows():
         assert got.loc[t, "n_orders"] == row["n_orders"], t
         assert abs(got.loc[t, "total_price"] - row["total_price"]) < 1e-6, t
+
+
+def test_er_incremental_oracle_single_sourced_and_merges(spark):
+    """The incremental op's oracle must be byte-identical to the batch
+    op's full-recompute SQL (equivalence IS the certification), the
+    late batch must BRIDGE existing entities (every key<8 entity holds
+    the base pair AND the batch record — the 3-member chain), and the
+    output must equal er_resolve_entities row-for-row."""
+    from bpspark.llm_ops import _ER_FULL_RECOMPUTE_SQL
+
+    assert OPS["er_resolve_entities"].sql.strip() == _ER_FULL_RECOMPUTE_SQL.strip()
+
+    inc = (
+        OPS["er_incremental_resolve"].fn(spark, SF_SMALL).toPandas()
+        .sort_values(["entity_id", "member_id"]).reset_index(drop=True)
+    )
+    full = (
+        OPS["er_resolve_entities"].fn(spark, SF_SMALL).toPandas()
+        .sort_values(["entity_id", "member_id"]).reset_index(drop=True)
+    )
+    assert inc.equals(full)
+    for k in range(8):
+        members = set(inc[inc["entity_id"] == k]["member_id"])
+        assert {k, k + 1_000_000, k + 2_000_000} <= members, k
