@@ -1828,3 +1828,114 @@ def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "term")
     )
     return _materialize_and_clean(spark, out, stage)
+
+
+from bpspark.llm_ops import _ER_FULL_RECOMPUTE_SQL as _ER_ORACLE
+from bpspark.llm_ops import _er_candidate_pairs, _min_label_cc
+
+
+@op("stream_er_resolve", sql=_ER_ORACLE)
+def stream_er_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING entity resolution — the ER family's third form (batch
+    er_resolve_entities / incremental er_incremental_resolve / THIS):
+    three record waves (the base suppliers, then the 'x' variants, then
+    the 'yz' variants) drain through a checkpointed file source, and
+    each micro-batch resolves against a VERSIONED on-disk registry:
+    pair generation only in the blocks the batch touches, the previous
+    registry version contributing its member→cluster closure edges,
+    min-label CC over the union, and the merged labels written as
+    registry version v{batch_id} — computed FROM v{batch_id-1}, so a
+    replayed batch rewrites its own version from its own input state:
+    idempotent by construction, the versioned twist on the
+    idempotent-by-batch-id sink pattern.
+
+    ORACLE-BACKED STREAMING: the closure-edge equivalence
+    (er_incremental_resolve's proof) applies INDUCTIVELY across
+    batches, so the final registry equals the full recompute over all
+    records exactly — the oracle is the batch op's SQL, hash-proving
+    streamed ≡ recompute every sweep, merges included (wave 3 bridges
+    the entities wave 2 created). Per-batch cost at 100 TB: touched
+    blocks only; the registry is (id, attrs, cluster) rows — read one
+    version, write one version, never re-pair history."""
+    import glob as _glob
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="bpspark_ser_")
+    src, reg, ckpt = f"{stage}/src", f"{stage}/reg", f"{stage}/ckpt"
+    os.makedirs(src, exist_ok=True)
+
+    s = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    waves = [
+        s,
+        s.filter(F.col("id") < 15).select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.concat(F.col("name"), F.lit("x")).alias("name"), "nat", "bal",
+        ),
+        s.filter(F.col("id") < 8).select(
+            (F.col("id") + 2_000_000).alias("id"),
+            F.concat(F.col("name"), F.lit("yz")).alias("name"), "nat", "bal",
+        ),
+    ]
+    for i, w in enumerate(waves):
+        tmp = f"{stage}/w{i}_tmp"
+        w.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/wave{i}.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = f"{reg}/v{batch_id - 1}"
+        batch = batch_df.select("id", "name", "nat", "bal")
+        if os.path.isdir(prev):
+            registry = spark.read.parquet(prev)
+            touched = batch.select("nat", "bal").distinct()
+            in_scope = (
+                registry.select("id", "name", "nat", "bal")
+                .join(F.broadcast(touched), ["nat", "bal"], "left_semi")
+                .unionByName(batch)
+            )
+            new_pairs = _er_candidate_pairs(in_scope)
+            closure = registry.select(
+                F.col("id").alias("src"), F.col("cluster_id").alias("dst")
+            )
+            all_recs = registry.select("id", "name", "nat", "bal").unionByName(batch)
+            labels = _min_label_cc(
+                all_recs.select("id"), closure.unionByName(new_pairs)
+            )
+        else:
+            all_recs = batch
+            labels = _min_label_cc(batch.select("id"), _er_candidate_pairs(batch))
+        all_recs.join(labels, "id").write.mode("overwrite").parquet(
+            f"{reg}/v{batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("id long, name string, nat int, bal double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with harness_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    last = sorted(_glob.glob(f"{reg}/v*"), key=lambda p: int(p.rsplit("v", 1)[1]))[-1]
+    final = spark.read.parquet(last)
+    sized = final.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    out = (
+        final.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"), "name")
+        .join(sized.filter(F.col("n_members") > 1), "entity_id")
+        .select("entity_id", "member_id", "name", "n_members")
+    )
+    return _materialize_and_clean(spark, out, stage)

@@ -345,3 +345,20 @@ def test_stream_heavy_hitters_equals_batch(spark):
         .sort_values(["term"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_stream_er_equals_batch_and_incremental(spark):
+    """All three ER forms must produce identical entities row-for-row:
+    the closure-edge equivalence applies inductively across the
+    streamed waves (the third wave bridges entities the second
+    created)."""
+    from bpspark.registry import all_ops
+
+    ops = all_ops()
+    frames = {
+        name: ops[name].fn(spark, SF_SMALL).toPandas()
+        .sort_values(["entity_id", "member_id"]).reset_index(drop=True)
+        for name in ("stream_er_resolve", "er_resolve_entities", "er_incremental_resolve")
+    }
+    assert frames["stream_er_resolve"].equals(frames["er_resolve_entities"])
+    assert frames["stream_er_resolve"].equals(frames["er_incremental_resolve"])
