@@ -2517,9 +2517,39 @@ def _er_candidate_pairs(sup: DataFrame) -> DataFrame:
     )
 
 
-@op(
-    "er_resolve_entities",
-    sql="""
+def _er_variant_corpus(s: DataFrame):
+    """The planted ER universe shared by all three ER forms: base
+    suppliers, the 'x' typo variants (keys < 15), and the later 'yz'
+    variants (keys < 8). Returns (base_with_v1, v2_batch)."""
+    v1 = s.filter(F.col("id") < 15).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat(F.col("name"), F.lit("x")).alias("name"),
+        "nat",
+        "bal",
+    )
+    v2 = s.filter(F.col("id") < 8).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.concat(F.col("name"), F.lit("yz")).alias("name"),
+        "nat",
+        "bal",
+    )
+    return s.unionByName(v1), v2
+
+
+def _er_entity_output(labels: DataFrame, recs: DataFrame) -> DataFrame:
+    """Shared output assembly: multi-member entities with member names."""
+    sized = labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labels.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"))
+        .join(recs.select(F.col("id").alias("member_id"), "name"), "member_id")
+        .join(sized.filter(F.col("n_members") > 1), "entity_id")
+        .select("entity_id", "member_id", "name", "n_members")
+    )
+
+
+_ER_FULL_RECOMPUTE_SQL = """
     WITH RECURSIVE sup AS (
         SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nat, s_acctbal AS bal
         FROM supplier
@@ -2555,7 +2585,12 @@ def _er_candidate_pairs(sup: DataFrame) -> DataFrame:
     JOIN sup s ON l.id = s.id
     JOIN sized z ON l.entity_id = z.entity_id
     WHERE z.n_members > 1
-    """,
+    """
+
+
+@op(
+    "er_resolve_entities",
+    sql=_ER_FULL_RECOMPUTE_SQL,
 )
 def er_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution end to end: (1) BLOCK — candidate pairs come
@@ -2578,30 +2613,10 @@ def er_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_nationkey").alias("nat"),
         F.col("s_acctbal").alias("bal"),
     )
-    v1 = s.filter(F.col("id") < 15).select(
-        (F.col("id") + 1_000_000).alias("id"),
-        F.concat(F.col("name"), F.lit("x")).alias("name"),
-        "nat",
-        "bal",
-    )
-    v2 = s.filter(F.col("id") < 8).select(
-        (F.col("id") + 2_000_000).alias("id"),
-        F.concat(F.col("name"), F.lit("yz")).alias("name"),
-        "nat",
-        "bal",
-    )
-    sup = s.unionByName(v1).unionByName(v2)
-    pairs = _er_candidate_pairs(sup)
-    labels = _min_label_cc(sup.select("id"), pairs)
-    sized = labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return (
-        labels.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"))
-        .join(sup.select(F.col("id").alias("member_id"), "name"), "member_id")
-        .join(sized.filter(F.col("n_members") > 1), "entity_id")
-        .select("entity_id", "member_id", "name", "n_members")
-    )
+    base, batch = _er_variant_corpus(s)
+    sup = base.unionByName(batch)
+    labels = _min_label_cc(sup.select("id"), _er_candidate_pairs(sup))
+    return _er_entity_output(labels, sup)
 
 
 # ---------------------------------------------------------------------------
@@ -4457,6 +4472,15 @@ def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 _BQ_RERANK = 128  # hamming candidates per query before exact rerank
 
+# SQL form (the Python F.shiftleft only takes a literal shift count, but
+# the per-dimension shift IS the lambda variable); module-level so the
+# signature-parity test pins the exact expression the op ships
+_BQ_SIG_EXPR = (
+    "aggregate(zip_with(embedding, sequence(0, 63), "
+    "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
 
 BQ_TOPK_SQL = f"""
 WITH s2 AS (
@@ -4528,13 +4552,7 @@ def sim_binary_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     floats would), and the prefilter is the map-only broadcast-query
     shape of sim_cosine_topk."""
     e = _with_norm(table(spark, sf, "embeddings").select("vec_id", "embedding"))
-    # SQL form: the Python F.shiftleft only takes a literal shift count,
-    # but the per-dimension shift IS the lambda variable
-    sig = F.expr(
-        "aggregate(zip_with(embedding, sequence(0, 63), "
-        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
-        "0L, (acc, v) -> acc + v)"
-    )
+    sig = F.expr(_BQ_SIG_EXPR)
     s2 = e.withColumn("sig", sig)
     q = s2.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -4564,44 +4582,6 @@ def sim_binary_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"), "hamming")
     )
 
-
-_ER_FULL_RECOMPUTE_SQL = """
-    WITH RECURSIVE sup AS (
-        SELECT s_suppkey AS id, s_name AS name, s_nationkey AS nat, s_acctbal AS bal
-        FROM supplier
-        UNION ALL
-        SELECT s_suppkey + 1000000, s_name || 'x', s_nationkey, s_acctbal
-        FROM supplier WHERE s_suppkey < 15
-        UNION ALL
-        SELECT s_suppkey + 2000000, s_name || 'yz', s_nationkey, s_acctbal
-        FROM supplier WHERE s_suppkey < 8
-    ),
-    pairs AS (
-        SELECT a.id AS src, b.id AS dst
-        FROM sup a JOIN sup b
-          ON a.nat = b.nat AND a.bal = b.bal AND a.id < b.id
-        WHERE levenshtein(a.name, b.name) <= 2
-    ),
-    edges(src, dst) AS (
-        SELECT src, dst FROM pairs
-        UNION SELECT dst, src FROM pairs
-        UNION SELECT id, id FROM sup
-    ),
-    reach(src, dst) AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    labels AS (SELECT src AS id, MIN(dst) AS entity_id FROM reach GROUP BY src),
-    sized AS (
-        SELECT entity_id, COUNT(*) AS n_members FROM labels GROUP BY entity_id
-    )
-    SELECT l.entity_id, l.id AS member_id, s.name, z.n_members
-    FROM labels l
-    JOIN sup s ON l.id = s.id
-    JOIN sized z ON l.entity_id = z.entity_id
-    WHERE z.n_members > 1
-    """
 
 
 @op("er_incremental_resolve", sql=_ER_FULL_RECOMPUTE_SQL)
@@ -4634,20 +4614,7 @@ def er_incremental_resolve(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_nationkey").alias("nat"),
         F.col("s_acctbal").alias("bal"),
     )
-    v1 = s.filter(F.col("id") < 15).select(
-        (F.col("id") + 1_000_000).alias("id"),
-        F.concat(F.col("name"), F.lit("x")).alias("name"),
-        "nat",
-        "bal",
-    )
-    v2 = s.filter(F.col("id") < 8).select(
-        (F.col("id") + 2_000_000).alias("id"),
-        F.concat(F.col("name"), F.lit("yz")).alias("name"),
-        "nat",
-        "bal",
-    )
-    base = s.unionByName(v1)
-    batch = v2
+    base, batch = _er_variant_corpus(s)
 
     # the registry a production system persists: base-only resolution
     base_labels = _min_label_cc(base.select("id"), _er_candidate_pairs(base))
@@ -4663,12 +4630,4 @@ def er_incremental_resolve(spark: SparkSession, sf: str) -> DataFrame:
     )
     sup = base.unionByName(batch)
     labels = _min_label_cc(sup.select("id"), reg_edges.unionByName(new_pairs))
-    sized = labels.groupBy(F.col("cluster_id").alias("entity_id")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return (
-        labels.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"))
-        .join(sup.select(F.col("id").alias("member_id"), "name"), "member_id")
-        .join(sized.filter(F.col("n_members") > 1), "entity_id")
-        .select("entity_id", "member_id", "name", "n_members")
-    )
+    return _er_entity_output(labels, sup)

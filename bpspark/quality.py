@@ -432,7 +432,7 @@ _FK_EDGES = (
                COUNT(*) FILTER (WHERE {ck} IS NULL) AS n_null_keys,
                COUNT(*) FILTER (
                    WHERE {ck} IS NOT NULL
-                     AND {ck} NOT IN (SELECT {pk} FROM {p})
+                     AND {ck} NOT IN (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)
                ) AS n_orphans
         FROM {c}
         """
@@ -457,8 +457,10 @@ def dq_referential_audit(spark: SparkSession, sf: str) -> DataFrame:
     child's key histogram — cost per edge is one map-side distinct-agg
     + one broadcast-able anti join against the parent's key projection.
     At 100 TB the parent key sides (orders/customer/part/...) are the
-    dimension scans a nightly stats job already pays; nothing here
-    touches a fact row twice. All-integer output — exact cross-engine."""
+    dimension scans a nightly stats job already pays; the child is
+    scanned ONCE per edge (one key histogram feeds totals, NULL count,
+    and the anti-join probe) and the oracle's NOT IN subquery filters
+    parent NULLs so three-valued logic can never zero the orphan count. All-integer output — exact cross-engine."""
     out = None
     for child, ck, parent, pk in _FK_EDGES:
         row = _fk_edge_audit(
@@ -472,17 +474,22 @@ def dq_referential_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 def _fk_edge_audit(child_keys: DataFrame, parent_keys: DataFrame, label: str) -> DataFrame:
     """One FK edge's audit row from a child key column and a parent key
-    column — factored so tests can inject orphans/NULLs directly."""
-    p = parent_keys.distinct()
-    key_hist = child_keys.filter(F.col("k").isNotNull()).groupBy("k").agg(
-        F.count(F.lit(1)).alias("n")
+    column — factored so tests can inject orphans/NULLs directly. ONE
+    pass over the child: a single groupBy(k) histogram (NULL keys form
+    their own group) yields row totals, NULL count, and the non-null
+    histogram the anti join probes — the child is never scanned twice."""
+    p = parent_keys.filter(F.col("k").isNotNull()).distinct()
+    key_hist = child_keys.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    totals = key_hist.agg(
+        F.sum("n").alias("n_child_rows"),
+        F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0)).alias(
+            "n_null_keys"
+        ),
     )
-    orphans = key_hist.join(p, "k", "left_anti").agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans")
-    )
-    totals = child_keys.agg(
-        F.count(F.lit(1)).alias("n_child_rows"),
-        F.count_if(F.col("k").isNull()).alias("n_null_keys"),
+    orphans = (
+        key_hist.filter(F.col("k").isNotNull())
+        .join(p, "k", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_orphans"))
     )
     return totals.crossJoin(orphans).select(
         F.lit(label).alias("fk_edge"), "n_child_rows", "n_null_keys", "n_orphans"

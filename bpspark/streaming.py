@@ -1831,7 +1831,12 @@ def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 from bpspark.llm_ops import _ER_FULL_RECOMPUTE_SQL as _ER_ORACLE
-from bpspark.llm_ops import _er_candidate_pairs, _min_label_cc
+from bpspark.llm_ops import (
+    _er_candidate_pairs,
+    _er_entity_output,
+    _er_variant_corpus,
+    _min_label_cc,
+)
 
 
 @op("stream_er_resolve", sql=_ER_ORACLE)
@@ -1870,17 +1875,9 @@ def stream_er_resolve(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_nationkey").alias("nat"),
         F.col("s_acctbal").alias("bal"),
     )
-    waves = [
-        s,
-        s.filter(F.col("id") < 15).select(
-            (F.col("id") + 1_000_000).alias("id"),
-            F.concat(F.col("name"), F.lit("x")).alias("name"), "nat", "bal",
-        ),
-        s.filter(F.col("id") < 8).select(
-            (F.col("id") + 2_000_000).alias("id"),
-            F.concat(F.col("name"), F.lit("yz")).alias("name"), "nat", "bal",
-        ),
-    ]
+    base_with_v1, v2 = _er_variant_corpus(s)
+    v1 = base_with_v1.filter(F.col("id") >= 1_000_000)
+    waves = [s, v1, v2]
     for i, w in enumerate(waves):
         tmp = f"{stage}/w{i}_tmp"
         w.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1930,12 +1927,7 @@ def stream_er_resolve(spark: SparkSession, sf: str) -> DataFrame:
 
     last = sorted(_glob.glob(f"{reg}/v*"), key=lambda p: int(p.rsplit("v", 1)[1]))[-1]
     final = spark.read.parquet(last)
-    sized = final.groupBy(F.col("cluster_id").alias("entity_id")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    out = (
-        final.select(F.col("cluster_id").alias("entity_id"), F.col("id").alias("member_id"), "name")
-        .join(sized.filter(F.col("n_members") > 1), "entity_id")
-        .select("entity_id", "member_id", "name", "n_members")
+    out = _er_entity_output(
+        final.select("id", F.col("cluster_id")), final.select("id", "name")
     )
     return _materialize_and_clean(spark, out, stage)

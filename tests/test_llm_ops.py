@@ -1317,18 +1317,11 @@ def test_binary_quantized_topk_recall_and_signature(spark):
     emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").head(5)
     from pyspark.sql import functions as F
 
+    from bpspark.llm_ops import _BQ_SIG_EXPR
+
     sig_rows = (
-        ops["sim_binary_quantized_topk"]
-        .fn(spark, SF_SMALL)
-        .sparkSession.read.parquet(f"{SF_SMALL}/embeddings.parquet")
-        .select(
-            "vec_id",
-            F.expr(
-                "aggregate(zip_with(embedding, sequence(0, 63), "
-                "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), "
-                "0L, (acc, v) -> acc + v)"
-            ).alias("sig"),
-        )
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", F.expr(_BQ_SIG_EXPR).alias("sig"))
         .filter(F.col("vec_id") < 5)
         .collect()
     )

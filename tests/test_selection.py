@@ -505,7 +505,10 @@ def test_er_incremental_oracle_single_sourced_and_merges(spark):
     output must equal er_resolve_entities row-for-row."""
     from bpspark.llm_ops import _ER_FULL_RECOMPUTE_SQL
 
-    assert OPS["er_resolve_entities"].sql.strip() == _ER_FULL_RECOMPUTE_SQL.strip()
+    # all three ER forms now share the constant by reference
+    assert OPS["er_resolve_entities"].sql is _ER_FULL_RECOMPUTE_SQL
+    assert OPS["er_incremental_resolve"].sql is _ER_FULL_RECOMPUTE_SQL
+    assert OPS["stream_er_resolve"].sql is _ER_FULL_RECOMPUTE_SQL
 
     inc = (
         OPS["er_incremental_resolve"].fn(spark, SF_SMALL).toPandas()
