@@ -4631,3 +4631,81 @@ def er_incremental_resolve(spark: SparkSession, sf: str) -> DataFrame:
     sup = base.unionByName(batch)
     labels = _min_label_cc(sup.select("id"), reg_edges.unionByName(new_pairs))
     return _er_entity_output(labels, sup)
+
+
+_SCENE_CUT_HAMMING = 10
+
+
+def _scene_hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per frame: dHash + Hamming distance to the PREVIOUS frame (NULL
+    for frame 0) — the only Python stage of the scene-cut op."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_no", "hamming_prev")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = parse_ppm_stream(bytes(payload))
+            prev = None
+            for fno, img in enumerate(frames):
+                h = _dhash64(img)
+                out["doc_id"].append(doc_id)
+                out["frame_no"].append(fno)
+                out["hamming_prev"].append(
+                    None if prev is None else bin((h ^ prev) & ((1 << 64) - 1)).count("1")
+                )
+                prev = h
+        yield pd.DataFrame(out).astype({"doc_id": "int64", "frame_no": "int32"})
+
+
+@op("multimodal_video_scene_cut", sql=None)  # binary-media op — replica-tested
+def multimodal_video_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot/scene-boundary detection over the video streams — the
+    standard first pass of every video-training pipeline (sample one
+    keyframe per SCENE, not per N frames): consecutive frames' dHash
+    Hamming distance spikes at a content transition (measured bimodal
+    here: 0 for continuation frames vs 13-38 at transitions; threshold
+    10), and each spike starts a new scene. Python touches only the
+    decode+hash stage (Arrow-batched, one small row per frame out);
+    the cut decision, scene count, and per-doc assembly are JVM
+    aggregates. Cut frame lists are emitted as a comma-joined STRING —
+    the no-complex-cells driver contract.
+
+    At 100 TB of video: map-only ∝ stream bytes, one shuffle of
+    |frames| tiny rows to the per-doc aggregate; the downstream
+    keyframe sampler joins scenes back to the stream reader. The
+    replica test recomputes cuts from the frames driver-side and must
+    agree exactly."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    d = table(spark, sf, "documents")
+    per_frame = ppm_stream_payloads(d).mapInPandas(
+        _scene_hash_batches, "doc_id long, frame_no int, hamming_prev int"
+    )
+    is_cut = (F.col("hamming_prev") > _SCENE_CUT_HAMMING).cast("int")
+    return (
+        per_frame.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.coalesce(F.sum(is_cut), F.lit(0)).alias("n_cuts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("hamming_prev") > _SCENE_CUT_HAMMING,
+                                F.struct("frame_no"),
+                            )
+                        )
+                    ),
+                    lambda s: s.frame_no.cast("string"),
+                ),
+                ",",
+            ).alias("cut_frames"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            (F.col("n_cuts") + 1).alias("n_scenes"),
+            "cut_frames",
+        )
+        .orderBy("doc_id")
+    )

@@ -1333,3 +1333,42 @@ def test_binary_quantized_topk_recall_and_signature(spark):
             if b:
                 want |= np.uint64(1) << np.uint64(i)
         assert sigs[r["vec_id"]] == int(np.int64(want)), r["vec_id"]
+
+
+def test_scene_cut_matches_driver_recompute(spark):
+    """Scene cuts must equal a driver-side recompute from the decoded
+    frames (same dHash, same threshold), and scene counts must be
+    cuts + 1 with cut frames listed ascending."""
+    from bpspark.llm_ops import (
+        _SCENE_CUT_HAMMING,
+        _dhash64,
+        parse_ppm_stream,
+        ppm_stream_payloads,
+    )
+
+    got = (
+        all_ops()["multimodal_video_scene_cut"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    rows = (
+        ppm_stream_payloads(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+        )
+        .collect()
+    )
+    for r in rows:
+        frames = parse_ppm_stream(bytes(r["payload"]))
+        hs = [_dhash64(f) for f in frames]
+        cuts = [
+            i
+            for i in range(1, len(hs))
+            if bin((hs[i] ^ hs[i - 1]) & ((1 << 64) - 1)).count("1")
+            > _SCENE_CUT_HAMMING
+        ]
+        g = got.loc[r["doc_id"]]
+        assert g["n_frames"] == len(frames)
+        assert g["n_scenes"] == len(cuts) + 1
+        want = ",".join(str(c) for c in cuts)
+        assert g["cut_frames"] == want, (r["doc_id"], g["cut_frames"], want)
