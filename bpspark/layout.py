@@ -1543,3 +1543,140 @@ def sink_compression_codecs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_OVR_BUCKETS = 8
+
+
+@op(
+    "layout_overlap_report",
+    sql=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS epoch_day
+        FROM orders
+    ),
+    mm AS (SELECT MIN(epoch_day) AS mn, MAX(epoch_day) AS mx FROM o),
+    rng AS (
+        SELECT 'range' AS layout,
+               LEAST({_OVR_BUCKETS - 1},
+                     CAST(FLOOR((o.epoch_day - mm.mn) * {_OVR_BUCKETS}
+                                / (mm.mx - mm.mn + 1)) AS INT)) AS pid,
+               o.epoch_day
+        FROM o, mm
+    ),
+    nat AS (
+        SELECT 'natural' AS layout,
+               CAST(o_orderkey % {_OVR_BUCKETS} AS INT) AS pid, epoch_day
+        FROM o
+    ),
+    files AS (
+        SELECT layout, pid, MIN(epoch_day) AS mn_day, MAX(epoch_day) AS mx_day,
+               COUNT(*) AS n_rows
+        FROM (SELECT * FROM rng UNION ALL SELECT * FROM nat)
+        GROUP BY layout, pid
+    )
+    SELECT a.layout AS layout, a.pid AS pid, a.mn_day, a.mx_day, a.n_rows,
+           COUNT(b.pid) AS n_overlapping
+    FROM files a
+    LEFT JOIN files b
+      ON a.layout = b.layout AND a.pid <> b.pid
+     AND a.mn_day <= b.mx_day AND b.mn_day <= a.mx_day
+    GROUP BY a.layout, a.pid, a.mn_day, a.mx_day, a.n_rows
+    ORDER BY layout, pid
+    """,
+)
+def layout_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering-quality observability — the metric behind Delta/
+    Iceberg's OPTIMIZE reports: per data file, the [min, max] envelope
+    of the query key and HOW MANY sibling files it overlaps. Overlap
+    depth is what decides skipping effectiveness: a range-clustered
+    layout has disjoint envelopes (a point predicate opens 1 file), a
+    hash/natural layout makes every file span the whole key range (a
+    point predicate opens all of them) — the report quantifies exactly
+    that, here by writing BOTH layouts of the same orders slice (pid =
+    key-range bucket vs pid = o_orderkey mod 8, both deterministic) and
+    reporting each file's envelope + overlap count. The range layout
+    must report 0 overlaps everywhere and the natural layout all-but-
+    self (test-pinned); real deployments run this nightly per table to
+    decide when re-clustering pays.
+
+    Cross-engine: the state dir is written ONCE (versioned via
+    state_dir) and the report reads the FILES back
+    (hive-partitioned by layout/pid), while the oracle restates the
+    identical envelope computation from the orders table (the repo's
+    state-dir convention) — matching hashes prove the written layout
+    holds exactly the rows the deterministic pid assignment promised;
+    per-file stats are integer epoch-days, pid uses FLOOR on both
+    sides (CAST would round in DuckDB). Plan: one |files|-row self-join on interval
+    intersection — at 100 TB the per-file stats table is what the
+    table format's manifest already stores, so this op is a manifest
+    query, not a data scan."""
+    import os as _os
+
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+        ).alias("epoch_day"),
+    )
+    dst = state_dir("overlapreport", sf)
+    if not _os.path.exists(_os.path.join(dst, "natural", "_SUCCESS")):
+        mm = o.agg(
+            F.min("epoch_day").alias("mn"), F.max("epoch_day").alias("mx")
+        ).collect()[0]
+        span = max(int(mm["mx"]) - int(mm["mn"]) + 1, 1)
+        rng = o.select(
+            "o_orderkey",
+            "epoch_day",
+            F.least(
+                F.lit(_OVR_BUCKETS - 1),
+                F.floor(
+                    (F.col("epoch_day") - int(mm["mn"])) * _OVR_BUCKETS / span
+                ).cast("int"),
+            ).alias("pid"),
+        )
+        nat = o.select(
+            "o_orderkey", "epoch_day", F.pmod("o_orderkey", F.lit(_OVR_BUCKETS)).cast("int").alias("pid")
+        )
+        rng.repartition("pid").write.mode("overwrite").partitionBy("pid").parquet(
+            f"{dst}/range"
+        )
+        nat.repartition("pid").write.mode("overwrite").partitionBy("pid").parquet(
+            f"{dst}/natural"
+        )
+
+    def stats(layout: str) -> DataFrame:
+        return (
+            spark.read.parquet(f"{dst}/{layout}")
+            .groupBy("pid")
+            .agg(
+                F.min("epoch_day").alias("mn_day"),
+                F.max("epoch_day").alias("mx_day"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    files = stats("natural").unionByName(stats("range"))
+    a = files.alias("a")
+    b = files.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.pid") != F.col("b.pid"))
+            & (F.col("a.mn_day") <= F.col("b.mx_day"))
+            & (F.col("b.mn_day") <= F.col("a.mx_day")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.pid").alias("pid"),
+            F.col("a.mn_day").alias("mn_day"),
+            F.col("a.mx_day").alias("mx_day"),
+            F.col("a.n_rows").alias("n_rows"),
+        )
+        .agg(F.count(F.col("b.pid")).alias("n_overlapping"))
+        .orderBy("layout", "pid")
+    )

@@ -171,3 +171,19 @@ def test_fk_edge_audit_counts_orphans_and_nulls(spark):
         spark.createDataFrame([(1,), (2,)], "k long"), parent, "c->p"
     ).collect()[0]
     assert clean["n_orphans"] == 0 and clean["n_null_keys"] == 0
+
+
+def test_layout_overlap_extremes(spark):
+    """The range layout must report ZERO overlaps (disjoint envelopes),
+    the natural layout all-but-self; both layouts conserve rows."""
+    from bpspark.registry import all_ops
+
+    pdf = all_ops()["layout_overlap_report"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    rng = pdf[pdf["layout"] == "range"]
+    nat = pdf[pdf["layout"] == "natural"]
+    assert (rng["n_overlapping"] == 0).all()
+    assert (nat["n_overlapping"] == len(nat) - 1).all()
+    assert rng["n_rows"].sum() == nat["n_rows"].sum()
+    # disjointness double-check: sorted range envelopes never intersect
+    r = rng.sort_values("mn_day")
+    assert (r["mn_day"].iloc[1:].to_numpy() > r["mx_day"].iloc[:-1].to_numpy()).all()
