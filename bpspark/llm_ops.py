@@ -4145,53 +4145,73 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     )
     payloads = ppm_image_payloads(d.unionByName(twins))
     sig = payloads.mapInPandas(_phash_batches, "doc_id long, phash long")
+    return _hamming_band_pairs(
+        sig, "phash", hamming_max=_PHASH_HAMMING_MAX, bucket_cap=_PHASH_BUCKET_CAP
+    )
 
+
+def _hamming_band_pairs(
+    sig: DataFrame, sig_col: str, *, hamming_max: int, bucket_cap: int
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit signature column via banded Hamming
+    LSH — the machinery shared by dedup_image_phash and
+    dedup_audio_fingerprint: 4 × 16-bit bands, per-(band, value) buckets
+    hard-capped at ``bucket_cap``, and a 1-bit MULTI-PROBE side (every
+    band key plus its 16 one-bit-flip variants, Lv'07) joined against
+    the capped EXACT keys — a pair whose only informative band differs
+    by one bit reaches the small exact bucket of the other doc's value
+    instead of dying in a capped hot bucket. Candidates are screened to
+    exact ``bit_count(xor) <= hamming_max`` JVM-side and emitted in
+    canonical (doc_a < doc_b) form. Banding + 1-bit probe is lossless
+    for pairs whose minimum per-band Hamming is <= 1 (pigeonhole: any
+    pair within total Hamming 7 over 4 bands qualifies); losses can
+    only occur at the cap, which only hot boilerplate buckets hit.
+
+    Input: (doc_id long, <sig_col> long). Output: (doc_a, doc_b,
+    hamming), ordered."""
+    n_bands = 4
     exact = sig.select(
         "doc_id",
-        "phash",
+        sig_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_idx"),
-                    F.expr(f"(phash >> {16 * i}) & 65535").alias("band_val"),
+                    F.expr(f"({sig_col} >> {16 * i}) & 65535").alias("band_val"),
                 )
-                for i in range(_PHASH_BANDS)
+                for i in range(n_bands)
             ])
         ).alias("b"),
-    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    ).select("doc_id", sig_col, "b.band_idx", "b.band_val")
     w = Window.partitionBy("band_idx", "band_val")
     exact = exact.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("bsz") <= _PHASH_BUCKET_CAP
+        F.col("bsz") <= bucket_cap
     )
-    # multi-probe side: every band key PLUS its 16 one-bit-flip variants,
-    # joined against the capped EXACT keys — a pair whose only
-    # informative band differs by one bit reaches the small exact bucket
-    # of the other doc's value instead of dying in a capped hot bucket
     probe = sig.select(
         "doc_id",
-        "phash",
+        sig_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_idx"),
                     F.expr(
-                        f"((phash >> {16 * i}) & 65535) ^ {1 << j}"
+                        f"(({sig_col} >> {16 * i}) & 65535) ^ {1 << j}"
                         if j >= 0
-                        else f"(phash >> {16 * i}) & 65535"
+                        else f"({sig_col} >> {16 * i}) & 65535"
                     ).alias("band_val"),
                 )
-                for i in range(_PHASH_BANDS)
+                for i in range(n_bands)
                 for j in range(-1, 16)
             ])
         ).alias("b"),
-    ).select("doc_id", "phash", "b.band_idx", "b.band_val")
+    ).select("doc_id", sig_col, "b.band_idx", "b.band_val")
     a = probe.select(
         "band_idx", "band_val",
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+        F.col("doc_id").alias("doc_a"), F.col(sig_col).alias("sig_a"),
     )
     b = exact.select(
         "band_idx", "band_val",
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+        F.col("doc_id").alias("doc_b"), F.col(sig_col).alias("sig_b"),
     )
     pairs = (
         a.join(b, ["band_idx", "band_val"])
@@ -4199,16 +4219,103 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
-            F.least("ph_a", "ph_b").alias("ph_a"),
-            F.greatest("ph_a", "ph_b").alias("ph_b"),
+            F.least("sig_a", "sig_b").alias("sig_a"),
+            F.greatest("sig_a", "sig_b").alias("sig_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup via energy-gradient fingerprint
+# ---------------------------------------------------------------------------
+
+_AFP_WINDOWS = 65  # 65 window energies -> 64 gradient bits (the 1-D dHash)
+_AFP_HAMMING_MAX = 6  # planted perturbed twins measure Hamming 0-2; 3x margin
+_AFP_BUCKET_CAP = 32
+
+
+def _audio_fp64(samples) -> int:
+    """64-bit audio fingerprint: mean |amplitude| over a 65-point
+    fractional window grid → bit i = energy(w[i+1]) > energy(w[i]).
+    The 1-D analogue of the image dHash — gradient comparison is
+    invariant to global gain and decorrelates local content, the same
+    property Haitsma-Kalker'02 builds its energy-difference bits on
+    (theirs span frequency bands; with no FFT dependency in this
+    container, time-windowed energies carry the structure). Pure
+    integer/float numpy, no PYTHONHASHSEED; signed packing (LongType).
+
+    Known saturation mode (the audio twin of flat-image regions):
+    silence / constant padding compresses to constant-energy windows,
+    so near-silent clips cluster at low Hamming. That is semantically
+    right for dedup — silence IS a duplicate of silence — and the
+    bucket cap bounds the blowup; real pipelines gate on the RMS /
+    duration floor multimodal_audio_decode emits before fingerprinting."""
+    import numpy as np
+
+    x = np.abs(samples.astype(np.float64))
+    n = x.size
+    starts = (np.arange(_AFP_WINDOWS + 1) * n) // _AFP_WINDOWS
+    e = np.array([x[starts[i]: starts[i + 1]].mean() for i in range(_AFP_WINDOWS)])
+    bits = e[1:] > e[:-1]
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "afp": [_audio_fp64(decode_wav(bytes(p))[0]) for p in pdf["payload"]],
+            }
+        )
+
+
+@op("dedup_audio_fingerprint", sql=None)  # binary-media op — property-verified
+def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO near-duplicate detection — completes the multimodal dedup
+    matrix (text: minhash/simhash/substring; image: dedup_image_phash;
+    audio: this op): every document's RIFF/WAVE payload (the real PCM16
+    files wav_audio_payloads builds) is decoded by the stdlib wave
+    parser and reduced to a 64-bit energy-gradient fingerprint
+    (_audio_fp64), then near-dup pairs surface through the SAME
+    banded-Hamming-LSH machinery as the image op (_hamming_band_pairs:
+    4 × 16-bit bands, capped buckets, 1-bit multi-probe, exact
+    bit_count screen ≤ 6). Planted twins — the same recording with a
+    short mid-clip splice (6 bytes = 3 samples) — measure Hamming 0-2
+    and must all surface.
+
+    Python touches ONLY the decode+fingerprint stage (Arrow-batched
+    mapInPandas, 8 bytes out per clip); banding, the bucket equi-join,
+    popcount screening, and ordering are all JVM. At 100 TB: the
+    fingerprint pass is map-only ∝ audio bytes, shuffle traffic is
+    ~2 KB/clip of band keys (nothing next to the audio), and pair work
+    is bounded by capped bucket sizes — the same scale contract as the
+    text/image LSH ops."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    # +1_000_000 keeps doc_id parity, so twins land in the SAME payload
+    # size class as their original (wav_audio_payloads sizes by parity)
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("concat(substring(text, 1, 20), '~~~~~~', substring(text, 27))").alias("text"),
+    )
+    payloads = wav_audio_payloads(d.unionByName(twins))
+    sig = payloads.mapInPandas(_afp_batches, "doc_id long, afp long")
+    return _hamming_band_pairs(
+        sig, "afp", hamming_max=_AFP_HAMMING_MAX, bucket_cap=_AFP_BUCKET_CAP
     )
 
 

@@ -1114,6 +1114,63 @@ def test_image_phash_twin_recall_and_invariants(spark):
     assert not pdf.duplicated(["doc_a", "doc_b"]).any()
 
 
+def test_audio_fingerprint_twin_recall_and_invariants(spark):
+    """All 20 planted audio twins (mid-clip 3-sample splice, measured
+    Hamming 0-2) must surface through the shared banded-LSH machinery;
+    every pair obeys the Hamming screen and canonical (doc_a < doc_b)
+    form with no duplicates."""
+    pdf = all_ops()["dedup_audio_fingerprint"].fn(spark, SF_SMALL).toPandas()
+    twins = pdf[(pdf["doc_b"] - pdf["doc_a"]) == 1_000_000]
+    twins = twins[twins["doc_a"] < 20]
+    assert len(twins) == 20
+    assert (pdf["hamming"] <= 6).all()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert not pdf.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_audio_fp64_matches_independent_reference(spark):
+    """The executor-side audio fingerprint must equal an independently-
+    written reference (stdlib wave decode + inline gradient packing) on
+    real WAV payloads."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from bpspark.llm_ops import _AFP_WINDOWS, _afp_batches, wav_audio_payloads
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 30)
+    rows = wav_audio_payloads(d).collect()
+    got = next(
+        _afp_batches(
+            iter([pd.DataFrame({"doc_id": [r["doc_id"] for r in rows],
+                                 "payload": [bytes(r["payload"]) for r in rows]})])
+        )
+    )
+    for doc_id, afp, r in zip(got["doc_id"], got["afp"], rows):
+        with wave.open(io.BytesIO(bytes(r["payload"])), "rb") as wf:
+            x = np.abs(
+                np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2").astype(float)
+            )
+        n = len(x)
+        e = [
+            x[(i * n) // _AFP_WINDOWS: ((i + 1) * n) // _AFP_WINDOWS].mean()
+            for i in range(_AFP_WINDOWS)
+        ]
+        want = 0
+        for i in range(_AFP_WINDOWS - 1):
+            if e[i + 1] > e[i]:
+                want |= 1 << i
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert afp == want, doc_id
+
+
 def test_image_dhash_matches_independent_reference(spark):
     """The executor-side dHash must equal an independently-written
     reference on real decoded payloads."""
