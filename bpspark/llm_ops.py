@@ -4503,6 +4503,84 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(counts, "stage string, n_rows long")
 
 
+@op("pipeline_audio_corpus", sql=None)  # flagship composition — funnel
+def pipeline_audio_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The AUDIO corpus-prep flow as one composed pipeline — the audio
+    sibling of pipeline_multimodal_corpus: payload build → stdlib-wave
+    decode + feature extraction → quality gates (duration floor +
+    RMS loudness floor, the silence gate every speech pipeline applies
+    first; measured corpus rms spans 13.4k-26.2k so the 15k floor
+    removes a real quiet tail) → exact perceptual dedup (identical
+    energy-gradient fingerprints collapse to the min doc — the banded
+    NEAR-dup channel stays dedup_audio_fingerprint's standalone job) →
+    byte-budgeted shard packing. Each stage reuses the standalone ops'
+    exact logic (wav_audio_payloads, _decode_audio_batches,
+    _afp_batches), so their tests transfer; the returned funnel
+    (stage, n_rows) is the run's audit record.
+
+    Scale shape per stage: decode/fingerprint are Arrow-batched
+    map-only passes ∝ audio bytes; the gates are JVM comparisons on
+    8-byte features; perceptual dedup is one |clips|-row groupBy on
+    the 8-byte fingerprint; shard packing is a window cumsum per
+    source (the sink_training_shards discipline). The payload frame
+    feeds both the feature branch and the fingerprint branch, so it is
+    persisted exactly like the image pipeline's."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    docs = table(spark, sf, "documents").select("doc_id", "text", "source")
+    payloads = wav_audio_payloads(docs.select("doc_id", "text")).persist()
+    feats = payloads.mapInPandas(_decode_audio_batches, _AUDIO_SCHEMA)
+    decoded = feats.filter(F.col("n_samples") > 0)
+
+    gated = decoded.filter(
+        (F.col("duration_s") >= 0.02) & (F.col("rms") >= 15000.0)
+    )
+
+    sig = (
+        payloads.join(gated.select("doc_id"), "doc_id", "left_semi")
+        .mapInPandas(_afp_batches, "doc_id long, afp long")
+    )
+    keep = sig.groupBy("afp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    shard_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shards = (
+        deduped.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            "n_bytes",
+            F.floor(F.sum("n_bytes").over(shard_w) / F.lit(8192)).alias("shard_id"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_clips"), F.sum("n_bytes").alias("shard_bytes"))
+    )
+
+    decoded = decoded.persist()
+    gated = gated.persist()
+    deduped = deduped.persist()
+    try:
+        stages = [
+            ("0_raw", docs),
+            ("1_decoded", decoded),
+            ("2_quality_gate", gated),
+            ("3_afp_dedup", deduped),
+            ("4_shards", shards),
+        ]
+        counts = [(name, df.count()) for name, df in stages]
+    finally:
+        payloads.unpersist()
+        decoded.unpersist()
+        gated.unpersist()
+        deduped.unpersist()
+    return spark.createDataFrame(counts, "stage string, n_rows long")
+
+
 FILTERED_TOPK_SQL = """
 WITH q AS (
     SELECT vec_id, label, embedding,

@@ -1225,6 +1225,22 @@ def test_multimodal_pipeline_funnel(spark):
     assert 0 < pdf["4_shards"] <= pdf["3_phash_dedup"]
 
 
+def test_audio_pipeline_funnel(spark):
+    """Audio corpus funnel: monotone non-increasing through the
+    filtering stages, every stage populated, and the loudness gate must
+    genuinely drop rows on this corpus."""
+    pdf = (
+        all_ops()["pipeline_audio_corpus"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index("stage")["n_rows"]
+    )
+    assert pdf["0_raw"] == pdf["1_decoded"]  # every payload decodes
+    assert pdf["1_decoded"] >= pdf["2_quality_gate"] >= pdf["3_afp_dedup"] > 0
+    assert pdf["2_quality_gate"] < pdf["1_decoded"]
+    assert 0 < pdf["4_shards"] <= pdf["3_afp_dedup"]
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
