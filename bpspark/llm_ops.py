@@ -4262,7 +4262,12 @@ def _audio_fp64(samples) -> int:
     x = np.abs(samples.astype(np.float64))
     n = x.size
     starts = (np.arange(_AFP_WINDOWS + 1) * n) // _AFP_WINDOWS
-    e = np.array([x[starts[i]: starts[i + 1]].mean() for i in range(_AFP_WINDOWS)])
+    # clips shorter than the window count leave some grid cells empty —
+    # score those 0.0 instead of nan so the bits stay deterministic
+    e = np.array([
+        x[starts[i]: starts[i + 1]].mean() if starts[i + 1] > starts[i] else 0.0
+        for i in range(_AFP_WINDOWS)
+    ])
     bits = e[1:] > e[:-1]
     v = np.uint64(0)
     for i, b in enumerate(bits):
