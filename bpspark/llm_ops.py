@@ -4072,8 +4072,7 @@ def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
 # image near-dup via perceptual hash
 # ---------------------------------------------------------------------------
 
-_PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit aHash
-_PHASH_HAMMING_MAX = 8
+_PHASH_HAMMING_MAX = 8  # banding itself is 4 × 16-bit (_hamming_band_pairs)
 _PHASH_BUCKET_CAP = 32
 
 
