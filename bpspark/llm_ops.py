@@ -1008,6 +1008,77 @@ def text_normalize_clean(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", clean.alias("clean_text"))
 
 
+# Mojibake (ftfy-class) repair: the dominant real-web corruption is UTF-8
+# bytes decoded as Latin-1 ("é" -> "Ã©", "—" -> "â€”"). Detection looks for
+# a UTF-8 lead byte READ AS a Latin-1 char (U+00C2-U+00EF) followed by a
+# continuation-byte char (U+0080-U+00BF); repair is the inverse transcode.
+# The planted suffix below is appended to doc_id < 50 and corrupted
+# in-plan, so the op exercises detect AND repair on every run; since the
+# documents corpus is pure ASCII (verified at all sf dirs), the corrupted
+# text of clean docs is the identity and the oracle can predict the
+# repaired output analytically — the md5 hash match certifies the whole
+# transcode round trip.
+MOJIBAKE_SUFFIX = " — café naïve “smart” €99"
+_MOJI_DETECT = "[\\xC2-\\xEF][\\x80-\\xBF]"
+_MOJI_LATIN1_SAFE = "^[\\x00-\\xFF]*$"  # every char Latin-1-encodable
+_MOJI_N_SEQS = 6  # non-overlapping _MOJI_DETECT matches in the corrupted
+# suffix: — (1: â+80, 94 alone no lead), é, ï, “, ”, € each contribute one
+# match from their lead-byte char; pinned by test against re.findall
+
+
+def fix_mojibake(col):
+    """Repair expression for UTF-8-read-as-Latin-1 mojibake: transcode
+    back (Latin-1 encode → UTF-8 decode) when the detection pattern
+    fires AND every char is Latin-1-encodable (the guard keeps encode()
+    off strings with >U+00FF chars, where ANSI-mode encode would raise
+    on unmappable input). Pure JVM expressions — usable inside any
+    projection; docs that are not mojibake pass through untouched."""
+    det = col.rlike(_MOJI_DETECT) & col.rlike(_MOJI_LATIN1_SAFE)
+    return F.when(det, F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")).otherwise(col)
+
+
+@op(
+    "text_fix_mojibake",
+    sql=f"""
+    SELECT doc_id,
+           doc_id < 50 AS was_mojibake,
+           CAST(CASE WHEN doc_id < 50 THEN {_MOJI_N_SEQS} ELSE 0 END AS BIGINT) AS n_bad_seqs,
+           md5(CASE WHEN doc_id < 50 THEN text || '{MOJIBAKE_SUFFIX}' ELSE text END) AS fixed_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fix_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-corruption detect + repair (the ftfy / web-corpus
+    preprocessing step): flag documents whose text is UTF-8 mojibake
+    (decoded as Latin-1 somewhere upstream) and repair them by the
+    inverse transcode — encode(ISO-8859-1) → decode(UTF-8), entirely
+    JVM-side (encode/decode/rlike/regexp_count: codegen'd map-only
+    projection, no Python, no shuffle until the output sort). Docs
+    doc_id < 50 get a multibyte suffix appended and corrupted IN-PLAN
+    (decode(encode(orig,'UTF-8'),'ISO-8859-1') — real transcode, not a
+    string literal), covering 2-byte (é ï) and 3-byte (— “ ” €) UTF-8
+    sequences; the rest of the corpus must pass through byte-identical.
+    The oracle predicts the repaired text analytically (ASCII corpus ⇒
+    corruption is identity off the planted rows), so the md5 column
+    hash-certifies that repair(corrupt(x)) == x through both engines.
+    At 100 TB this is a pushdown-friendly narrow transform — the
+    detection predicate alone is the cheap streaming prefilter, the
+    transcode touches only flagged rows (CASE short-circuit)."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    bad = F.when(
+        F.col("doc_id") < 50,
+        F.decode(F.encode(F.concat(F.col("text"), F.lit(MOJIBAKE_SUFFIX)), "UTF-8"), "ISO-8859-1"),
+    ).otherwise(F.col("text"))
+    df = d.select("doc_id", bad.alias("bad"))
+    det = F.col("bad").rlike(_MOJI_DETECT)
+    return df.select(
+        "doc_id",
+        det.alias("was_mojibake"),
+        F.regexp_count("bad", F.lit(_MOJI_DETECT)).cast("long").alias("n_bad_seqs"),
+        F.md5(fix_mojibake(F.col("bad"))).alias("fixed_md5"),
+    ).orderBy("doc_id")
+
+
 @op(
     "dedup_exact_normalized",
     sql="""

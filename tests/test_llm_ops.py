@@ -1241,6 +1241,54 @@ def test_audio_pipeline_funnel(spark):
     assert 0 < pdf["4_shards"] <= pdf["3_afp_dedup"]
 
 
+def test_mojibake_repair_roundtrip_identity(spark):
+    """fix_mojibake must restore the EXACT original string for any
+    UTF-8-read-as-Latin-1 corruption (2-byte and 3-byte sequences,
+    Greek/Cyrillic/punctuation/€), leave clean ASCII byte-identical and
+    unflagged, and the pinned _MOJI_N_SEQS constant must equal an
+    independent re.findall count on the corrupted suffix."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bpspark.llm_ops import (
+        _MOJI_DETECT,
+        _MOJI_N_SEQS,
+        MOJIBAKE_SUFFIX,
+        fix_mojibake,
+    )
+
+    corrupted_suffix = MOJIBAKE_SUFFIX.encode("utf-8").decode("latin-1")
+    assert _MOJI_N_SEQS == len(
+        re.findall("[\u00C2-\u00EF][\u0080-\u00BF]", corrupted_suffix)
+    )
+
+    originals = [
+        "plain ascii stays put",
+        "café naïve résumé",
+        "Ελληνικά и русский текст",
+        "dashes — and “smart quotes” cost €99",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(originals)], "id long, text string"
+    )
+    # corrupt rows 1..3 with a REAL in-plan transcode; row 0 stays clean
+    bad = F.when(
+        F.col("id") > 0, F.decode(F.encode("text", "UTF-8"), "ISO-8859-1")
+    ).otherwise(F.col("text"))
+    out = df.select(
+        "id",
+        "text",
+        bad.alias("bad"),
+        fix_mojibake(bad).alias("fixed"),
+    ).collect()
+    for r in out:
+        assert r.fixed == r.text, r.id  # exact roundtrip, not just a hash
+    assert out[0].bad == out[0].text  # clean row never altered
+    import re as _re
+    assert not _re.search("[\u00C2-\u00EF][\u0080-\u00BF]", out[0].bad)
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
