@@ -1079,6 +1079,73 @@ def text_fix_mojibake(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Unicode NFC normalization: decomposed sequences (e + COMBINING ACUTE)
+# and their precomposed forms (é) are DIFFERENT strings to every hash,
+# join, and dedup key, so corpora mixing sources must normalize before
+# any content-keyed op. The planted suffix appends three decomposed
+# combining sequences to doc_id < 50; the two engines normalize with
+# INDEPENDENT implementations (Python stdlib unicodedata vs DuckDB's
+# utf8proc nfc_normalize), so the md5 hash match is a genuine
+# cross-implementation certification of the normal form.
+_NFC_SUFFIX = " cafe\u0301 A\u030A n\u0303"  # e+ACUTE, A+RING, n+TILDE (decomposed)
+_NFC_SUFFIX_SQL = "' cafe' || chr(769) || ' A' || chr(778) || ' n' || chr(771)"
+
+
+@op(
+    "text_unicode_nfc",
+    sql=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < 50 THEN text || {_NFC_SUFFIX_SQL} ELSE text END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(raw) != raw AS changed,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+           md5(nfc_normalize(raw)) AS nfc_md5
+    FROM raw ORDER BY doc_id
+    """,
+)
+def text_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus — the canonicalization
+    step that makes content hashing/dedup/joins see "é" and "e +
+    COMBINING ACUTE" as the same document. Spark ships no normalization
+    expression, so this is a vectorized Arrow-batched pandas UDF over
+    the stdlib unicodedata (the one legitimate Python boundary here);
+    detection/lengths/hashing stay JVM. Docs doc_id < 50 get a
+    decomposed-combining-mark suffix appended in-plan; the oracle
+    normalizes with DuckDB's OWN utf8proc implementation, so the md5
+    match certifies the normal form across two independent Unicode
+    stacks. At 100 TB: map-only projection ∝ text bytes, Arrow-batched,
+    no shuffle except the output sort — and in production the cheap
+    JVM-side prefilter is `rlike` on the combining-mark block so only
+    suspect rows pay the Python hop."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    raw = F.when(
+        F.col("doc_id") < 50, F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    ).otherwise(F.col("text"))
+    df = d.select("doc_id", raw.alias("raw")).withColumn("nfc", _nfc(F.col("raw")))
+    return df.select(
+        "doc_id",
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("nfc").cast("long").alias("len_nfc"),
+        F.md5("nfc").alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
 @op(
     "dedup_exact_normalized",
     sql="""

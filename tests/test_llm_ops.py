@@ -1289,6 +1289,26 @@ def test_mojibake_repair_roundtrip_identity(spark):
     assert not _re.search("[\u00C2-\u00EF][\u0080-\u00BF]", out[0].bad)
 
 
+def test_unicode_nfc_collapses_decomposed_forms(spark):
+    """The NFC op must make decomposed and precomposed spellings hash
+    identically (the dedup-key property it exists for), flag exactly the
+    planted rows, and shrink each planted doc by the 3 combining marks."""
+    pdf = (
+        all_ops()["text_unicode_nfc"].fn(spark, SF_SMALL).toPandas().set_index("doc_id")
+    )
+    assert pdf.loc[pdf.index < 50, "changed"].all()
+    assert not pdf.loc[pdf.index >= 50, "changed"].any()
+    planted = pdf[pdf.index < 50]
+    assert ((planted["len_raw"] - planted["len_nfc"]) == 3).all()
+
+    import unicodedata
+
+    from bpspark.llm_ops import _NFC_SUFFIX
+
+    pre = unicodedata.normalize("NFC", _NFC_SUFFIX)
+    assert pre != _NFC_SUFFIX and len(pre) == len(_NFC_SUFFIX) - 3
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
