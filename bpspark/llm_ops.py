@@ -4461,6 +4461,148 @@ def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter match-weight learning (unsupervised EM)
+# ---------------------------------------------------------------------------
+
+_FS_BG_WINDOW = 8  # md5-ring background neighbors per record (u-rich sample)
+_FS_EM_ITERS = 25
+_FS_CLAMP = 1e-6
+
+
+def _fs_em(patterns):
+    """EM for the Fellegi-Sunter independent-binary-comparison model over
+    agreement-pattern counts [(g1, g2, g3, n), ...]: learn λ (match
+    prior) and per-comparison m/u probabilities, return (λ, m, u).
+    Runs on ≤2^k pattern rows, so its cost is independent of corpus
+    size — the estimation shape Splink uses in production. Pure driver
+    floats over deterministic integer counts ⇒ bit-stable across runs."""
+    n_total = sum(p[3] for p in patterns)
+    lam, m, u = 0.1, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]
+
+    def clamp(x):
+        return min(max(x, _FS_CLAMP), 1.0 - _FS_CLAMP)
+
+    for _ in range(_FS_EM_ITERS):
+        sw, su = 0.0, 0.0
+        sw_g, su_g = [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]
+        for g1, g2, g3, n in patterns:
+            g = (g1, g2, g3)
+            pm, pu = lam, 1.0 - lam
+            for k in range(3):
+                pm *= m[k] if g[k] else (1.0 - m[k])
+                pu *= u[k] if g[k] else (1.0 - u[k])
+            w = pm / (pm + pu)
+            sw += w * n
+            su += (1.0 - w) * n
+            for k in range(3):
+                sw_g[k] += w * n * g[k]
+                su_g[k] += (1.0 - w) * n * g[k]
+        lam = clamp(sw / n_total)
+        m = [clamp(sw_g[k] / sw) for k in range(3)]
+        u = [clamp(su_g[k] / su) for k in range(3)]
+    return lam, m, u
+
+
+@op("er_fellegi_sunter_em", sql=None)  # EM scoring — property/truth-verified
+def er_fellegi_sunter_em(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter match-weight learning (Fellegi & Sunter JASA'69;
+    EM estimation per Winkler'88 — the model Splink runs on Spark in
+    production): learn, UNSUPERVISED, how much each field agreement is
+    worth as linkage evidence. The er_* family's rule-based forms use a
+    fixed Levenshtein threshold; this op learns calibrated per-field
+    m/u probabilities and emits log2 match weights + posteriors per
+    agreement pattern.
+
+    Pair population (the Splink estimation recipe, both parts linear):
+    (a) an md5-ordered ring sample — each record compared to its next
+    _FS_BG_WINDOW neighbors within its nation, decorrelated by hashing,
+    giving the u-rich (non-match) background at n·W pairs; (b) the
+    match-rich equal-(nation, balance) blocks. Comparison vector:
+    name Levenshtein ≤ 2, exact balance, exact market segment (a
+    deliberately weak field — its learned u must land near the 1/|seg|
+    base rate). Planted typo twins ('x'/'yz' suffixes, ids < 40/20)
+    give the mixture a real match class.
+
+    Scale shape: pair generation is lead() windows + an equi-join
+    (never corpus×corpus); pairs collapse to ≤2^3 agreement-pattern
+    counts via ONE exact integer groupBy, and EM runs driver-side on
+    those ≤8 rows — estimation cost is INDEPENDENT of corpus size,
+    which is exactly why this is the production estimation shape.
+    Output: one row per observed pattern with its count, posterior
+    match probability, and log2 match weight (floats are driver-
+    computed from deterministic integer counts ⇒ run-stable)."""
+    import math
+
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = c.filter(F.col("id") < 40).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.concat("name", F.lit("x")).alias("name"), "nat", "bal", "seg",
+    )
+    v2 = c.filter(F.col("id") < 20).select(
+        (F.col("id") + 2_000_000).alias("id"),
+        F.concat("name", F.lit("yz")).alias("name"), "nat", "bal", "seg",
+    )
+    recs = c.unionByName(v1).unionByName(v2)
+
+    cols = ["id", "name", "bal", "seg"]
+    wn = Window.partitionBy("nat").orderBy(F.md5(F.col("id").cast("string")))
+    bg = None
+    for step in range(1, _FS_BG_WINDOW + 1):
+        nxt = recs.select(
+            *cols, *[F.lead(col, step).over(wn).alias(col + "_b") for col in cols]
+        ).filter(F.col("id_b").isNotNull())
+        bg = nxt if bg is None else bg.unionByName(nxt)
+    a = recs.select("nat", *cols)
+    b = recs.select(
+        F.col("nat").alias("nat_r"), F.col("bal").alias("bal_r"),
+        *[F.col(col).alias(col + "_b") for col in cols],
+    )
+    blk = a.join(
+        b,
+        (F.col("nat") == F.col("nat_r"))
+        & (F.col("bal") == F.col("bal_r"))
+        & (F.col("id") < F.col("id_b")),
+    ).select(*cols, *[col + "_b" for col in cols])
+    pairs = bg.select(*cols, *[col + "_b" for col in cols]).unionByName(blk)
+    gam = pairs.select(
+        F.least("id", "id_b").alias("ia"),
+        F.greatest("id", "id_b").alias("ib"),
+        (F.levenshtein("name", "name_b") <= 2).cast("int").alias("g_name"),
+        (F.col("bal") == F.col("bal_b")).cast("int").alias("g_bal"),
+        (F.col("seg") == F.col("seg_b")).cast("int").alias("g_seg"),
+    ).distinct()
+    pat_rows = gam.groupBy("g_name", "g_bal", "g_seg").count().collect()
+    patterns = sorted(
+        (int(r["g_name"]), int(r["g_bal"]), int(r["g_seg"]), int(r["count"]))
+        for r in pat_rows
+    )
+
+    lam, m, u = _fs_em(patterns)
+    out = []
+    for g1, g2, g3, n in patterns:
+        g = (g1, g2, g3)
+        pm, pu = lam, 1.0 - lam
+        weight = 0.0
+        for k in range(3):
+            pm *= m[k] if g[k] else (1.0 - m[k])
+            pu *= u[k] if g[k] else (1.0 - u[k])
+            weight += (
+                math.log2(m[k] / u[k]) if g[k] else math.log2((1.0 - m[k]) / (1.0 - u[k]))
+            )
+        out.append((g1, g2, g3, n, pm / (pm + pu), weight))
+    return spark.createDataFrame(
+        out,
+        "g_name int, g_bal int, g_seg int, n_pairs long, posterior double, match_weight double",
+    ).orderBy("g_name", "g_bal", "g_seg")
+
+
 _SNM_WINDOW = 5  # sorted-neighborhood sliding window (pairs within w-1 ranks)
 
 

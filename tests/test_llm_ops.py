@@ -1309,6 +1309,108 @@ def test_unicode_nfc_collapses_decomposed_forms(spark):
     assert pre != _NFC_SUFFIX and len(pre) == len(_NFC_SUFFIX) - 3
 
 
+def test_fellegi_sunter_em_learns_planted_structure(spark):
+    """EM must separate the planted twins from the background: the
+    all-agree pattern's posterior ≥ 0.95 and its count equals the
+    planted-pair count exactly; the all-disagree pattern ≤ 0.01; and
+    every emitted (posterior, match_weight) pair obeys the
+    Fellegi-Sunter identity posterior/(1-posterior) =
+    2^weight · λ/(1-λ) — checked via the weight-ordered odds ratio."""
+    import math
+
+    pdf = all_ops()["er_fellegi_sunter_em"].fn(spark, SF_SMALL).toPandas()
+    pdf = pdf.set_index(["g_name", "g_bal", "g_seg"])
+
+    # planted pairs: base-v1 (ids<40) + base-v2 (ids<20) + v1-v2 (ids<20),
+    # all (1,1,1): same bal/seg, name lev 1 ('x'), 2 ('yz'), 2 ('x'->'yz')
+    import duckdb
+
+    n_lt40, n_lt20 = duckdb.sql(
+        f"SELECT COUNT(*) FILTER (c_custkey < 40), COUNT(*) FILTER (c_custkey < 20) "
+        f"FROM '{SF_SMALL}/customer.parquet'"
+    ).fetchone()
+    n_planted = n_lt40 + 2 * n_lt20
+    assert pdf.loc[(1, 1, 1), "n_pairs"] >= n_planted
+    assert pdf.loc[(1, 1, 1), "posterior"] >= 0.95
+    assert pdf.loc[(0, 0, 0), "posterior"] <= 0.01
+
+    # Fellegi-Sunter identity: log-odds(posterior) - weight must be the
+    # same constant (log2 prior odds) for EVERY pattern
+    lo = [
+        math.log2(p / (1.0 - p)) - w
+        for p, w in zip(pdf["posterior"], pdf["match_weight"])
+    ]
+    assert max(lo) - min(lo) < 1e-6
+
+    # determinism: a second run returns the identical frame
+    pdf2 = (
+        all_ops()["er_fellegi_sunter_em"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["g_name", "g_bal", "g_seg"])
+    )
+    assert pdf.equals(pdf2)
+
+
+def test_fellegi_sunter_pattern_counts_match_duckdb_truth(spark):
+    """The integer agreement-pattern counts (the EM's sufficient
+    statistics) must equal an independent DuckDB recomputation of the
+    same pair population (md5-ring background + (nat,bal) blocks)."""
+    import duckdb
+
+    pdf = (
+        all_ops()["er_fellegi_sunter_em"]
+        .fn(spark, SF_SMALL)
+        .toPandas()
+        .set_index(["g_name", "g_bal", "g_seg"])["n_pairs"]
+    )
+    from bpspark.llm_ops import _FS_BG_WINDOW
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_SMALL}/customer.parquet'"
+    )
+    truth = con.sql(f"""
+        WITH recs AS (
+            SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+                   c_acctbal AS bal, c_mktsegment AS seg FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name || 'x', c_nationkey,
+                   c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 40
+            UNION ALL
+            SELECT c_custkey + 2000000, c_name || 'yz', c_nationkey,
+                   c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 20
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY nat ORDER BY md5(CAST(id AS VARCHAR))
+            ) AS rn FROM recs
+        ),
+        bg AS (
+            SELECT a.id AS id, a.name AS name, a.bal AS bal, a.seg AS seg,
+                   b.id AS id_b, b.name AS name_b, b.bal AS bal_b, b.seg AS seg_b
+            FROM ranked a JOIN ranked b
+              ON a.nat = b.nat AND b.rn - a.rn BETWEEN 1 AND {_FS_BG_WINDOW}
+        ),
+        blk AS (
+            SELECT a.id, a.name, a.bal, a.seg,
+                   b.id AS id_b, b.name AS name_b, b.bal AS bal_b, b.seg AS seg_b
+            FROM recs a JOIN recs b
+              ON a.nat = b.nat AND a.bal = b.bal AND a.id < b.id
+        ),
+        gam AS (
+            SELECT DISTINCT LEAST(id, id_b) AS ia, GREATEST(id, id_b) AS ib,
+                   CAST(levenshtein(name, name_b) <= 2 AS INT) AS g_name,
+                   CAST(bal = bal_b AS INT) AS g_bal,
+                   CAST(seg = seg_b AS INT) AS g_seg
+            FROM (SELECT * FROM bg UNION ALL SELECT * FROM blk)
+        )
+        SELECT g_name, g_bal, g_seg, COUNT(*) AS n
+        FROM gam GROUP BY ALL ORDER BY g_name, g_bal, g_seg
+    """).df().set_index(["g_name", "g_bal", "g_seg"])["n"]
+    assert dict(pdf) == dict(truth)
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
