@@ -1147,6 +1147,133 @@ def privacy_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @op(
+    "privacy_t_closeness",
+    sql="""
+    WITH banded AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               FLOOR(c_acctbal / 1000) AS band
+        FROM customer
+    ),
+    gband AS (
+        SELECT band, COUNT(*) AS g FROM banded GROUP BY band
+    ),
+    gcum AS (
+        SELECT band, CAST(SUM(g) OVER (ORDER BY band) AS BIGINT) AS gc,
+               (SELECT COUNT(*) FROM banded) AS n_total,
+               (SELECT COUNT(*) FROM gband) AS n_bands
+        FROM gband
+    ),
+    classes AS (
+        SELECT nat, seg, COUNT(*) AS group_size FROM banded GROUP BY nat, seg
+    ),
+    grid AS (
+        SELECT c.nat, c.seg, c.group_size, g.band, g.gc, g.n_total, g.n_bands
+        FROM classes c CROSS JOIN gcum g
+    ),
+    cband AS (
+        SELECT nat, seg, band, COUNT(*) AS a FROM banded GROUP BY nat, seg, band
+    ),
+    cells AS (
+        SELECT grid.*,
+               CAST(SUM(COALESCE(cband.a, 0)) OVER (
+                   PARTITION BY grid.nat, grid.seg ORDER BY grid.band
+               ) AS BIGINT) AS ac
+        FROM grid LEFT JOIN cband
+          ON grid.nat = cband.nat AND grid.seg = cband.seg AND grid.band = cband.band
+    ),
+    emd AS (
+        SELECT nat, seg, group_size,
+               CAST(SUM(ABS(ac * n_total - gc * group_size)) AS BIGINT) AS emd_num,
+               CAST(group_size * n_total * GREATEST(n_bands - 1, 1) AS BIGINT) AS emd_den
+        FROM cells GROUP BY nat, seg, group_size, n_total, n_bands
+    )
+    SELECT CAST(nat AS BIGINT) AS nat, seg, CAST(group_size AS BIGINT) AS group_size,
+           emd_num, emd_den,
+           CAST(emd_num AS DOUBLE) / CAST(emd_den AS DOUBLE) AS emd,
+           group_size >= 5 AND
+           CAST(emd_num AS DOUBLE) / CAST(emd_den AS DOUBLE) <= 0.2 AS released
+    FROM emd ORDER BY nat, seg
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE'07, t=0.2) —
+    completes the classic privacy trio next to privacy_k_anonymize and
+    privacy_l_diversity: l-diversity still leaks when a class's
+    sensitive values are diverse but SKEWED versus the population
+    (skewness attack), so each (nation, segment) QI class is gated on
+    the Earth Mover's Distance between its account-balance-band
+    distribution and the global one (ordered-attribute EMD = mean
+    absolute cumulative-distribution gap).
+
+    Cross-engine float discipline: the EMD is computed as EXACT
+    integers — numerator Σ_bands |A_i·n − G_i·n_c| over cumulative
+    counts, denominator n_c·n·(B−1) — and emitted as ONE IEEE division
+    of those integers, so the value is bit-identical in Spark and
+    DuckDB (both integer columns are also emitted, making the audit
+    replayable). At sf scales the numerator fits BIGINT comfortably; at
+    true 100 TB population sizes promote the two products to
+    DECIMAL(38,0) — the shape (two tiny aggregates + a |classes|×|bands|
+    grid join + per-class window cumsum) is unchanged.
+
+    Plan: one groupBy builds per-(class, band) counts, one builds the
+    global band histogram; the |classes|×|bands| grid (hundreds of
+    rows) is a broadcast cross join; cumsums are windows over the tiny
+    grid, never over the fact table — the customer scan happens exactly
+    twice and everything downstream is dimension-sized."""
+    banded = table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("band"),
+    )
+    gband = banded.groupBy("band").agg(F.count(F.lit(1)).alias("g"))
+    wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    totals = gband.agg(
+        F.sum("g").alias("n_total"), F.count(F.lit(1)).alias("n_bands")
+    )
+    gcum = gband.select("band", F.sum("g").over(wg).alias("gc")).crossJoin(
+        F.broadcast(totals)
+    )
+    classes = banded.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    grid = classes.crossJoin(F.broadcast(gcum))
+    cband = banded.groupBy("nat", "seg", "band").agg(F.count(F.lit(1)).alias("a"))
+    wc = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cells = grid.join(cband, ["nat", "seg", "band"], "left").select(
+        "nat", "seg", "group_size", "gc", "n_total", "n_bands",
+        F.sum(F.coalesce(F.col("a"), F.lit(0))).over(wc).alias("ac"),
+    )
+    emd = cells.groupBy("nat", "seg", "group_size", "n_total", "n_bands").agg(
+        F.sum(
+            F.abs(F.col("ac") * F.col("n_total") - F.col("gc") * F.col("group_size"))
+        ).alias("emd_num")
+    )
+    emd_den = (
+        F.col("group_size") * F.col("n_total") * F.greatest(F.col("n_bands") - 1, F.lit(1))
+    ).cast("long")
+    emd_val = F.col("emd_num").cast("double") / F.col("emd_den").cast("double")
+    return (
+        emd.select(
+            F.col("nat").cast("long").alias("nat"),
+            "seg",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("emd_num").cast("long").alias("emd_num"),
+            emd_den.alias("emd_den"),
+        )
+        .select(
+            "nat", "seg", "group_size", "emd_num", "emd_den",
+            emd_val.alias("emd"),
+            ((F.col("group_size") >= 5) & (emd_val <= 0.2)).alias("released"),
+        )
+        .orderBy("nat", "seg")
+    )
+
+
+@op(
     "sample_neyman_allocation",
     sql="""
     WITH mo AS (

@@ -1411,6 +1411,31 @@ def test_fellegi_sunter_pattern_counts_match_duckdb_truth(spark):
     assert dict(pdf) == dict(truth)
 
 
+def test_t_closeness_matches_pandas_emd_replica(spark):
+    """Every class's EMD must equal an independent pandas recomputation
+    (cumulative-histogram earth mover over balance bands), the emitted
+    float must be exactly emd_num/emd_den, and the release gate must be
+    consistent with (k >= 5 AND emd <= 0.2)."""
+    import numpy as np
+    import pandas as pd
+
+    got = all_ops()["privacy_t_closeness"].fn(spark, SF_SMALL).toPandas()
+    src = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    src["band"] = np.floor(src["c_acctbal"] / 1000).astype(int)
+    bands = sorted(src["band"].unique())
+    n = len(src)
+    gcum = src["band"].value_counts().reindex(bands, fill_value=0).sort_index().cumsum()
+    for _, r in got.iterrows():
+        cls = src[(src["c_nationkey"] == r["nat"]) & (src["c_mktsegment"] == r["seg"])]
+        acum = cls["band"].value_counts().reindex(bands, fill_value=0).sort_index().cumsum()
+        num = int(np.abs(acum.values * n - gcum.values * len(cls)).sum())
+        den = len(cls) * n * max(len(bands) - 1, 1)
+        assert r["emd_num"] == num and r["emd_den"] == den, (r["nat"], r["seg"])
+        assert r["emd"] == num / den
+        assert bool(r["released"]) == (r["group_size"] >= 5 and r["emd"] <= 0.2)
+    assert got["group_size"].sum() == n
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
