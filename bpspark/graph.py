@@ -317,6 +317,92 @@ def graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_iter_sql(i: int) -> str:
+    """One peeling round as chained CTEs: degree within the surviving
+    set, then drop nodes below K. Unrolled for the same reason as LPA —
+    recursive CTEs cannot aggregate in the recursive term."""
+    p = i - 1
+    return f"""
+    d{i} AS (
+      SELECT ed.src AS node, COUNT(*) AS c
+      FROM ed JOIN a{p} x ON ed.src = x.node JOIN a{p} y ON ed.dst = y.node
+      GROUP BY ed.src
+    ),
+    a{i} AS (SELECT node FROM d{i} WHERE c >= {_KCORE_K})"""
+
+
+_KCORE_SQL = (
+    f"""
+    WITH {_KNN_EDGES_SQL},
+    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    a0 AS (SELECT DISTINCT src AS node FROM ed),
+    """
+    + ",".join(_kcore_iter_sql(i) for i in range(1, _KCORE_ROUNDS + 2))
+    + f"""
+    SELECT d.node, CAST(d.c AS BIGINT) AS core_degree
+    FROM d{_KCORE_ROUNDS + 1} d JOIN a{_KCORE_ROUNDS} a ON d.node = a.node
+    ORDER BY d.node
+    """
+)
+
+
+@op("graph_kcore_decompose", sql=_KCORE_SQL)
+def graph_kcore_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core extraction (Seidman'83; the distributed peeling form of
+    Batagelj-Zaveršnik) over the bounded-degree supplier similarity
+    graph: repeatedly drop nodes whose degree WITHIN the surviving set
+    is < k — the standard densest-region primitive for spam/bot
+    neighborhoods and influence cores that plain degree filtering
+    misses (a high-degree node whose neighbors all die still dies).
+    k = 4, a FIXED {_KCORE_ROUNDS} peel rounds on both engines (the
+    LPA precedent: bounded synchronous rounds make an iterative
+    algorithm hash-certifiable; the fixpoint-reached property is
+    pinned by a test that runs one extra round and asserts nothing
+    else peels). Output: each surviving node with its in-core degree.
+
+    Plan: the symmetrized edge list is hash-partitioned and cached
+    once (loop-invariant); each round is two semi-joins of edges
+    against the shrinking alive set + one count — alive is |nodes|
+    rows, tiny next to edges, and the join fan-out is bounded by the
+    knn graph's degree ≤ 16. localCheckpoint per round truncates
+    lineage. At 100 TB this is the same Pregel-on-DataFrames shape as
+    LPA/PageRank: constant rounds, edge frame shuffled once."""
+    e = _knn_supplier_edges(spark, sf)
+    ed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("src")
+        .cache()
+    )
+    alive = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = _kcore_degrees(ed, alive)
+        alive = (
+            deg.filter(F.col("c") >= _KCORE_K).select("node").localCheckpoint()
+        )
+    final_deg = _kcore_degrees(ed, alive)
+    return (
+        final_deg.join(alive, "node")
+        .select("node", F.col("c").cast("long").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def _kcore_degrees(ed: DataFrame, alive: DataFrame) -> DataFrame:
+    """Degree of every alive-endpoint edge's src within the alive set."""
+    return (
+        ed.join(alive.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def _label_propagation(sym_edges: DataFrame, rounds: int) -> DataFrame:
     """Synchronous min-label LPA over a symmetrized (src, dst) edge list;
     returns the final (node, label) frame. Factored out of the op so the

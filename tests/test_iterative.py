@@ -383,3 +383,37 @@ def test_cusum_changepoint_is_argmax_and_means_split(spark):
         assert abs(row["mean_before"] - v[: best + 1].mean()) < 1e-6, et
         assert abs(row["mean_after"] - v[best + 1 :].mean()) < 1e-6, et
         assert row["n_days_before"] + row["n_days_after"] == len(v), et
+
+
+def test_kcore_fixpoint_and_invariants(spark):
+    """The bounded-round peel must have CONVERGED at both test scales
+    (one extra Spark round removes nothing — the property that makes the
+    fixed-round oracle the true k-core), every surviving node's in-core
+    degree is >= K, and the core equals a pure-Python peeling replica."""
+    from pyspark.sql import functions as F
+
+    from bpspark.graph import (
+        _KCORE_K,
+        _kcore_degrees,
+        _knn_supplier_edges,
+    )
+
+    ops = all_ops()
+    for sf in (SF, "/root/testdata/sf0.01"):
+        got = ops["graph_kcore_decompose"].fn(spark, sf).toPandas()
+        assert (got["core_degree"] >= _KCORE_K).all()
+
+        # python replica: peel to TRUE fixpoint on the same edge list
+        e = _knn_supplier_edges(spark, sf).collect()
+        adj = {}
+        for r in e:
+            adj.setdefault(r["a"], set()).add(r["b"])
+            adj.setdefault(r["b"], set()).add(r["a"])
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive if len(adj[n] & alive) < _KCORE_K}
+            if not drop:
+                break
+            alive -= drop
+        want = {n: len(adj[n] & alive) for n in alive if len(adj[n] & alive) > 0}
+        assert dict(zip(got["node"], got["core_degree"])) == want, sf
