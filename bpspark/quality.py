@@ -409,6 +409,105 @@ def boilerplate_frame(d: DataFrame) -> DataFrame:
     )
 
 
+def _benford_values_sql() -> str:
+    """The 9 Benford expected frequencies as python-computed double
+    literals — shared verbatim by the Spark plan and the oracle, so no
+    engine ever evaluates log10 (libm results are not contractually
+    identical across engines)."""
+    import math
+
+    # CAST is load-bearing: DuckDB parses a bare decimal literal as
+    # DECIMAL, and DECIMAL-path arithmetic rounds differently from the
+    # double path Spark runs — a last-ULP chi2 fork without it
+    return ", ".join(
+        f"('{d}', CAST({math.log10(1 + 1 / d)!r} AS DOUBLE))" for d in range(1, 10)
+    )
+
+
+@op(
+    "dq_benford_digits",
+    sql=f"""
+    WITH src AS (
+        SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    cnt AS (SELECT digit, COUNT(*) AS n_raw FROM src GROUP BY digit),
+    tot AS (SELECT COUNT(*) AS n_total FROM src),
+    grid AS (SELECT * FROM (VALUES {_benford_values_sql()}) AS t(digit, expected_freq))
+    SELECT g.digit,
+           COALESCE(c.n_raw, 0) AS n_obs,
+           t.n_total,
+           g.expected_freq,
+           CAST(COALESCE(c.n_raw, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS obs_freq,
+           CAST(COALESCE(c.n_raw, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               - g.expected_freq AS deviation,
+           (CAST(COALESCE(c.n_raw, 0) AS DOUBLE) - g.expected_freq * t.n_total)
+             * (CAST(COALESCE(c.n_raw, 0) AS DOUBLE) - g.expected_freq * t.n_total)
+             / (g.expected_freq * t.n_total) AS chi2_term
+    FROM grid g LEFT JOIN cnt c ON g.digit = c.digit CROSS JOIN tot t
+    ORDER BY g.digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    statistical forensics screen (Benford'38; Nigrini's fraud-audit
+    methodology): naturally-occurring multi-decade amounts follow
+    P(d) = log10(1 + 1/d), and a ledger whose digit histogram deviates
+    hard is the first flag for fabricated or truncated data. One row
+    per leading digit 1-9 with observed count, observed vs expected
+    frequency, the deviation, and the per-digit chi-square term —
+    emitted per digit rather than summed, so every statistic stays a
+    ROW-LOCAL float expression (no order-dependent float aggregate;
+    the caller sums 9 rows for the test statistic).
+
+    Cross-engine float discipline: digits come from the STRING form of
+    the floored integer amount (no log10/log on the data path); the
+    expected frequencies are python-computed double literals shared
+    verbatim by both plans (_benford_values_sql); obs_freq is ONE
+    division of exact integers; deviation and the chi-square term are
+    short fixed-shape per-row expressions (x*x instead of pow), so the
+    driver hash matches exactly. Plan: one scan + one 9-group hash
+    aggregate + a broadcast 9-row grid; nothing downstream exceeds 9
+    rows — at 100 TB this is a single map-side-combining pass."""
+    import math
+
+    expected = [(str(d), math.log10(1 + 1 / d)) for d in range(1, 10)]
+    src = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+    )
+    cnt = src.groupBy("digit").agg(F.count(F.lit(1)).alias("n_raw"))
+    tot = src.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = spark.createDataFrame(expected, "digit string, expected_freq double")
+    joined = (
+        grid.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_obs"),
+            "n_total",
+            "expected_freq",
+        )
+    )
+    obs_freq = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    diff = F.col("n_obs").cast("double") - F.col("expected_freq") * F.col("n_total")
+    en = F.col("expected_freq") * F.col("n_total")
+    return joined.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        "expected_freq",
+        obs_freq.alias("obs_freq"),
+        (obs_freq - F.col("expected_freq")).alias("deviation"),
+        (diff * diff / en).alias("chi2_term"),
+    ).orderBy("digit")
+
+
 _FK_EDGES = (
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),

@@ -1436,6 +1436,27 @@ def test_t_closeness_matches_pandas_emd_replica(spark):
     assert got["group_size"].sum() == n
 
 
+def test_benford_digits_accounting_identities(spark):
+    """Digit counts must cover every qualifying order exactly once,
+    frequencies must sum to 1, each chi2 term must equal its own
+    recomputation from the emitted integers, and the expected
+    frequencies must be the Benford constants."""
+    import math
+
+    import pandas as pd
+
+    got = all_ops()["dq_benford_digits"].fn(spark, SF_SMALL).toPandas()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    n_orders = int((orders["o_totalprice"] >= 1).sum())
+    assert got["n_obs"].sum() == n_orders
+    assert (got["n_total"] == n_orders).all()
+    assert abs(got["obs_freq"].sum() - 1.0) < 1e-12
+    for _, r in got.iterrows():
+        assert r["expected_freq"] == math.log10(1 + 1 / int(r["digit"]))
+        diff = r["n_obs"] - r["expected_freq"] * r["n_total"]
+        assert r["chi2_term"] == diff * diff / (r["expected_freq"] * r["n_total"])
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
