@@ -104,7 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_er_resolve", "multimodal_video_scene_cut", "layout_overlap_report",
     "dedup_audio_fingerprint", "pipeline_audio_corpus", "text_fix_mojibake",
     "text_unicode_nfc", "er_fellegi_sunter_em", "privacy_t_closeness",
-    "graph_kcore_decompose", "dq_benford_digits",
+    "graph_kcore_decompose", "dq_benford_digits", "ts_autocorrelation",
     "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
     "join_bucketed_colocated", "sink_overwrite_dynamic",
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",

@@ -544,6 +544,125 @@ def _holt_winters_group(pdf):
     return pd.DataFrame(out, columns=["event_type", "epoch_day", "kind", "v", "fitted"])
 
 
+_ACF_MAX_LAG = 7
+
+
+@op(
+    "ts_autocorrelation",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_days,
+               CAST(SUM(c) AS HUGEINT) AS s,
+               CAST(SUM(c * c) AS HUGEINT) AS ss
+        FROM daily GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type, l.lag,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(a.c * b.c) AS HUGEINT) AS p,
+               CAST(SUM(a.c + b.c) AS HUGEINT) AS asum
+        FROM daily a
+        JOIN (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag) l ON TRUE
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.epoch_day = a.epoch_day + l.lag
+        GROUP BY a.event_type, l.lag
+    )
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+           st.n_days, p.n_pairs,
+           CAST(st.n_days * st.n_days * p.p
+                - st.n_days * st.s * p.asum
+                + p.n_pairs * st.s * st.s AS DOUBLE)
+           / CAST(st.n_days * (st.n_days * st.ss - st.s * st.s) AS DOUBLE) AS acf
+    FROM pairs p JOIN stats st ON p.event_type = st.event_type
+    ORDER BY p.event_type, p.lag
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation function at lags 1..{_ACF_MAX_LAG} per
+    event type's daily series — the seasonality/memory diagnostic that
+    tells a pipeline WHETHER to run ts_seasonal_decompose (a weekly
+    cycle shows as an r_7 spike) and how far ts_holt_winters' smoothing
+    should trust history. Lag pairs are joined on epoch_day + k, so
+    lags stay CALENDAR-correct across panel gaps.
+
+    Cross-engine float discipline (the exact-moments trick, pushed
+    through a ratio of quadratics): with daily values as integer CENTS
+    c, r_k = (n²·Σc_t c_{{t+k}} − n·S·Σ(c_t+c_{{t+k}}) + m_k·S²) /
+    (n·(n·Σc² − S²)) — every term an EXACT integer (Spark
+    DECIMAL(38,0) arithmetic, DuckDB HUGEINT), and the emitted acf is
+    ONE IEEE division of the two exact values, so the driver hash
+    matches bit-for-bit. No mean is ever materialized as a float.
+    Magnitudes: cents ~1e8, Σc² ~1e18·days, n²Σcc ~1e24 — inside
+    DECIMAL(38,0)/HUGEINT with ~14 digits of headroom at test scales;
+    at true 100 TB panel sizes the same identity runs on a per-series
+    basis so n is days-per-series, not corpus rows.
+
+    Plan: the only corpus-sized pass is the daily rollup (map-side
+    combined). The lag self-join runs on the |types×days| panel with
+    the tiny lag dimension cross-joined; stats is one more panel
+    aggregate. Everything is exact-integer until the final division."""
+    ev = table(spark, sf, "events").select("event_type", "ts", "value")
+    d = F.to_date("ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(d, F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("ss"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select(
+        "event_type", F.col("epoch_day").alias("ed_a"), F.col("c").alias("ca")
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("epoch_day").alias("ed_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("ed_b") == F.col("ed_a") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).cast("decimal(38,0)").alias("p"),
+            F.sum(F.col("ca") + F.col("cb")).cast("decimal(38,0)").alias("asum"),
+        )
+    )
+    j = pairs.join(stats, "event_type")
+    num = (
+        F.col("n_days") * F.col("n_days") * F.col("p")
+        - F.col("n_days") * F.col("s") * F.col("asum")
+        + F.col("n_pairs") * F.col("s") * F.col("s")
+    )
+    den = F.col("n_days") * (
+        F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        "n_pairs",
+        (num.cast("double") / den.cast("double")).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
 @op("ts_holt_winters", sql=None)  # sequential recurrence — rows-only
 def ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing: level +

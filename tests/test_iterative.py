@@ -385,6 +385,43 @@ def test_cusum_changepoint_is_argmax_and_means_split(spark):
         assert row["n_days_before"] + row["n_days_after"] == len(v), et
 
 
+def test_autocorrelation_matches_numpy_replica(spark):
+    """acf at every (type, lag) must equal the textbook sample ACF
+    computed by numpy on the same daily cent series (to float
+    tolerance — numpy uses the mean directly, the op uses the exact
+    integer identity), values must be in [-1, 1], never null, and the
+    exact-integer identity must hold at BOTH test scales (overflow in
+    the DECIMAL(38,0) products would surface as nulls)."""
+    import numpy as np
+
+    ops = all_ops()
+    for sf in (SF, "/root/testdata/sf0.01"):
+        got = ops["ts_autocorrelation"].fn(spark, sf).toPandas()
+        assert got["acf"].notna().all(), sf
+        assert (got["acf"].abs() <= 1.0 + 1e-12).all(), sf
+        ev = pd.read_parquet(f"{sf}/events.parquet")
+        ev["day"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                     // 86_400_000_000)
+        daily = (
+            ev.assign(c=(ev["value"].round(2) * 100).round().astype("int64"))
+            .groupby(["event_type", "day"], as_index=False)["c"].sum()
+        )
+        for (et, lag), grp in got.groupby(["event_type", "lag"]):
+            g = daily[daily["event_type"] == et].sort_values("day")
+            c = g["c"].to_numpy(dtype=float)
+            days = g["day"].to_numpy()
+            mu = c.mean()
+            idx = {d: i for i, d in enumerate(days)}
+            num = sum(
+                (c[idx[d]] - mu) * (c[idx[d + lag]] - mu)
+                for d in days if d + lag in idx
+            )
+            den = ((c - mu) ** 2).sum()
+            want = num / den
+            assert abs(grp["acf"].iloc[0] - want) < 1e-9, (et, lag, sf)
+            assert grp["n_days"].iloc[0] == len(c)
+
+
 def test_kcore_fixpoint_and_invariants(spark):
     """The bounded-round peel must have CONVERGED at both test scales
     (one extra Spark round removes nothing — the property that makes the
