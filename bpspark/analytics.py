@@ -1574,6 +1574,116 @@ def q_marketing_attribution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @op(
+    "agg_ks_two_sample",
+    sql="""
+    WITH src AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cv, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pv AS (
+        SELECT cv,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS ca,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS cb
+        FROM src GROUP BY cv
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        FROM pv
+    ),
+    cum AS (
+        SELECT cv,
+               CAST(SUM(ca) OVER (ORDER BY cv) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY cv) AS BIGINT) AS cumb
+        FROM pv
+    ),
+    gaps AS (
+        SELECT cv, ABS(cuma * t.nb - cumb * t.na) AS gap FROM cum, tot t
+    ),
+    mx AS (SELECT CAST(MAX(gap) AS BIGINT) AS d_num FROM gaps)
+    SELECT t.na AS n_a, t.nb AS n_b, m.d_num,
+           CAST(t.na * t.nb AS BIGINT) AS d_den,
+           CAST(m.d_num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks,
+           CAST((SELECT MIN(cv) FROM gaps g WHERE g.gap = m.d_num) AS DOUBLE)
+               / 100 AS ks_at_value
+    FROM tot t, mx m
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — agg_welch_ttest's
+    NONPARAMETRIC sibling on the same two samples (click vs purchase
+    values): the t-test compares means, KS compares the entire
+    distributions (max CDF gap), catching variance/shape shifts a mean
+    test misses. Same exact-arithmetic discipline as
+    privacy_t_closeness's EMD: values snap to integer centi-units, the
+    statistic's numerator is max|cumA·n_B − cumB·n_A| over EXACT
+    integer cumulative counts, and the emitted ks is ONE IEEE division
+    of the two integers (both also emitted) — the gap location is the
+    min value attaining the max (deterministic integer tie-break).
+
+    Scale shape — the distributed-CDF two-phase prefix sum: per-value
+    counts (one hash aggregate over the metric), then values bucket by
+    range; bucket subtotals cumsum in a |buckets|-row window and
+    broadcast back as offsets, so each bucket's within-window cumsum is
+    partition-local — NO single global sort of the distinct-value
+    frame (the one-partition window trap). At 1e9+ rows per side
+    promote the gap products to DECIMAL(38,0); the shape is unchanged."""
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cv = F.round(F.col("value") * 100).cast("bigint")
+    pv = ev.select(
+        cv.alias("cv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+    ).groupBy("cv").agg(
+        F.sum("ia").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).alias("cb"),
+    )
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    bucketed = pv.withColumn("bucket", F.floor(F.col("cv") / 1000))
+    bsum = bucketed.groupBy("bucket").agg(
+        F.sum("ca").alias("sa"), F.sum("cb").alias("sb")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("sa").over(wb), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("sb").over(wb), F.lit(0)).alias("ob"),
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("cv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bucketed.join(F.broadcast(offs), "bucket").select(
+        "cv",
+        (F.sum("ca").over(wv) + F.col("oa")).cast("long").alias("cuma"),
+        (F.sum("cb").over(wv) + F.col("ob")).cast("long").alias("cumb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "cv",
+        "na",
+        "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("gap"),
+    )
+    agg = gaps.groupBy("na", "nb").agg(
+        F.max("gap").cast("long").alias("d_num"),
+        # argmax with min-value tie-break: max of (gap, -cv) lexicographic
+        F.max_by(F.col("cv"), F.struct(F.col("gap"), (-F.col("cv")).alias("ncv")))
+        .alias("at_cv"),
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_num",
+        (F.col("na") * F.col("nb")).cast("long").alias("d_den"),
+        (F.col("d_num").cast("double") / (F.col("na") * F.col("nb")).cast("double")).alias("ks"),
+        (F.col("at_cv").cast("double") / 100).alias("ks_at_value"),
+    )
+
+
+@op(
     "agg_welch_ttest",
     sql="""
     WITH m AS (

@@ -422,6 +422,30 @@ def test_autocorrelation_matches_numpy_replica(spark):
             assert grp["n_days"].iloc[0] == len(c)
 
 
+def test_ks_two_sample_matches_scipy_style_replica(spark):
+    """The exact-integer KS statistic must equal a direct numpy CDF-gap
+    computation on the same centi-snapped samples (gap location
+    included, min-value tie-break), and d_num/d_den must reproduce ks."""
+    import numpy as np
+
+    got = all_ops()["agg_ks_two_sample"].fn(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    cv = (ev["value"] * 100).round().astype("int64")
+    a = np.sort(cv[ev["event_type"] == "click"].to_numpy())
+    b = np.sort(cv[ev["event_type"] == "purchase"].to_numpy())
+    vals = np.unique(np.concatenate([a, b]))
+    cuma = np.searchsorted(a, vals, side="right")
+    cumb = np.searchsorted(b, vals, side="right")
+    gaps = np.abs(cuma * len(b) - cumb * len(a))
+    d_num = int(gaps.max())
+    at = float(vals[gaps.argmax()]) / 100  # argmax returns FIRST max = min value
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["d_num"] == d_num and got["d_den"] == len(a) * len(b)
+    assert got["ks"] == d_num / (len(a) * len(b))
+    assert got["ks_at_value"] == at
+
+
 def test_kcore_fixpoint_and_invariants(spark):
     """The bounded-round peel must have CONVERGED at both test scales
     (one extra Spark round removes nothing — the property that makes the
