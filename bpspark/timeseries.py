@@ -70,6 +70,76 @@ def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @op(
+    "sessionize_markov_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS next_type
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rowtot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n AS n_transitions, r.n_from,
+           CAST(t.n AS DOUBLE) / CAST(r.n_from AS DOUBLE) AS p
+    FROM tr t JOIN rowtot r ON t.from_type = r.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def sessionize_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the user-journey model product analytics derives click
+    paths, drop-off predictions, and anomalous-flow alerts from (and
+    the sufficient statistics for a Markov-chain attribution model,
+    complementing q_marketing_attribution's last-touch rule). Each
+    user's events order by (event time, event_id); consecutive pairs
+    count into (from_type, to_type) cells; p = n / row-total is ONE
+    division of exact integers per cell (no float aggregation
+    anywhere), so the matrix is hash-certified.
+
+    Plan: one window lead per user partition (the sessionize_batch
+    exchange shape) → a |types²|-cell hash aggregate with map-side
+    combine → a broadcast row-total join. At 100 TB the shuffle
+    carries |types²| cells, not events; the user window is the same
+    partitioning every sessionization op already pays."""
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(order).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    rowtot = tr.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("n_from")
+    )
+    return (
+        tr.join(F.broadcast(rowtot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_from",
+            (
+                F.col("n_transitions").cast("double") / F.col("n_from").cast("double")
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@op(
     "ts_gapfill_locf",
     sql="""
     WITH daily AS (

@@ -422,6 +422,34 @@ def test_autocorrelation_matches_numpy_replica(spark):
             assert grp["n_days"].iloc[0] == len(c)
 
 
+def test_markov_transitions_match_pandas_replica(spark):
+    """Transition counts must equal a pandas groupby-shift recompute,
+    each cell's p must be exactly n/n_from, and every from_type row of
+    the matrix must sum to exactly its n_from."""
+    ops = all_ops()
+    got = ops["sessionize_markov_transitions"].fn(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    want = (
+        ev.dropna(subset=["next_type"])
+        .groupby(["event_type", "next_type"])
+        .size()
+        .to_dict()
+    )
+    assert {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for _, r in got.iterrows()
+    } == want
+    for _, r in got.iterrows():
+        assert r["p"] == r["n_transitions"] / r["n_from"]
+    sums = got.groupby("from_type")[["n_transitions", "n_from"]].agg(
+        {"n_transitions": "sum", "n_from": "first"}
+    )
+    assert (sums["n_transitions"] == sums["n_from"]).all()
+
+
 def test_ks_two_sample_matches_scipy_style_replica(spark):
     """The exact-integer KS statistic must equal a direct numpy CDF-gap
     computation on the same centi-snapped samples (gap location
