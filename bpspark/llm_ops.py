@@ -4470,19 +4470,23 @@ _FS_EM_ITERS = 25
 _FS_CLAMP = 1e-6
 
 
-def _fs_em(patterns):
+def _fs_em(patterns, trace=None):
     """EM for the Fellegi-Sunter independent-binary-comparison model over
     agreement-pattern counts [(g1, g2, g3, n), ...]: learn λ (match
     prior) and per-comparison m/u probabilities, return (λ, m, u).
     Runs on ≤2^k pattern rows, so its cost is independent of corpus
     size — the estimation shape Splink uses in production. Pure driver
-    floats over deterministic integer counts ⇒ bit-stable across runs."""
+    floats over deterministic integer counts ⇒ bit-stable across runs.
+    Pass a list as ``trace`` to collect the (λ, m, u) iterates — the
+    likelihood-monotonicity property test drives it that way."""
     n_total = sum(p[3] for p in patterns)
     lam, m, u = 0.1, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]
 
     def clamp(x):
         return min(max(x, _FS_CLAMP), 1.0 - _FS_CLAMP)
 
+    if trace is not None:
+        trace.append((lam, list(m), list(u)))
     for _ in range(_FS_EM_ITERS):
         sw, su = 0.0, 0.0
         sw_g, su_g = [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]
@@ -4501,6 +4505,8 @@ def _fs_em(patterns):
         lam = clamp(sw / n_total)
         m = [clamp(sw_g[k] / sw) for k in range(3)]
         u = [clamp(su_g[k] / su) for k in range(3)]
+        if trace is not None:
+            trace.append((lam, list(m), list(u)))
     return lam, m, u
 
 

@@ -1309,6 +1309,90 @@ def test_unicode_nfc_collapses_decomposed_forms(spark):
     assert pre != _NFC_SUFFIX and len(pre) == len(_NFC_SUFFIX) - 3
 
 
+def test_fellegi_sunter_em_likelihood_monotone_property():
+    """EM's defining property: the observed-data log-likelihood is
+    non-decreasing at every iteration, for ANY pattern-count input —
+    hypothesis drives random 8-pattern histograms through _fs_em and
+    checks the whole trajectory (clamping can only bind at the 1e-6
+    boundary, which never decreases likelihood on these inputs)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bpspark.llm_ops import _fs_em
+
+    def loglik(patterns, lam, m, u):
+        ll = 0.0
+        for g1, g2, g3, n in patterns:
+            g = (g1, g2, g3)
+            pm, pu = lam, 1.0 - lam
+            for k in range(3):
+                pm *= m[k] if g[k] else (1.0 - m[k])
+                pu *= u[k] if g[k] else (1.0 - u[k])
+            ll += n * math.log(pm + pu)
+        return ll
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=1000), min_size=8, max_size=8)
+    )
+    def check(counts):
+        if sum(counts) == 0:
+            return
+        patterns = [
+            ((i >> 2) & 1, (i >> 1) & 1, i & 1, n)
+            for i, n in enumerate(counts)
+            if n > 0
+        ]
+        trace = []
+        _fs_em(patterns, trace=trace)
+        lls = [loglik(patterns, lam, m, u) for lam, m, u in trace]
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-9, lls
+
+    check()
+
+
+def test_hamming_band_pairs_lossless_to_threshold(spark):
+    """The documented banding+1-bit-probe guarantee, mechanically
+    enforced: on random 64-bit signatures with planted partners at
+    every Hamming distance 0..7 (no hot buckets at this density), the
+    shared LSH machinery must surface EXACTLY the brute-force pair set
+    within the screen threshold."""
+    import itertools
+    import random
+
+    from bpspark.llm_ops import _hamming_band_pairs
+
+    rng = random.Random(20260815)
+    sigs = {}
+    for i in range(120):
+        sigs[i] = rng.getrandbits(64)
+    # planted partners at each distance 0..7 off the first 8 signatures
+    for d in range(8):
+        base = sigs[d]
+        flip = 0
+        for bit in rng.sample(range(64), d):
+            flip |= 1 << bit
+        sigs[1000 + d] = base ^ flip
+    to_signed = lambda v: v - (1 << 64) if v >= 1 << 63 else v
+    df = spark.createDataFrame(
+        [(k, to_signed(v)) for k, v in sigs.items()], "doc_id long, sig long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _hamming_band_pairs(df, "sig", hamming_max=7, bucket_cap=32).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    want = {
+        (a, b): ham(sigs[a], sigs[b])
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if ham(sigs[a], sigs[b]) <= 7
+    }
+    assert got == want
+
+
 def test_fellegi_sunter_em_learns_planted_structure(spark):
     """EM must separate the planted twins from the background: the
     all-agree pattern's posterior ≥ 0.95 and its count equals the
