@@ -1721,6 +1721,143 @@ def _pack_greedy_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_SPAN_MASK_PCT = 25  # per-word Bernoulli mask rate; adjacent masks merge
+
+
+@op(
+    "doc_span_corruption",
+    sql=f"""
+    WITH w0 AS (
+        SELECT doc_id, i AS pos, ws[i + 1] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(range(len(ws))) AS t(i)
+    ),
+    w1 AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(doc_id || ':' || pos), 1, 4)) AS INT)
+                   % 100 < {_SPAN_MASK_PCT} AS masked
+        FROM w0
+    ),
+    w2 AS (
+        SELECT *, masked AND NOT COALESCE(
+            LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+        ) AS span_start
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+        FROM w2
+    ),
+    corr AS (
+        SELECT doc_id, string_agg(
+            CASE WHEN NOT masked THEN tok
+                 WHEN span_start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+            END, ' ' ORDER BY pos) AS corrupted
+        FROM w3 WHERE (NOT masked) OR span_start GROUP BY doc_id
+    ),
+    tgt AS (
+        SELECT doc_id, string_agg(
+            CASE WHEN span_start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+                 ELSE tok END, ' ' ORDER BY pos) AS target
+        FROM w3 WHERE masked GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+               CAST(MAX(span_id) AS BIGINT) AS n_spans
+        FROM w3 GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words, s.n_masked, s.n_spans, c.corrupted, t.target
+    FROM stats s JOIN corr c USING (doc_id) LEFT JOIN tgt t USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-corruption objective construction (the T5/UL2 denoising
+    pretraining format, Raffel'20): every document becomes a
+    (corrupted-input, target) pair — masked spans collapse to
+    <extra_id_k> sentinels in the input, and the target lists each
+    sentinel followed by the words it hides. Masking is a ~25%
+    per-word deterministic Bernoulli draw from md5(doc_id:pos)
+    (adjacent masked words merge into one span — the BERT-style
+    simplification of T5's length-sampled spans, stated honestly), so
+    the SAME pair set regenerates on every engine and every run: the
+    full corrupted and target STRINGS are hash-certified against
+    DuckDB, sentinels included.
+
+    Plan: split→posexplode (pipeline-local), one per-doc window pass
+    (lag for span starts, cumsum for sentinel ids — shared doc_id
+    partitioning), then ordered per-doc reassembly via
+    sort_array(collect_list(struct(pos, token))) — the shuffle carries
+    one token row per word, keyed by doc_id, exactly the footprint of
+    doc_split_chunks. No Python anywhere. At 100 TB this runs as the
+    LAST map-shaped pass before tokenization and sharding."""
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    w = w.withColumn("masked", F.pmod(u, F.lit(100)) < _SPAN_MASK_PCT)
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    w = w.withColumn(
+        "span_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(order), F.lit(False)),
+    )
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    w = w.withColumn("span_id", F.sum(F.col("span_start").cast("int")).over(cum))
+
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">")
+    )
+    corrupted_tok = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("span_start"), sentinel
+    )
+    corr = (
+        w.select("doc_id", "pos", corrupted_tok.alias("ct"))
+        .filter(F.col("ct").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ct"))),
+                    lambda x: x["ct"],
+                ),
+            ).alias("corrupted")
+        )
+    )
+    tgt_tok = F.when(
+        F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("masked"), F.col("tok"))
+    tgt = (
+        w.select("doc_id", "pos", tgt_tok.alias("tt"))
+        .filter(F.col("tt").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tt"))),
+                    lambda x: x["tt"],
+                ),
+            ).alias("target")
+        )
+    )
+    stats = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        F.max("span_id").cast("long").alias("n_spans"),
+    )
+    return (
+        stats.join(corr, "doc_id")
+        .join(tgt, "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
 @op("doc_pack_greedy")
 def doc_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy context-window packing: concatenate consecutive documents

@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_unicode_nfc", "er_fellegi_sunter_em", "privacy_t_closeness",
     "graph_kcore_decompose", "dq_benford_digits", "ts_autocorrelation",
     "agg_ks_two_sample", "sessionize_markov_transitions",
+    "doc_span_corruption",
     "join_null_safe", "agg_median_abs_deviation", "sink_partitioned_silver",
     "join_bucketed_colocated", "sink_overwrite_dynamic",
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",

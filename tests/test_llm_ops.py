@@ -1541,6 +1541,35 @@ def test_benford_digits_accounting_identities(spark):
         assert r["chi2_term"] == diff * diff / (r["expected_freq"] * r["n_total"])
 
 
+def test_span_corruption_roundtrip_reconstructs_text(spark):
+    """The defining property of the T5 objective: substituting each
+    <extra_id_k> sentinel in the corrupted input with the k-th span of
+    the target must reproduce the original document EXACTLY, for every
+    document; the realized mask rate must sit near the 25% parameter."""
+    import re
+
+    import pandas as pd
+
+    got = all_ops()["doc_span_corruption"].fn(spark, SF_SMALL).toPandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet").set_index("doc_id")[
+        "text"
+    ]
+    sent = re.compile(r"<extra_id_(\d+)>")
+    for _, r in got.iterrows():
+        spans = {}
+        if isinstance(r["target"], str):
+            parts = sent.split(r["target"])
+            # parts = ['', '0', ' words ', '1', ' words ', ...]
+            for k, words in zip(parts[1::2], parts[2::2]):
+                spans[int(k)] = words.strip()
+        rebuilt = sent.sub(lambda m: spans[int(m.group(1))], r["corrupted"])
+        rebuilt = re.sub(" +", " ", rebuilt).strip()
+        assert rebuilt == docs.loc[r["doc_id"]], r["doc_id"]
+        assert r["n_masked"] == sum(len(s.split()) for s in spans.values())
+    rate = got["n_masked"].sum() / got["n_words"].sum()
+    assert 0.20 < rate < 0.30
+
+
 def test_gbdt_hist_matches_pandas_replica(spark):
     """3-round boosted ensemble must match a sequential pandas/int
     replica byte-for-byte (same bins, moments, tie-breaks, learning
