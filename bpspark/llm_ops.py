@@ -4347,7 +4347,12 @@ def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
 # image near-dup via perceptual hash
 # ---------------------------------------------------------------------------
 
-_PHASH_HAMMING_MAX = 8  # banding itself is 4 × 16-bit (_hamming_band_pairs)
+# 7, not 8: the 4 x 16-bit banding + 1-bit multi-probe in
+# _hamming_band_pairs is lossless exactly for pairs with min per-band
+# Hamming <= 1, i.e. total Hamming <= 7 by pigeonhole — at 8 a 2+2+2+2
+# band split could be silently missed, making the screen best-effort
+# while the docstring claimed lossless (ADVICE r4).
+_PHASH_HAMMING_MAX = 7
 _PHASH_BUCKET_CAP = 32
 
 
@@ -4388,12 +4393,14 @@ def dedup_image_phash(spark: SparkSession, sf: str) -> DataFrame:
     """IMAGE near-duplicate detection — the multimodal arm of the dedup
     family: every document's PPM payload (the real P6 bytes
     ppm_image_payloads builds) is decoded and reduced to a 64-bit
-    average hash (grayscale → 8×8 grid → above-mean bits, the classic
-    aHash), then near-dup pairs surface through the same banded-LSH
-    discipline as dedup_simhash: candidates = equal 16-bit band (any of
-    4 — Hamming ≤ 8 over 64 bits guarantees one exact band by
-    pigeonhole, so banding loses NOTHING at the screen threshold),
-    screened to exact Hamming ≤ 8 via bit_count(xor) JVM-side. Planted
+    difference hash (grayscale → 8×9 grid → right-cell-brighter bits,
+    dHash — see _dhash64 for why it beats aHash here), then near-dup
+    pairs surface through the same banded-LSH discipline as
+    dedup_simhash: candidates = equal-or-one-bit-off 16-bit band (any
+    of 4 — total Hamming ≤ 7 over 64 bits forces min per-band Hamming
+    ≤ 1 by pigeonhole, so banding + 1-bit multi-probe loses NOTHING at
+    the screen threshold), screened to exact Hamming ≤ 7 via
+    bit_count(xor) JVM-side. Planted
     twins (same image with a locally perturbed raster) must all
     surface; the per-(band, value) bucket takes the minhash
     BUCKET_CAP discipline so a degenerate corpus can't go quadratic.

@@ -1695,7 +1695,10 @@ def stream_drift_monitor(spark: SparkSession, sf: str) -> DataFrame:
     frame. Swap the memory sink for the metrics table and the plan is
     unchanged (AvailableNow here so the op terminates)."""
     cut = F.lit("2024-01-16").cast("timestamp_ntz")
-    bucket = F.least((F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket")
+    # F.floor, not cast("int"): the cast truncates toward zero while the
+    # oracle's FLOOR rounds toward -inf — they fork for negative values
+    # (ADVICE r4; events.value is non-negative today, but don't rely on it).
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bucket")
 
     from bpspark.io import table as _table
 

@@ -692,6 +692,7 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum("c").cast("decimal(38,0)").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("ss"),
+        F.max(F.abs(F.col("c"))).cast("decimal(38,0)").alias("max_c"),
     )
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = daily.select(
@@ -724,12 +725,34 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     den = F.col("n_days") * (
         F.col("n_days") * F.col("ss") - F.col("s") * F.col("s")
     )
+    # Overflow guard (ADVICE r4): Spark's non-ANSI DECIMAL(38,0) returns
+    # NULL on overflow while DuckDB's HUGEINT keeps exact values — a
+    # silent cross-engine fork. Bound: |num| <= 4 * n_days^3 * max|c|^2
+    # (|p| <= n*M^2, |s||asum| <= 2n^2*M^2, n_pairs*s^2 <= n^3*M^2), so
+    # log10(4) + 3*log10(n) + 2*log10(M) < 37.5 guarantees headroom in
+    # BOTH engines (10^38 DECIMAL / 1.7e38 HUGEINT). raise_error keeps
+    # the check lazy per-row — overflow risk now errors loudly instead
+    # of emitting NULL acf.
+    headroom_ok = (
+        F.lit(0.61)
+        + 3.0 * F.log10(F.col("n_days").cast("double"))
+        + 2.0 * F.log10(F.greatest(F.col("max_c").cast("double"), F.lit(1.0)))
+    ) < 37.5
+    acf = num.cast("double") / den.cast("double")
     return j.select(
         "event_type",
         F.col("lag").cast("long").alias("lag"),
         "n_days",
         "n_pairs",
-        (num.cast("double") / den.cast("double")).alias("acf"),
+        F.when(headroom_ok, acf)
+        .otherwise(
+            F.raise_error(
+                "ts_autocorrelation: DECIMAL(38,0) headroom exceeded "
+                "(n_days^3 * max|cents|^2 too large) — result would "
+                "silently NULL-fork vs the exact-integer oracle"
+            )
+        )
+        .alias("acf"),
     ).orderBy("event_type", "lag")
 
 

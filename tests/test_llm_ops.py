@@ -1109,7 +1109,7 @@ def test_image_phash_twin_recall_and_invariants(spark):
     twins = pdf[(pdf["doc_b"] - pdf["doc_a"]) == 1_000_000]
     twins = twins[twins["doc_a"] < 20]
     assert len(twins) == 20
-    assert (pdf["hamming"] <= 8).all()
+    assert (pdf["hamming"] <= 7).all()
     assert (pdf["doc_a"] < pdf["doc_b"]).all()
     assert not pdf.duplicated(["doc_a", "doc_b"]).any()
 

@@ -71,8 +71,18 @@ def main() -> None:
                 if len(pdf.columns):
                     pdf.sort_values(by=sorted(pdf.columns), kind="stable")
                 if name in o:
-                    probs = compare_frames(pdf, con.sql(o[name]).df(), name)
-                    status = "pass" if not probs else "FAIL"
+                    odf = con.sql(o[name]).df()
+                    probs = compare_frames(pdf, odf, name)
+                    if probs:
+                        status = "FAIL"
+                    elif len(pdf) == 0 and len(odf) == 0:
+                        # Both engines emitted ZERO rows: the hash matches
+                        # trivially and certifies nothing — a broken
+                        # predicate would look identical (VERDICT r4 item 8;
+                        # q_dominant_suppliers certified vacuously in r4).
+                        status = "VACUOUS"
+                    else:
+                        status = "pass"
                     detail = probs or None
                 else:
                     status, detail = "rows_only", None
@@ -89,7 +99,7 @@ def main() -> None:
                     "detail": str(ex)[:300],
                 }
             total += results[name]["sec"]
-            if results[name]["status"] in ("FAIL", "ERROR"):
+            if results[name]["status"] in ("FAIL", "ERROR", "VACUOUS"):
                 fails.append(name + tag)
             print(
                 f"{results[name]['sec']:7.2f}s {results[name]['status']:>9} {name}{tag}",

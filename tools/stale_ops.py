@@ -110,7 +110,9 @@ def valid_rows(correctness_path: str) -> set[str]:
 
 def cmd_build_manifest(rounds: list[tuple[int, str, str]]) -> None:
     manifest: dict[str, dict] = {}
+    ingested: list[str] = []
     for rnd, rev, cfile in sorted(rounds):
+        ingested.append(os.path.basename(cfile))
         hashes = hash_ops_at_rev(rev)
         valid = valid_rows(cfile)
         # Newest driver evidence wins in BOTH directions: a later FAIL or
@@ -126,15 +128,37 @@ def cmd_build_manifest(rounds: list[tuple[int, str, str]]) -> None:
                 print(f"  warn: r{rnd} row for {name} but op absent at {rev}")
                 continue
             manifest[name] = {"round": rnd, "rev": rev, "source_hash": hashes[name]}
+    manifest["__ingested_correctness__"] = {
+        "round": -1, "rev": "", "source_hash": "", "files": sorted(ingested),
+    }
     with open(MANIFEST, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    print(f"wrote {MANIFEST}: {len(manifest)} ops with valid driver rows")
+    print(f"wrote {MANIFEST}: {len(manifest) - 1} ops with valid driver rows")
 
 
 def cmd_stale() -> None:
     if not os.path.exists(MANIFEST):
         sys.exit(f"{MANIFEST} missing — run build-manifest first")
     manifest = json.load(open(MANIFEST))
+    # Refuse to propose a window from a manifest that predates a driver
+    # artifact (VERDICT r4 item 7: the r4 sweep's rows weren't ingested
+    # and `stale` proposed the already-swept window again). Every
+    # CORRECTNESS_r*.json in the repo root must have been build-manifest
+    # input before the staleness report means anything.
+    ingested = set(
+        manifest.pop("__ingested_correctness__", {}).get("files", [])
+    )
+    import glob
+
+    present = {os.path.basename(p) for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))}
+    missing = sorted(present - ingested)
+    if missing:
+        sys.exit(
+            "manifest is STALE itself: driver artifact(s) not ingested: "
+            + ", ".join(missing)
+            + "\nrun build-manifest with every CORRECTNESS_r*.json (plus its"
+            " snapshot rev) before generating a window"
+        )
     current = hash_ops_at(REPO)
     stale = [
         n for n, h in current.items()
@@ -150,9 +174,25 @@ def cmd_stale() -> None:
     print(f"STALE  ({len(stale)}): impl changed AFTER its driver row — re-verify:")
     for n in stale:
         print(f"  {n}  (row from r{manifest[n]['round']} @ {manifest[n]['rev']})")
+    # Window candidates: STALE + NEVER in registry priority order, but
+    # oracle-backed (hash-certifiable) ops first within that order — a
+    # rows-only driver row adds little over the local strict replica,
+    # while a hash row is evidence the replica can't fake (VERDICT r4
+    # item 6). The registry's hand-packed tier A should normally agree;
+    # this line is the mechanical cross-check.
+    sys.path.insert(0, REPO)
+    from bpspark.registry import all_ops
+
+    sql_backed = {n for n, o in all_ops().items() if o.sql is not None}
+    todo = set(stale) | set(never)
+    cand = sorted(
+        (n for n in current if n in todo),
+        key=lambda n: (n not in sql_backed, list(current).index(n)),
+    )[:50]
+    n_oracle = sum(1 for n in cand if n in sql_backed)
     print(
-        "\nnext-window candidates (registry priority order): "
-        + ", ".join([n for n in current if n in set(stale) | set(never)][:50])
+        f"\nnext-window candidates (oracle-backed first, then priority order;"
+        f" {n_oracle}/{len(cand)} hash-certifiable): " + ", ".join(cand)
     )
 
 
