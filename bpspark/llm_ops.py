@@ -585,13 +585,19 @@ def sim_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
     FROM e a JOIN e b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.5
+          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the bucketing
     stand-in: at scale the blocking key is an LSH bucket / IVF cluster, so
-    the pairwise compare is per-block, never corpus×corpus)."""
+    the pairwise compare is per-block, never corpus×corpus). Threshold
+    0.35, not 0.5: the synthetic embeddings' within-label cosine tops out
+    at ~0.45-0.51 (p99 ~0.29), so >=0.5 certified an EMPTY result at
+    sf0.001/0.01 (replica VACUOUS audit); 0.35 sits above p99 yet yields
+    pairs at every SF. Both engines fold the 64-dim dot product
+    left-to-right over identical doubles, so the threshold compare is
+    bit-identical."""
     e = _with_norm(table(spark, sf, "embeddings"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
                  F.col("embedding").alias("ea"), F.col("norm").alias("na"))
@@ -601,7 +607,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= 0.35)
         .select("vec_a", "vec_b", F.round("cosine", 8).alias("cosine"))
     )
 

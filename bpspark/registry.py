@@ -46,7 +46,11 @@ _PRIORITY: tuple[str, ...] = (
     # q_dominant_suppliers (threshold re-tuned this round so the hash
     # certifies non-empty output) and the two ADVICE-touched ops
     # (stream_drift_monitor, ts_autocorrelation) so their edits get driver
-    # rows. Regenerate future windows from `python tools/stale_ops.py`
+    # rows. join_anti_dedup / set_except / dedup_embedding_cosine are the
+    # three STALE ops: their r1/r2 rows were VACUOUS (both engines emitted
+    # zero rows) and their predicates were re-grounded this round, so the
+    # old rows are decertified and they must re-enter the sweep.
+    # Regenerate future windows from `python tools/stale_ops.py`
     # after rebuilding the manifest with the new round's snapshot rev.
     "pipeline_llm_corpus", "pipeline_web_corpus", "ts_activity_grid",
     "ts_gapfill_locf", "ts_ohlc_hourly", "ts_scd2_intervals",
@@ -59,9 +63,9 @@ _PRIORITY: tuple[str, ...] = (
     "join_skew_salted", "sql_end_to_end", "agg_mode", "join_range_bucketed",
     "agg_bool_and_or", "win_ntile_bucketize", "agg_histogram_fixed",
     "win_time_range_interval", "agg_weighted_avg",
-    "win_first_last_ignore_nulls", "win_nth_value", "agg_skew_kurt",
-    "join_fuzzy_levenshtein", "agg_gini_impurity", "win_cumulative_distinct",
-    "sample_hash_mod", "rag_context_pack", "ts_seasonal_decompose",
+    "win_first_last_ignore_nulls", "join_anti_dedup", "agg_skew_kurt",
+    "join_fuzzy_levenshtein", "agg_gini_impurity", "set_except",
+    "dedup_embedding_cosine", "rag_context_pack", "ts_seasonal_decompose",
     "ts_autocorrelation", "graph_label_propagation", "graph_kcore_decompose",
     "privacy_l_diversity", "stream_drift_monitor", "q_dominant_suppliers",
     "q_shipping_priority", "q_nation_revenue", "q_hypertable_rollup",
@@ -71,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     # families), then the r4-era tail in prior value order; within the
     # tail, oracle-backed composed shapes (q_*) come before long-tail fn_*
     # scalar variants (cheapest to re-derive from green fn_* siblings).
+    "win_nth_value", "win_cumulative_distinct", "sample_hash_mod",
     "ts_ewma", "graph_pagerank", "stream_ivf_index_append",
     "sim_ivf_index_compact", "embedding_pq_encode", "sim_pq_adc_search",
     "ml_kmeans_lloyd", "ml_pca_top_component", "ml_logreg_gd",
@@ -152,7 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_dynamic_gap", "scan_binary_zip", "sink_append_parquet",
     "stream_static_join", "stream_watermark_late", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table", "dedup_exact_normalized",
-    "dedup_token_sorted", "dedup_embedding_cosine", "dedup_cluster_cc",
+    "dedup_token_sorted", "dedup_cluster_cc",
     "dedup_ngram_jaccard", "sim_cosine_lsh", "text_langid",
     "text_token_count_bpe", "text_fingerprint", "text_normalize_clean",
     "text_pii_redact", "text_readability", "text_tfidf_topterms",
@@ -163,14 +168,14 @@ _PRIORITY: tuple[str, ...] = (
     "filter_boolean_logic", "filter_isin", "filter_like_regex",
     "filter_null_required", "filter_between_range", "join_broadcast_dim",
     "join_shuffle_inner", "join_left_outer", "join_semi_validate",
-    "join_anti_dedup", "join_theta_range", "join_cross_small",
+    "join_theta_range", "join_cross_small",
     "agg_group_sums", "agg_global", "agg_count_distinct",
     "agg_approx_distinct", "agg_having", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "distinct_rows", "win_row_number_topk",
     "win_rank_dense", "win_lag_lead", "win_running_sum",
     "win_moving_avg_range", "win_ntile_first_last", "sort_multi_key",
     "limit_n", "topk_global", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "agg_pivot", "join_full_outer",
+    "set_intersect", "agg_pivot", "join_full_outer",
     "agg_min_by_max_by", "agg_string_concat_ordered", "agg_percentile_exact",
     "agg_stddev_stable", "gen_calendar_dim", "fn_bitwise", "fn_hash_encode",
     "fn_date_arith", "set_intersect_all", "dedup_substring_spans",

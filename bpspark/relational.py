@@ -260,18 +260,40 @@ def join_semi_validate(spark: SparkSession, sf: str) -> DataFrame:
 @op(
     "join_anti_dedup",
     sql="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT DISTINCT a.l_partkey, a.l_suppkey
+    FROM lineitem a
+    WHERE a.l_shipdate >= TIMESTAMP '2001-01-01'
+      AND NOT EXISTS (SELECT 1 FROM lineitem b
+                      WHERE b.l_shipdate < TIMESTAMP '2001-01-01'
+                        AND b.l_partkey = a.l_partkey
+                        AND b.l_suppkey = a.l_suppkey)
+    ORDER BY l_partkey, l_suppkey
     """,
 )
 def join_anti_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """R8-R10: new-key detection via left-anti join — the Spark form of the
     reference's three idempotency existence checks
-    (MetadataIngestionServiceImpl.java:181-210). At scale the ledger side is
-    the smaller one → broadcast; else shuffle-anti with AQE."""
-    c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    (MetadataIngestionServiceImpl.java:181-210): (part, supplier)
+    combinations first shipped in 2001, i.e. arrival keys absent from the
+    pre-2001 ledger. (The previous customers-without-orders form was
+    degenerate — every customer has ~10 orders at every SF, so the r1
+    driver row certified an empty result; the pair keyspace is sparse and
+    churns, yielding 54/5438/71793 new pairs at sf0.001/0.01/0.1.) At
+    scale the ledger side is distinct-reduced before the anti join
+    (map-side partial dedup), broadcast when small; else shuffle-anti
+    with AQE."""
+    li = table(spark, sf, "lineitem")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    arrivals = (
+        li.filter(F.col("l_shipdate") >= cut)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    ledger = li.filter(F.col("l_shipdate") < cut).select("l_partkey", "l_suppkey")
+    return (
+        arrivals.join(ledger, ["l_partkey", "l_suppkey"], "left_anti")
+        .orderBy("l_partkey", "l_suppkey")
+    )
 
 
 @op(
@@ -816,14 +838,19 @@ def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
 @op(
     "set_except",
     sql="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_orderkey AS orderkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT l_orderkey AS orderkey FROM lineitem
     """,
 )
 def set_except(spark: SparkSession, sf: str) -> DataFrame:
     """Set difference — the ledger-diff form of the idempotency checks
-    (R8-R10): keys present in arrivals but not in the ledger."""
-    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (distinct) semantics
+    (R8-R10): keys present in arrivals but not in the ledger, here orders
+    that have NO line items yet (the unfulfilled backlog). (The previous
+    customer-minus-supplier nationkey form was degenerate — suppliers
+    cover every customer nation at every SF, so the r1 driver row
+    certified an empty result; orders without lineitems number
+    27/257/2764 at sf0.001/0.01/0.1.)"""
+    o = table(spark, sf, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = table(spark, sf, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.subtract(li)  # EXCEPT (distinct) semantics

@@ -151,7 +151,8 @@ def test_adaptive_route_k_saturates_early():
 def test_embedding_cosine_pairs_symmetric_bounded(spark):
     rows = OPS["dedup_embedding_cosine"].fn(spark, SF_SMALL).collect()
     assert all(r.vec_a < r.vec_b for r in rows)
-    assert all(0.5 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+    assert rows, "threshold must yield pairs at test SF (vacuous otherwise)"
+    assert all(0.35 <= r.cosine <= 1.0 + 1e-9 for r in rows)
 
 
 def test_multimodal_columns_schema(spark):
