@@ -21,6 +21,11 @@ def test_oracle_parity(spark, duck_small, name):
     duck_pdf = duck_small.sql(o.sql).df()
     problems = compare_frames(spark_pdf, duck_pdf, name)
     assert not problems, "\n".join(problems)
+    # A zero-row match certifies nothing — a broken predicate would hash
+    # identically (the r5 VACUOUS audit found 7 such ops, three with
+    # driver "PASS" rows). Every oracle-backed op must emit rows even at
+    # the smallest SF so this suite tests actual values.
+    assert len(spark_pdf) > 0, f"{name}: both engines emitted 0 rows (vacuous)"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_OPS)
