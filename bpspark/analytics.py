@@ -1073,8 +1073,14 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     PROMO — so the r4 row certified an empty result; STANDARD & size<=15
     selects 13/97/980 parts at sf0.001/0.01/0.1.) The reference's
     correlated MIN subquery becomes a window MIN over the grouped cost
-    table — one shuffle on l_partkey serves both the group-by and the
-    window, and part/supplier are broadcast dims. avg uses the
+    table; part/supplier are broadcast dims. Two fact-side exchanges,
+    both cheap: the group-by shuffles map-side PARTIAL aggregates, and
+    the window MIN re-shuffles the REDUCED pair table (|part×supplier
+    pairs| rows, not fact rows) onto l_partkey — at 100 TB this beats
+    the single-exchange alternative (pre-partitioning raw lineitem by
+    l_partkey) by orders of magnitude in shuffle bytes. (The prior "one
+    shuffle serves both" claim was wrong; exposed when the plan-test
+    exchange parser was fixed in r5.) avg uses the
     ROUND(SUM,2)/COUNT form so the double is bit-identical cross-engine,
     making the equality filter against the window MIN deterministic."""
     li = table(spark, sf, "lineitem")
@@ -1224,8 +1230,10 @@ def q_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     cut yields ZERO rows at every test SF (~26 suppliers per part, max
     share ~0.20), which made the r4 oracle hash certify an empty result
     (VERDICT r4 item 5). The nested IN-subqueries become one grouped fact
-    pass + window SUM/COUNT on the same l_partkey partitioning (no second
-    shuffle), then a broadcast join to supplier and DISTINCT projection."""
+    pass + window SUM/COUNT over the REDUCED pair table (the window's
+    l_partkey exchange carries |part×supplier pairs| rows, not fact
+    rows — the right trade at 100 TB), then a broadcast join to supplier
+    and DISTINCT projection."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").filter(
         F.col("p_name").like("forest%") | F.col("p_type").like("ECONOMY%")

@@ -230,15 +230,23 @@ def ts_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
     this is the continuous-aggregate shape run incrementally per
     time-slice."""
     ev = table(spark, sf, "events")
-    bucket = F.date_trunc("hour", F.col("ts"))
-    wa = Window.partitionBy("user_id", bucket).orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", bucket).orderBy(
+    # Materialize the hour bucket as a COLUMN before the windows: a window
+    # partitioned by the raw date_trunc EXPRESSION plans as an internal
+    # _w0 key that Spark does not recognize as equal to the groupBy's
+    # `bucket` alias — that cost a second (user_id, bucket) exchange
+    # between the windows and the aggregate (caught when the plan-test
+    # exchange parser was fixed in r5; the old single-shuffle assertion
+    # was vacuous). With the shared column, windows and agg reuse ONE
+    # hash partitioning.
+    ev = ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     return (
         ev.select(
             "user_id",
-            bucket.alias("bucket"),
+            "bucket",
             "value",
             F.row_number().over(wa).alias("rn_a"),
             F.row_number().over(wd).alias("rn_d"),
@@ -688,6 +696,13 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("c")
     )
+    # localCheckpoint: `daily` feeds THREE consumers (pair side a, pair
+    # side b, stats) and Spark's static planner does not reuse the
+    # aggregate subtree across them — without this the corpus-sized
+    # rollup scan+aggregate ran three times (seen in the r5 plan audit).
+    # Checkpointing the tiny |types×days| panel makes the corpus pass
+    # happen exactly once, which is what the claim below promises.
+    daily = daily.localCheckpoint()  # eager, house style (graph.py)
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("c").cast("decimal(38,0)").alias("s"),
