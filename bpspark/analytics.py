@@ -971,30 +971,32 @@ def q_waiting_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (no l_commitdate/l_receiptdate in schema): blame the
     supplier whose line shipped LAST in a finished multi-supplier order,
     excluding ties. The classic correlated EXISTS / NOT EXISTS pair is
-    decorrelated into two hash aggregates + re-joins on orderkey — every
-    join in the plan shares the orderkey partitioning, so at scale this is
-    one shuffle reused across four operators, not four shuffles. supplier
-    is broadcast at the end."""
+    computed as WINDOW aggregates over the one l_orderkey partitioning —
+    per-order max_ship + distinct-supplier count, filter to the last
+    line, then the at-max tie count as a second window on the SAME
+    (already satisfied) partitioning. ONE fact-side exchange total, no
+    self-joins. (The r4 decorrelated two-aggregate + re-join form planned
+    the ol subtree repeatedly — 11 hash exchanges at sf0.001, caught by
+    the r5 exchange-parser audit; its docstring claimed the re-joins
+    would share one shuffle, which Spark's planner does not do for
+    aggregate re-joins.) supplier is broadcast at the end."""
     o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     ol = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    agg = ol.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    w = Window.partitionBy("l_orderkey")
+    last = (
+        ol.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
     )
-    lastline = ol.join(
-        agg,
-        (ol.l_orderkey == agg.a_orderkey) & (ol.l_shipdate == F.col("max_ship")),
-    ).select("l_orderkey", "l_suppkey", "n_supp")
-    atmax = lastline.groupBy(F.col("l_orderkey").alias("m_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_at_max")
-    )
+    # second window over the SAME key: partitioning already satisfied, no
+    # new exchange — counts distinct suppliers among the at-max lines
+    at_max = last.withColumn("n_at_max", F.size(F.collect_set("l_suppkey").over(w)))
     s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        lastline.join(atmax, lastline.l_orderkey == atmax.m_orderkey)
-        .filter((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1))
+        at_max.filter((F.col("n_supp") >= 2) & (F.col("n_at_max") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
@@ -1280,16 +1282,22 @@ def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket pair mining (frequent-itemset support + lift) over
     order baskets: brands co-purchased in the same order, min support 10,
     top-25 by lift. The basket relation dedups to (order, brand) FIRST —
-    the self-join then fans out only C(brands-per-order, 2), and its
-    equi-key is o, so it's one shuffle co-partitioned with the dedup agg.
-    Brand counts are tiny and broadcast onto the post-HAVING pair list.
-    Lift is one fixed-association double expression over exact counts."""
+    the self-join then fans out only C(brands-per-order, 2). The dedup'd
+    basket feeds FOUR consumers (order count, brand counts, both self-join
+    sides); it is localCheckpointed so the corpus-sized dedup pass runs
+    ONCE (Spark's static planner re-planned it per consumer — 4 duplicate
+    (o, brand) exchanges at sf0.001, caught by the r5 exchange-parser
+    audit). Materializing the basket is the algorithm's working set — the
+    same table the self-join must hold anyway. Brand counts are tiny and
+    broadcast onto the post-HAVING pair list. Lift is one
+    fixed-association double expression over exact counts."""
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     pt = table(spark, sf, "part").select("p_partkey", "p_brand")
     b = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint()
     )
     n = b.agg(F.count_distinct("o").alias("n_orders"))
     cx = b.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))

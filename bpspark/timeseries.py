@@ -1,9 +1,10 @@
 """Time-series operators over the ``events`` table: batch sessionization
 (gap-based session assignment) and calendar gap-filling with
 last-observation-carried-forward. Both are pure window/sequence
-compositions — no Python on the hot path — and both shuffle exactly once
-on ``user_id``, so at 100 TB each user's timeline is processed locally
-after a single exchange.
+compositions — no Python on the hot path — keyed on ``user_id``
+partitionings, so at 100 TB each user's timeline is processed locally;
+any second exchange an op pays moves its reduced daily panel, never raw
+events (per-op docstrings state the exact exchange ledger).
 
 Reference parity: the reference pipeline (SURVEY §2.1 R9/R12) groups
 per-entity records by time to pick the latest metadata revision; these ops
@@ -168,8 +169,13 @@ def ts_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
     (sequence of days between their first and last event), left-join the
     observed last-value-of-day (max_by on (ts, event_id) — a picked input
     value, never float arithmetic), and carry the last non-null forward.
-    The spine explode is per-user (~rows × days/user, bounded), and spine,
-    daily agg, join, and window all hash on user_id — one shuffle total.
+    The spine explode is per-user (~rows × days/user, bounded). Two
+    exchanges, both right at scale: the daily dedup agg shuffles map-side
+    PARTIALS keyed (user_id, day), then the spine join + LOCF window
+    re-align the REDUCED panel on user_id — panel rows, not events. (A
+    literal one-shuffle form exists — pre-partition raw events by
+    user_id — but it would shuffle the unaggregated corpus; the old
+    docstring's "one shuffle total" claim was wrong, r5 plan audit.)
     Days travel as ISO strings to keep the oracle date-type-free."""
     ev = table(spark, sf, "events").select(
         "user_id",
@@ -327,7 +333,11 @@ def ts_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
     consecutive active days and the longest such streak. The classic
     date-minus-row_number anchor trick turns each island into a group
     key, so after the dedup-to-days agg everything is one window sort and
-    two hash aggs, all partitioned on user_id — one shuffle at 100 TB.
+    two hash aggs on user_id. Two exchanges: the dedup agg ships
+    (user_id, day) map-side partials; the island window then re-aligns
+    the REDUCED day panel on user_id — panel rows, not events (the old
+    "one shuffle" claim was wrong, r5 plan audit; pre-partitioning raw
+    events would be worse at 100 TB).
     The anchor date never leaves the plan (no DateType in the output)."""
     days = (
         table(spark, sf, "events")

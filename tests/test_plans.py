@@ -1118,3 +1118,27 @@ def test_window_ops_never_cartesian(spark, name):
     joins — no CartesianProduct, no non-broadcast nested loop."""
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_q21_shape_is_windowed_single_fact_exchange(spark):
+    """q_waiting_orders: the EXISTS/NOT-EXISTS pair runs as two window
+    aggregates over ONE l_orderkey exchange (the r4 decorrelated re-join
+    form re-planned the fact subtree into 11 exchanges)."""
+    plan = plan_of(spark, "q_waiting_orders")
+    ex = hash_exchanges(plan)
+    assert len(ex) == 2, ex
+    assert ex[0].startswith("hashpartitioning(l_orderkey"), ex
+    assert ex[1].startswith("hashpartitioning(s_name"), ex
+    assert plan.count("Window") >= 2
+
+
+def test_basket_pairs_dedup_materialized_once(spark):
+    """q_basket_pairs: the (order, brand) dedup is localCheckpointed, so
+    the returned plan reads the materialized basket — the corpus scan and
+    the dedup exchange must be ABSENT from it (they ran once at build
+    time; pre-r5 the dedup subtree was planned four times)."""
+    plan = plan_of(spark, "q_basket_pairs")
+    assert "Scan parquet" not in plan
+    assert not any(
+        a.startswith("hashpartitioning(o, brand") for a in hash_exchanges(plan)
+    ), hash_exchanges(plan)
