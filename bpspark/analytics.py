@@ -1123,17 +1123,21 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey, part_value
     FROM val
-    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    WHERE part_value > (SELECT 2.0 * SUM(part_value) / COUNT(*) FROM val)
     ORDER BY part_value DESC, partkey
     """,
 )
 def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp value -> shipped value per part from one
-    nation's suppliers): parts whose value exceeds a fraction of the total
-    — the scalar-subquery threshold becomes a 1-row broadcast cross join.
-    (Q11's literal 'GERMANY' matches no nation in this testdata — names
-    are NATION_0..24 — so the r4 row certified an empty result; NATION_3
-    is one of the ten nations that have suppliers at EVERY test SF.)
+    nation's suppliers): parts whose value exceeds 2x the AVERAGE part
+    value — the scalar-subquery threshold becomes a 1-row broadcast cross
+    join. (Q11's literal 'GERMANY' matches no nation in this testdata —
+    names are NATION_0..24 — so the r4 row certified an empty result;
+    NATION_3 is one of the ten nations that have suppliers at EVERY test
+    SF. And the spec's FIXED total fraction is scale-dependent — TPC-H
+    itself scales it as 0.0001/SF; a fixed 0.001 went vacuous again at
+    sf0.1, caught by the r5 sf0.1 oracle sweep. The 2x-average form is
+    scale-free: 20/155/1627 rows at sf0.001/0.01/0.1.)
     The per-part agg shuffles once; the global SUM reuses the SAME rounded
     part_value numbers (sum of exact-2dp values, boundary-free), so the
     threshold double is bit-identical cross-engine. nation/supplier are
@@ -1147,7 +1151,9 @@ def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("part_value"))
     )
-    total = val.agg((F.sum("part_value") * F.lit(0.001)).alias("threshold"))
+    total = val.agg(
+        (F.lit(2.0) * F.sum("part_value") / F.count(F.lit(1))).alias("threshold")
+    )
     return (
         val.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

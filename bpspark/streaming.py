@@ -210,7 +210,24 @@ def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
 # genuinely stateful streaming — rows-only
 # ---------------------------------------------------------------------------
 
-@op("stream_watermark_late", sql=None)
+@op(
+    "stream_watermark_late",
+    sql="""
+    WITH on_time AS (
+      SELECT date_trunc('hour', ts) AS w, COUNT(*) AS c
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS horizon
+      FROM events WHERE event_id % 2 = 0
+    ), emitted AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n
+      FROM on_time, wm WHERE w + INTERVAL 1 HOUR <= horizon
+    )
+    SELECT n AS rows_after_batch1, n AS rows_after_batch2,
+           TRUE AS late_rows_dropped
+    FROM emitted
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked tumbling count across two checkpointed runs of the same
     query: run 1 ingests the on-time events and advances the watermark to
@@ -218,6 +235,15 @@ def stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
     entirely behind the watermark — and must emit zero additional rows.
     This is the bounded-state guarantee that matters at 100 TB: without the
     watermark, window state (and the late replay) would grow forever.
+
+    ORACLE-BACKED STREAMING (upgraded from rows-only in r5): append-mode
+    emission is deterministic — a window row is emitted exactly when its
+    END falls at or below the final watermark (max on-time ts − 1h), so
+    rows_after_batch1 is the plain SQL sum of hourly on-time counts for
+    windows inside that horizon, and the behind-watermark replay provably
+    adds nothing (rows_after_batch2 identical). Integer counts only —
+    hash-exact across engines (verified at sf0.001 and sf0.01 before the
+    upgrade: 499/4986 emitted rows both engines).
 
     Returns one summary row so the invariant is self-evident."""
     import glob as _glob
@@ -338,7 +364,15 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(books)
 
 
-@op("stream_stateful_counter", sql=None)
+@op(
+    "stream_stateful_counter",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY north star: "applyInPandasWithState for custom stateful
@@ -348,7 +382,17 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     Two micro-batches (file adds between checkpointed AvailableNow runs)
     prove state persistence: the final counts equal the full-data batch
     aggregate. State is keyed by user_id and GC'd via ProcessingTimeTimeout
-    in production; NoTimeout here since the fixture stream is finite."""
+    in production; NoTimeout here since the fixture stream is finite.
+
+    ORACLE-BACKED STREAMING (upgraded from rows-only in r5): state
+    accumulates the value sum as EXACT INTEGER CENTS (events.value is
+    exact-2dp; round(v*100) snaps the sub-ULP noise identically in pandas
+    and SQL), so the final per-user state is batch-split-invariant and
+    the emitted total (cents / 100.0, one IEEE division) hash-matches the
+    whole-table aggregate — streamed ≡ recompute, same certification as
+    stream_mv_refresh. The pre-r5 float-state form rounded a
+    pandas-summation-ordered double into the state each batch, which
+    could never be hash-certified."""
     import shutil
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -366,12 +410,16 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
         import pandas as pd  # runs in the Python worker
 
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
-        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+            # exact integer cents: summation order can't matter, so the
+            # state is identical under ANY batch split (oracle contract)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # executor-side append, nothing to the driver: per-user update
@@ -387,7 +435,7 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
             .applyInPandasWithState(
                 count_events,
                 outputStructType="user_id long, n_events long, total_value double",
-                stateStructType="n long, total double",
+                stateStructType="n long, total_cents long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )

@@ -79,8 +79,13 @@ def test_stateful_counter_matches_batch(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # mirror the op's exact-integer-cents state contract
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
+        .orderBy("user_id")
         .toPandas()
     )
     assert not compare_frames(res, batch, "stateful_counter")
