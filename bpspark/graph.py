@@ -259,7 +259,7 @@ def _lpa_iter_sql(i: int) -> str:
       UNION ALL SELECT node, label FROM l{p}
     ),
     c{i} AS (SELECT node, label, COUNT(*) AS c FROM v{i} GROUP BY node, label),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT node, label,
                ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
@@ -271,8 +271,8 @@ def _lpa_iter_sql(i: int) -> str:
 _LPA_CTES = (
     f"""
     WITH {_KNN_EDGES_SQL},
-    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+    ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ed),
     """
     + ",".join(_lpa_iter_sql(i) for i in range(1, _LPA_ROUNDS + 1))
 )
@@ -332,14 +332,14 @@ def _kcore_iter_sql(i: int) -> str:
       FROM ed JOIN a{p} x ON ed.src = x.node JOIN a{p} y ON ed.dst = y.node
       GROUP BY ed.src
     ),
-    a{i} AS (SELECT node FROM d{i} WHERE c >= {_KCORE_K})"""
+    a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE c >= {_KCORE_K})"""
 
 
 _KCORE_SQL = (
     f"""
     WITH {_KNN_EDGES_SQL},
-    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
-    a0 AS (SELECT DISTINCT src AS node FROM ed),
+    ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
     """
     + ",".join(_kcore_iter_sql(i) for i in range(1, _KCORE_ROUNDS + 2))
     + f"""
