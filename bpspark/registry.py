@@ -42,14 +42,17 @@ _PRIORITY: tuple[str, ...] = (
     # flagship corpus pipelines) or a verdict-highlighted family gap
     # (dedup_semdedup / dedup_simhash). Leads with the pipelines, then the
     # never-swept ts_*/graph_*/search_* families and the relational tail,
-    # closing with 11 promoted oracle-backed composed ops — including
-    # q_dominant_suppliers (threshold re-tuned this round so the hash
-    # certifies non-empty output) and the two ADVICE-touched ops
-    # (stream_drift_monitor, ts_autocorrelation) so their edits get driver
-    # rows. join_anti_dedup / set_except / dedup_embedding_cosine are the
-    # three STALE ops: their r1/r2 rows were VACUOUS (both engines emitted
-    # zero rows) and their predicates were re-grounded this round, so the
-    # old rows are decertified and they must re-enter the sweep.
+    # closing with the promoted oracle-backed composed ops — including the
+    # two ADVICE-touched ops (stream_drift_monitor, ts_autocorrelation) so
+    # their edits get driver rows. Every op the r5 VACUOUS audit
+    # re-grounded is in the window so its hash certifies ACTUAL output
+    # this round: q_dominant_suppliers, q_min_cost_supplier,
+    # q_important_parts, q_dormant_high_balance, q_duplicate_payment_check,
+    # plus the three whose old driver rows were vacuous and are now
+    # decertified (join_anti_dedup, set_except, dedup_embedding_cosine).
+    # stream_watermark_late / stream_stateful_counter were upgraded from
+    # rows-only to oracle-backed (streamed ≡ recompute) in r5 and take
+    # two slots to convert their rows-only r2 rows into hash rows.
     # Regenerate future windows from `python tools/stale_ops.py`
     # after rebuilding the manifest with the new round's snapshot rev.
     "pipeline_llm_corpus", "pipeline_web_corpus", "ts_activity_grid",
@@ -58,12 +61,12 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count", "graph_degree_distribution",
     "search_bm25_incremental", "search_bm25_segment_merge",
     "stream_bm25_index_append", "text_boilerplate_ngrams", "dedup_semdedup",
-    "dedup_simhash", "set_except_all", "join_right_outer", "reshape_unpivot",
+    "dedup_simhash", "q_min_cost_supplier", "q_important_parts", "reshape_unpivot",
     "win_mixed_frame", "win_percent_rank_cume", "agg_collect_arrays",
     "join_skew_salted", "sql_end_to_end", "agg_mode", "join_range_bucketed",
-    "agg_bool_and_or", "win_ntile_bucketize", "agg_histogram_fixed",
-    "win_time_range_interval", "agg_weighted_avg",
-    "win_first_last_ignore_nulls", "join_anti_dedup", "agg_skew_kurt",
+    "agg_bool_and_or", "q_dormant_high_balance", "q_duplicate_payment_check",
+    "stream_watermark_late", "agg_weighted_avg",
+    "stream_stateful_counter", "join_anti_dedup", "agg_skew_kurt",
     "join_fuzzy_levenshtein", "agg_gini_impurity", "set_except",
     "dedup_embedding_cosine", "rag_context_pack", "ts_seasonal_decompose",
     "ts_autocorrelation", "graph_label_propagation", "graph_kcore_decompose",
@@ -75,6 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     # families), then the r4-era tail in prior value order; within the
     # tail, oracle-backed composed shapes (q_*) come before long-tail fn_*
     # scalar variants (cheapest to re-derive from green fn_* siblings).
+    "set_except_all", "join_right_outer", "win_ntile_bucketize",
+    "agg_histogram_fixed", "win_time_range_interval",
+    "win_first_last_ignore_nulls",
     "win_nth_value", "win_cumulative_distinct", "sample_hash_mod",
     "ts_ewma", "graph_pagerank", "stream_ivf_index_append",
     "sim_ivf_index_compact", "embedding_pq_encode", "sim_pq_adc_search",
@@ -100,17 +106,17 @@ _PRIORITY: tuple[str, ...] = (
     "q_top_parts_per_brand", "q_order_fulfillment_funnel", "agg_corr_regr",
     "q_order_priority_exists", "q_customer_order_distribution",
     "q_promo_revenue_share", "q_small_quantity_revenue",
-    "q_large_volume_customers", "q_dormant_high_balance",
+    "q_large_volume_customers",
     "q_yoy_revenue_growth", "q_nation_trade_volume", "q_market_share",
     "q_product_profit", "q_returned_items", "q_priority_shipping_mix",
     "q_top_supplier", "q_disjunctive_predicates", "q_waiting_orders",
-    "q_revenue_forecast", "q_min_cost_supplier", "q_important_parts",
-    "q_parts_supplier_counts", "q_basket_pairs", "q_duplicate_payment_check",
+    "q_revenue_forecast",
+    "q_parts_supplier_counts", "q_basket_pairs",
     "q_percent_of_total", "join_nearest_event", "q_repeat_purchase_30d",
     "reshape_nest_unnest", "scan_jsonlines", "scan_csv", "scan_orc",
     "scan_schema_evolution", "pipeline_ingest_batch", "pipeline_quarantine",
     "pipeline_chapters", "pipeline_idempotent_rerun",
-    "pipeline_observe_metrics", "stream_stateful_counter",
+    "pipeline_observe_metrics",
     "stream_ingest_pipeline", "stream_interval_join",
     "stream_dedup_within_watermark", "sessionize_batch",
     "join_asof_tolerance", "udtf_python_native", "udtf_map_in_arrow",
@@ -155,7 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk", "dedup_near_minhash", "stream_tumbling_count",
     "stream_sliding_agg", "stream_session_window",
     "stream_session_dynamic_gap", "scan_binary_zip", "sink_append_parquet",
-    "stream_static_join", "stream_watermark_late", "stream_dedup_state",
+    "stream_static_join", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table", "dedup_exact_normalized",
     "dedup_token_sorted", "dedup_cluster_cc",
     "dedup_ngram_jaccard", "sim_cosine_lsh", "text_langid",
