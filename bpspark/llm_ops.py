@@ -200,7 +200,44 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("dedup_ngram_jaccard", sql=None)
+@op(
+    "dedup_ngram_jaccard",
+    # Oracle is the brute-force ground truth: ALL pairs sharing >=1 shingle,
+    # exact Jaccard, keep >=0.5. The Spark op computes the same set via the
+    # LSH prune — on this corpus every >=0.5 pair is >=0.88 (measured at all
+    # three SFs, far above the (1/16)^(1/4)~0.5 band threshold), so LSH
+    # recall is exact and the two definitions coincide; the r6 cross-SF
+    # sweep + driver hash pin that equivalence. jaccard is emitted as the
+    # RAW int/int division (identical doubles in both engines — no rounding
+    # needed, avoiding the shortest-decimal-vs-binary round fork class).
+    sql="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+    gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM w),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM gi),
+    sets AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard verification of the LSH candidates: explode
     candidate docs' shingle sets, count intersection/union per pair. Only
@@ -228,7 +265,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.select(
             "doc_a", "doc_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
@@ -1864,7 +1901,42 @@ def doc_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("doc_pack_greedy")
+@op(
+    "doc_pack_greedy",
+    # The greedy cut is a linear recurrence over doc_id order, so the oracle
+    # is a recursive CTE advancing ONE doc per source per step (all 20
+    # sources in parallel; depth = max docs/source = 250 at sf0.1 — cheap).
+    # pack_id per doc, then a plain GROUP BY rebuilds the pack rows. All
+    # quantities are exact integers — no float fork surface.
+    sql="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    asg AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS tok_after
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN a.tok_after + d.n_tokens > 1024
+                  THEN a.pack_id + 1 ELSE a.pack_id END AS pack_id,
+             CASE WHEN a.tok_after + d.n_tokens > 1024
+                  THEN d.n_tokens ELSE a.tok_after + d.n_tokens END AS tok_after
+      FROM asg a JOIN d ON d.source = a.source AND d.rn = a.rn + 1
+    )
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM asg
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+)
 def doc_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy context-window packing: concatenate consecutive documents
     (doc_id order within each source) until adding the next would exceed
@@ -1884,7 +1956,7 @@ def doc_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
         _pack_greedy_group,
         "source string, pack_id long, n_docs long, pack_tokens long, "
         "first_doc_id long, last_doc_id long",
-    )
+    ).orderBy("source", "pack_id")
 
 
 @op(
@@ -2201,12 +2273,16 @@ def _kmeans_assign_batches(centroids):
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
-            d2 = (
-                (X * X).sum(axis=1, keepdims=True)
-                - 2.0 * X @ C.T
-                + (C * C).sum(axis=1)[None, :]
-            )
+            # direct Σ(x-c)² (not the expanded ||x||²-2x·c+||c||² form): the
+            # expansion cancels catastrophically at ~1e-12 relative, which
+            # would fork the 6dp-quantized distances vs the SQL oracle's
+            # Σ(x-c)². k×batch×dim doubles is fine — C is tiny.
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # tie-free cross-engine quantization (floor(x·1e6+0.5) is the
+            # same float ops in numpy and DuckDB; argmin on the QUANTIZED
+            # matrix picks the lowest cluster id on ties, matching the
+            # oracle's ORDER BY d2, cluster).
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -2218,7 +2294,57 @@ def _kmeans_assign_batches(centroids):
     return assign
 
 
-@op("ml_kmeans_lloyd")
+_KMEANS_ITER_SQL = """
+    a{i} AS (
+      SELECT pt.vec_id, c.cluster,
+             floor(SUM((pt.x - c.m) * (pt.x - c.m)) * 1e6 + 0.5) / 1e6 AS d2
+      FROM pt JOIN c{prev} c USING (pos)
+      GROUP BY pt.vec_id, c.cluster
+    ),
+    s{i} AS (
+      SELECT vec_id, cluster, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM a{i}
+    ),
+    g{i} AS (SELECT vec_id, cluster, d2 FROM s{i} WHERE rk = 1)"""
+
+_KMEANS_MEANS_SQL = """
+    m{i} AS (
+      SELECT g.cluster, pt.pos, floor(AVG(pt.x) * 1e6 + 0.5) / 1e6 AS m
+      FROM g{i} g JOIN pt USING (vec_id) GROUP BY g.cluster, pt.pos
+    ),
+    c{i} AS (
+      SELECT c.cluster, c.pos, COALESCE(m.m, c.m) AS m
+      FROM c{prev} c LEFT JOIN m{i} m ON m.cluster = c.cluster AND m.pos = c.pos
+    )"""
+
+_KMEANS_SQL = (
+    """
+    WITH pt AS (
+      SELECT vec_id, CAST(emb[i] AS DOUBLE) AS x, i AS pos FROM (
+        SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+    ),
+    ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    c0 AS (SELECT ids.cluster, pt.pos, pt.x AS m FROM ids JOIN pt USING (vec_id)),"""
+    + ",".join(
+        _KMEANS_ITER_SQL.format(i=i, prev=f"{i-1}")
+        + ("," + _KMEANS_MEANS_SQL.format(i=i, prev=f"{i-1}") if i < 4 else "")
+        for i in range(1, 5)
+    )
+    + """
+    SELECT cluster, count(*) AS n_points,
+           floor(SUM(d2) * 100 + 0.5) / 100 AS inertia
+    FROM g4 GROUP BY cluster ORDER BY cluster
+    """
+)
+
+
+@op("ml_kmeans_lloyd", sql=_KMEANS_SQL)
 def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd's k-means over the embedding column (k=8, 4 iterations,
     deterministic init = the k lowest vec_ids). The iterative-algorithm
@@ -2226,24 +2352,30 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     (mapInPandas + numpy, Arrow-batched) and one groupBy recomputes
     centroids; only the k×dim centroid matrix ever visits the driver.
     posexplode → groupBy(cluster, pos) keeps the mean per-dimension
-    distributed instead of averaging arrays driver-side. Rows-only (an
-    iterative fixpoint isn't one SQL statement); tests pin determinism
-    and cluster-count invariants."""
+    distributed instead of averaging arrays driver-side. Oracle-backed
+    (upgraded r6): the fixed 4 rounds unroll into one chained-CTE SQL —
+    the graph_label_propagation pattern — made cross-engine stable by
+    quantizing per-point distances and per-round centroids with the
+    tie-free floor(x·1e6+0.5)/1e6 (identical float ops in numpy, Spark
+    and DuckDB; see docs/SCALE.md cross-engine float rules). Argmin ties
+    break to the lowest cluster id in both engines."""
     emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
     k = 8
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [list(r["embedding"]) for r in init]
     assigned = None
-    for _ in range(4):
+    for it in range(4):
         assigned = emb.mapInPandas(
             _kmeans_assign_batches(centroids),
             "vec_id long, cluster int, dist2 double",
         )
+        if it == 3:
+            break  # the 4th centroid update is never read — skip the job
         means = (
             assigned.join(emb, "vec_id")
             .select("cluster", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6).alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.col("pm.m").alias("centroid"))
@@ -2255,7 +2387,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.round(F.sum("dist2"), 2).alias("inertia"),
+            (F.floor(F.sum("dist2") * 100 + F.lit(0.5)) / 100).alias("inertia"),
         )
         .orderBy("cluster")
     )
@@ -2472,7 +2604,53 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("ml_logreg_gd", sql=None)  # iterative float fixpoint — rows-only
+_LOGREG_ITER_SQL = """
+    p{r} AS (
+      SELECT pt.vec_id, 1.0 / (1.0 + exp(-(SUM(pt.x * w.wv)))) AS p
+      FROM pt JOIN w{prev} w USING (pos) GROUP BY pt.vec_id
+    ),
+    l{r} AS (
+      SELECT floor((SUM(-(y.y * ln(p.p + 1e-12)
+                          + (1 - y.y) * ln(1 - p.p + 1e-12))) / nn.n) * 1e6
+                   + 0.5) / 1e6 AS loss,
+             CAST(SUM(CASE WHEN (p.p >= 0.5) = (y.y >= 0.5)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / nn.n AS accuracy
+      FROM p{r} p JOIN yv y USING (vec_id), nn GROUP BY nn.n
+    ),
+    g{r} AS (
+      SELECT pt.pos, SUM(pt.x * (p.p - y.y)) / nn.n AS gr
+      FROM pt JOIN p{r} p USING (vec_id) JOIN yv y ON y.vec_id = pt.vec_id, nn
+      GROUP BY pt.pos, nn.n
+    ),
+    w{r} AS (
+      SELECT w.pos, floor((w.wv - 2.0 * g.gr) * 1e6 + 0.5) / 1e6 AS wv
+      FROM w{prev} w JOIN g{r} g USING (pos)
+    )"""
+
+_LOGREG_SQL = (
+    """
+    WITH pt AS (
+      SELECT vec_id, i AS pos, CAST(emb[i] AS DOUBLE) AS x FROM (
+        SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+      UNION ALL
+      SELECT vec_id, len(embedding) + 1 AS pos, 1.0 AS x FROM embeddings
+    ),
+    yv AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    w0 AS (SELECT DISTINCT pos, 0.0 AS wv FROM pt),"""
+    + ",".join(_LOGREG_ITER_SQL.format(r=r, prev=f"{r-1}") for r in range(1, 7))
+    + "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS iteration, loss, accuracy FROM l{r}"
+        for r in range(1, 7)
+    )
+    + ") ORDER BY iteration"
+)
+
+
+@op("ml_logreg_gd", sql=_LOGREG_SQL)
 def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed full-batch logistic regression (label parity as the
     binary target) by gradient descent: each executor computes a partial
@@ -2483,7 +2661,12 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     is cached once; d and n come from one combined first-pass job, not a
     separate ``.first()``. 6 rounds. Returns the per-iteration loss curve
     (the property test asserts monotone descent and better-than-chance
-    training accuracy)."""
+    training accuracy). Oracle-backed (upgraded r6): the fixed 6 rounds
+    unroll into chained CTEs; cross-engine agreement is pinned by
+    quantizing the weight vector after every update and the reported loss
+    with tie-free floor(x·1e6+0.5)/1e6 — identical float ops in numpy and
+    DuckDB, so libm exp/ln ULP differences (~1e-14 in the summed gradient)
+    can never accumulate across rounds."""
     import numpy as np
 
     emb = (
@@ -2521,10 +2704,10 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
         )
         gvals, row = _reduce_partials_one_row(parts, ["grad"], ["loss", "hits"])
         grad = np.asarray(gvals) / n_total
-        loss = row["loss"] / n_total
+        loss = float(np.floor(row["loss"] / n_total * 1e6 + 0.5) / 1e6)
         acc = row["hits"] / n_total
-        history.append((it, float(loss), float(acc)))
-        w -= lr * grad
+        history.append((it, loss, float(acc)))
+        w = np.floor((w - lr * grad) * 1e6 + 0.5) / 1e6
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")
 
 

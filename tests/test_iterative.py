@@ -110,7 +110,8 @@ def test_logreg_gd_descends(spark):
 
     rows = sorted(all_ops()["ml_logreg_gd"].fn(spark, SF).collect(), key=lambda r: r["iteration"])
     assert len(rows) == 6
-    assert math.isclose(rows[0]["loss"], math.log(2), rel_tol=1e-10)
+    # loss is 6dp-quantized (cross-engine tie-free floor rounding)
+    assert math.isclose(rows[0]["loss"], math.log(2), rel_tol=1e-5)
     losses = [r["loss"] for r in rows]
     assert all(a > b for a, b in zip(losses, losses[1:])), losses
     assert rows[-1]["accuracy"] >= 0.5

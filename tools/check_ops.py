@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Ad-hoc oracle parity check for a named subset of ops at one or more SFs.
+
+Usage: python tools/check_ops.py op1 op2 ... [--sf 0.001,0.01,0.1]
+
+Runs each op's Spark plan and DuckDB oracle side by side (vanilla session,
+foreign cwd, same comparator as tools/driver_replica.py) and prints
+PASS/FAIL per (op, sf). Exit 1 on any failure. This is the fast loop for
+rows-only -> oracle-backed upgrades; the full replica still gates the round.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfs = ["0.01"]
+    for a in sys.argv[1:]:
+        if a.startswith("--sf"):
+            sfs = a.split("=", 1)[1].split(",") if "=" in a else None
+    if sfs is None:
+        i = sys.argv.index("--sf")
+        sfs = sys.argv[i + 1].split(",")
+        names = [a for a in names if a != sys.argv[i + 1]]
+    os.chdir("/tmp")
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from oracle_compare import compare_frames
+
+    from bpspark.registry import all_ops
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    ops = all_ops()
+    bad = 0
+    for sf in sfs:
+        sf_dir = f"/root/testdata/sf{sf}"
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name in names:
+            op = ops[name]
+            if op.sql is None:
+                print(f"{name} sf{sf}: NO-ORACLE (rows-only)")
+                continue
+            import time
+
+            t0 = time.time()
+            spdf = op.fn(spark, sf_dir).toPandas()
+            t1 = time.time()
+            odf = con.sql(op.sql).df()
+            t2 = time.time()
+            err = compare_frames(spdf, odf, name)
+            status = "PASS" if not err else f"FAIL: {err}"
+            if err:
+                bad += 1
+            print(
+                f"{name} sf{sf}: {status} "
+                f"(spark {len(spdf)}r/{t1-t0:.1f}s, oracle {len(odf)}r/{t2-t1:.1f}s)"
+            )
+        con.close()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
