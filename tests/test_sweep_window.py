@@ -35,8 +35,14 @@ def _window():
 def test_window_ops_all_need_a_row():
     manifest = json.load(open(MANIFEST))
     manifest.pop("__ingested_correctness__", None)
-    import hashlib
     import inspect
+    import sys
+
+    # the ONE hash definition, shared with the manifest builder (ADVICE r5:
+    # an inline re-implementation here would silently stop matching if
+    # tools/stale_ops.py ever changed its scheme)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import op_source_hash
 
     resweeps = []
     for o in _window():
@@ -44,7 +50,7 @@ def test_window_ops_all_need_a_row():
         if row is None:
             continue  # NEVER — exactly what the window is for
         src = inspect.getsource(o.fn)
-        h = hashlib.sha256((src + "\x00" + (o.sql or "")).encode()).hexdigest()
+        h = op_source_hash(src, o.sql)
         if h == row["source_hash"]:
             resweeps.append(o.name)  # FRESH — the slot would be wasted
     assert not resweeps, f"window re-sweeps already-certified ops: {resweeps}"

@@ -46,11 +46,22 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, "tools", "driver_row_manifest.json")
 
+def op_source_hash(src: str, sql: str | None) -> str:
+    """THE op staleness hash: function source + oracle SQL. Single shared
+    definition — tests/test_sweep_window.py imports this so the window gate
+    can never silently fork from the manifest's scheme (ADVICE r5)."""
+    return hashlib.sha256((src + "\x00" + (sql or "")).encode()).hexdigest()
+
+
 # Runs inside a worktree checkout (old revs included) — keep it compatible
-# with every registry version since round 1.
+# with every registry version since round 1. Imports op_source_hash from
+# THIS file (the current repo's tools dir), not the worktree's copy, so
+# every hash in the manifest uses the one shared definition above.
 _HASH_SNIPPET = r"""
-import hashlib, inspect, json, sys
+import inspect, json, sys
 sys.path.insert(0, {repo!r})
+sys.path.insert(1, {tools!r})
+from stale_ops import op_source_hash
 from bpspark.registry import all_ops
 out = {{}}
 for name, op in all_ops().items():
@@ -58,8 +69,7 @@ for name, op in all_ops().items():
         src = inspect.getsource(op.fn)
     except OSError:
         src = ""
-    h = hashlib.sha256((src + "\x00" + (op.sql or "")).encode()).hexdigest()
-    out[name] = h
+    out[name] = op_source_hash(src, op.sql)
 print(json.dumps(out))
 """
 
@@ -67,7 +77,11 @@ print(json.dumps(out))
 def hash_ops_at(repo_dir: str) -> dict[str, str]:
     """Source hash per op for the bpspark tree rooted at ``repo_dir``."""
     res = subprocess.run(
-        [sys.executable, "-c", _HASH_SNIPPET.format(repo=repo_dir)],
+        [
+            sys.executable,
+            "-c",
+            _HASH_SNIPPET.format(repo=repo_dir, tools=os.path.dirname(os.path.abspath(__file__))),
+        ],
         capture_output=True,
         text=True,
         check=True,
