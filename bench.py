@@ -88,21 +88,43 @@ def main() -> None:
         _pass(reps)
         passes += 1
     # Degraded-host retry (VERDICT r4 item 4): if the data-independent
-    # calibration probe drifted >25% between the warm-up and now, part of
+    # calibration probe WORSENED >25% between the warm-up and now, part of
     # the sweep ran inside an ambient-load window — the minima are
     # inflated, not comparable. Take up to two more single-rep passes
     # (per-query minima keep improving only if the host actually quieted
     # down); ``passes`` is recorded in the JSON so the sample count is
     # auditable. r4's official artifact was captured at calib 0.254 vs
-    # 0.160 the round before — exactly the case this bounds.
+    # 0.160 the round before — exactly the case this bounds. Only a
+    # WORSENING triggers the retry (ADVICE r5): a host that got quieter
+    # mid-sweep means the minima were captured under load-or-better, and
+    # retrying there would grow the sample count (downward bias vs the
+    # historical 3-sample best-of) without fixing anything.
     for _ in range(2):
         calib_now = _machine_calibration(spark)
-        if max(calib_early, calib_now) <= 1.25 * min(calib_early, calib_now):
+        if calib_now <= 1.25 * calib_early:
             break
-        calib_early = min(calib_early, calib_now)
         _pass(1)
         passes += 1
     timings = {name: round(best_times[name], 3) for name in names}
+
+    # Floor probe (VERDICT r5 item 8): extra reps on the three heaviest
+    # headline queries so every BENCH artifact carries its own
+    # noise-floor evidence next to value_per_calib, instead of the
+    # calibration caveat living only in BASELINE.md prose. 8 samples
+    # total per probed query (the r5 floor-probe protocol); kept OUT of
+    # ``queries`` so the headline best-of statistic stays 3-sample
+    # comparable across rounds.
+    floor_probe: dict[str, float] = {}
+    if not args.all:
+        for name in ("join_asof_latest_prior", "sim_cosine_topk", "dedup_near_minhash"):
+            if name not in ops:
+                continue
+            best = best_times.get(name, float("inf"))
+            for _ in range(8 - args.repeat):
+                t0 = time.perf_counter()
+                ops[name].fn(spark, args.sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            floor_probe[name] = round(best, 3)
 
     # ingestion throughput (BASELINE.md contract): ~10k properties records
     # through scan_binary_zip -> mapInPandas parse -> exploded entries
@@ -125,6 +147,7 @@ def main() -> None:
         "ingest_records_per_s": ingest_rps,
         "calib_sec": calib,
         "value_per_calib": round(value / calib, 1) if calib else None,
+        "floor_probe_8rep": floor_probe,
         "passes": passes,
     }
     print(json.dumps(out))

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_decision_tree_hist", "doc_pack_bestfit", "ts_holt_winters",
     "graph_community_modularity", "stream_heavy_hitters", "ml_gbdt_hist",
     "er_incremental_resolve", "stream_er_resolve",
+    "stream_stateful_counter",
     "multimodal_video_scene_cut", "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
@@ -128,7 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_collect_arrays", "join_skew_salted", "sql_end_to_end", "agg_mode",
     "join_range_bucketed", "agg_bool_and_or", "q_dormant_high_balance",
     "q_duplicate_payment_check", "stream_watermark_late", "agg_weighted_avg",
-    "stream_stateful_counter", "join_anti_dedup", "agg_skew_kurt",
+    "join_anti_dedup", "agg_skew_kurt",
     "join_fuzzy_levenshtein", "agg_gini_impurity", "set_except",
     "dedup_embedding_cosine", "rag_context_pack", "ts_seasonal_decompose",
     "ts_autocorrelation", "graph_label_propagation", "graph_kcore_decompose",

@@ -368,7 +368,7 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     "stream_stateful_counter",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS total_value
     FROM events GROUP BY user_id ORDER BY user_id
     """,
@@ -414,8 +414,15 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             # exact integer cents: summation order can't matter, so the
-            # state is identical under ANY batch split (oracle contract)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # state is identical under ANY batch split (oracle contract).
+            # floor(v*100 + 0.5) is the ONE tie-free rounding shared with
+            # the oracle SQL and the batch test mirror — pandas .round()
+            # (half-even), DuckDB ROUND (half-away) and Spark F.round
+            # (HALF_UP) only coincide while the data stays exact-2dp
+            # (ADVICE r5).
+            import numpy as np
+
+            cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}

@@ -79,9 +79,10 @@ def test_stateful_counter_matches_batch(spark):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # mirror the op's exact-integer-cents state contract
+            # mirror the op's exact-integer-cents state contract — the SAME
+            # tie-free floor(v*100 + 0.5) as the op and its oracle SQL
             (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast("double")
                 / 100.0
             ).alias("total_value"),
         )

@@ -37,6 +37,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sweep.json"
+    # resolve relative args BEFORE the chdir, or a relative out_json would
+    # silently land in /tmp instead of the caller's cwd (ADVICE r5)
+    sf_dir, out = os.path.abspath(sf_dir), os.path.abspath(out)
     os.chdir("/tmp")  # foreign cwd + keeps DuckDB spill out of the repo
 
     import duckdb
