@@ -21,17 +21,54 @@ _DAMPING = 0.85
 _ITERATIONS = 5
 
 
-@op("graph_pagerank")
+_PAGERANK_ROUND_SQL = """
+    m{i} AS (
+      SELECT ew.dst AS src,
+             floor(SUM(r.rank / ew.deg) * 1e6 + 0.5) / 1e6 AS mass
+      FROM ew JOIN r{prev} r ON r.src = ew.src GROUP BY ew.dst
+    ),
+    r{i} AS (
+      SELECT src,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * mass AS rank
+      FROM m{i}
+    )"""
+
+_PAGERANK_SQL = (
+    """
+    WITH cs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM cs
+              UNION ALL SELECT b AS src, a AS dst FROM cs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS rank FROM deg),"""
+    + ",".join(_PAGERANK_ROUND_SQL.format(i=i, prev=f"{i-1}") for i in range(1, 6))
+    + """
+    SELECT src AS node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
+    """
+)
+
+
+@op("graph_pagerank", sql=_PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (an edge per
     distinct (o_custkey, l_suppkey) pair that co-occurs in an order,
     symmetrized so every node has out-degree and rank mass is conserved:
-    Σranks = N at every step). 5 rounds of contribution join + hash agg;
-    edges are deduped, cached, and hash-partitioned on src once, so each
-    round's join reuses that exchange and only the (node, rank) frame
-    (tiny relative to edges) moves. Rows-only op (iterative float
-    fixpoint — no SQL oracle); the property test checks mass
-    conservation, positivity, and degree-monotonicity."""
+    Σranks = N at every step, up to the per-round quantization). 5 rounds
+    of contribution join + hash agg; edges are deduped, cached, and
+    hash-partitioned on src once, so each round's join reuses that
+    exchange and only the (node, rank) frame (tiny relative to edges)
+    moves. Oracle-backed (upgraded r6): the fixed 5 rounds unroll into
+    chained CTEs; each round's summed mass is quantized with the
+    tie-free floor(x·1e6+0.5)/1e6 in both engines, so cross-engine /
+    cross-partitioning float summation order (~1e-14) can never
+    accumulate, and the (1-d) literal is the explicit IEEE subtraction
+    both sides. The property test still checks mass conservation,
+    positivity, and degree-monotonicity."""
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
@@ -57,7 +94,10 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("rank") / F.col("deg")).alias("contrib"),
             )
             .groupBy("src")
-            .agg(F.sum("contrib").alias("mass"))
+            # tie-free per-round quantization (matches the oracle; see
+            # docstring) — F.floor(long)/1e6 and DuckDB floor(double)/1e6
+            # produce the same double for |mass·1e6| < 2^53
+            .agg((F.floor(F.sum("contrib") * 1e6 + F.lit(0.5)) / 1e6).alias("mass"))
         )
         ranks = contribs.select(
             "src",

@@ -4500,7 +4500,53 @@ def _pack_bestfit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@op("doc_pack_bestfit", sql=None)  # sequential cut placement — rows-only
+@op(
+    "doc_pack_bestfit",
+    # Oracle (upgraded r6): first-fit-decreasing is a linear recurrence
+    # whose state is the open-pack load list, carried as a BIGINT[] column
+    # through a recursive CTE (one doc per source per step). The first
+    # fitting pack is list_position(list_transform(loads, x -> x+n<=1024),
+    # true) — 0 when none fits (DuckDB returns 0, not NULL) — and the
+    # chosen pack's load updates via an indexed lambda. Pure integer
+    # arithmetic: no float fork surface.
+    sql="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY len(string_split(text, ' ')) DESC,
+                                         doc_id) AS rn
+      FROM documents
+    ),
+    st AS (
+      SELECT source, rn, doc_id, n, [n] AS loads, 0 AS pack_id
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n,
+             CASE WHEN list_position(
+                      list_transform(s.loads, x -> x + d.n <= 1024), true) > 0
+                  THEN list_transform(
+                      s.loads,
+                      (x, i) -> CASE WHEN i = list_position(
+                              list_transform(s.loads, x2 -> x2 + d.n <= 1024),
+                              true)
+                          THEN x + d.n ELSE x END)
+                  ELSE list_append(s.loads, d.n) END AS loads,
+             CASE WHEN list_position(
+                      list_transform(s.loads, x -> x + d.n <= 1024), true) > 0
+                  THEN list_position(
+                      list_transform(s.loads, x -> x + d.n <= 1024), true) - 1
+                  ELSE len(s.loads) END AS pack_id
+      FROM st s JOIN d ON d.source = s.source AND d.rn = s.rn + 1
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM st GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+)
 def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
     """First-fit-decreasing sequence packing — the bin-packing form
     production training pipelines use when pack UTILIZATION matters more
@@ -4529,7 +4575,7 @@ def doc_pack_bestfit(spark: SparkSession, sf: str) -> DataFrame:
         _pack_bestfit_group,
         "source string, pack_id long, n_docs long, pack_tokens long, "
         "min_doc_id long, max_doc_id long",
-    )
+    ).orderBy("source", "pack_id")
 
 
 # ---------------------------------------------------------------------------

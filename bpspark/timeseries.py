@@ -407,32 +407,74 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("ts_ewma")
+@op(
+    "ts_ewma",
+    # Oracle (upgraded r6): the adjusted-EWMA recurrence num_t = x_t +
+    # (1-a)·num_{t-1}, den_t = 1 + (1-a)·den_{t-1}, ewma = num/den is the
+    # SAME IEEE op sequence in the Python loop and this recursive CTE
+    # (one doc per series per step, depth = max events/user = 99 at
+    # sf0.1), so the emitted doubles are BIT-identical — no quantization
+    # needed. (1-a) is spelled as the explicit double subtraction in both
+    # engines: a bare 0.7 literal would be DuckDB DECIMAL / the double
+    # nearest 0.7, while 1.0-0.3 in IEEE is 0.7000000000000001.
+    sql="""
+    WITH RECURSIVE d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, ts_us, rn, x AS num, CAST(1.0 AS DOUBLE) AS den
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.event_id, d.ts_us, d.rn,
+             d.x + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.num AS num,
+             CAST(1.0 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.den AS den
+      FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, ts_us, event_id, num / den AS ewma
+    FROM r ORDER BY user_id, ts_us, event_id
+    """,
+)
 def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
-    """Exponentially-weighted moving average per user series (pandas
-    ``ewm(alpha=0.3, adjust=True)``) via applyInPandas — the honest slow
-    path: EWMA's recurrence is inherently sequential per key, so the
-    right distribution strategy IS one Arrow batch per key group,
-    parallel across users, sequential within. No SQL oracle exists
-    (DuckDB has no ewm); the property test replays the identical pandas
-    recurrence on collected data and requires bit-equality."""
+    """Exponentially-weighted moving average per user series (the
+    adjusted form: ewma_t = Σ(1-a)^i·x_{t-i} / Σ(1-a)^i, a=0.3) via
+    applyInPandas — the honest slow path: EWMA's recurrence is inherently
+    sequential per key, so the right distribution strategy IS one Arrow
+    batch per key group, parallel across users, sequential within. The
+    explicit num/den recurrence (not pandas .ewm, whose Cython loop uses
+    a different float-op order) makes the output bit-reproducible across
+    engines — the DuckDB recursive-CTE oracle replays the identical IEEE
+    sequence. event_id is the deterministic intra-timestamp tiebreak."""
     import bpspark
 
     bpspark.ensure_worker_imports(spark)
     ev = table(spark, sf, "events").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return (
         ev.groupBy("user_id")
-        .applyInPandas(_ewma_group, "user_id bigint, ts_us bigint, ewma double")
-        .orderBy("user_id", "ts_us")
+        .applyInPandas(
+            _ewma_group, "user_id bigint, ts_us bigint, event_id bigint, ewma double"
+        )
+        .orderBy("user_id", "ts_us", "event_id")
     )
 
 
 def _ewma_group(pdf):
-    pdf = pdf.sort_values("ts_us")
-    pdf["ewma"] = pdf["value"].ewm(alpha=0.3, adjust=True).mean()
-    return pdf[["user_id", "ts_us", "ewma"]]
+    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    c = 1.0 - 0.3  # 0.7000000000000001 — the exact IEEE value the oracle uses
+    num = 0.0
+    den = 0.0
+    out = []
+    for x in pdf["value"]:
+        num = x + c * num
+        den = 1.0 + c * den
+        out.append(num / den)
+    pdf["ewma"] = out
+    return pdf[["user_id", "ts_us", "event_id", "ewma"]]
 
 
 @op(
@@ -609,8 +651,17 @@ def _holt_winters_group(pdf):
             columns=["event_type", "epoch_day", "kind", "v", "fitted"]
         ).astype({"event_type": str, "epoch_day": "int64", "kind": str,
                   "v": "float64", "fitted": "float64"})
-    level = v[:m].mean()
-    trend = (v[m : 2 * m].mean() - v[:m].mean()) / m
+    # explicit left-associated sums (NOT numpy .mean(), whose pairwise
+    # summation is an internal detail) — the oracle SQL replays the same
+    # IEEE chain, so level/trend init is bit-identical cross-engine
+    acc1 = 0.0
+    for j in range(m):
+        acc1 += v[j]
+    acc2 = 0.0
+    for j in range(m, 2 * m):
+        acc2 += v[j]
+    level = acc1 / 7.0
+    trend = (acc2 / 7.0 - level) / m
     # seasonal slots keyed by CALENDAR weekday (epoch_day mod 7), not row
     # position — on a gapped panel positional indexing would silently
     # shift every later observation into the wrong weekday slot
@@ -619,8 +670,9 @@ def _holt_winters_group(pdf):
     for i in range(len(v)):
         slot = int(days[i]) % m
         s = season[slot]
-        fitted = level + trend + s
-        out.append((et, int(days[i]), "fit", float(v[i]), round(float(fitted), 6)))
+        # tie-free cross-engine rounding (same float ops in DuckDB)
+        fitted = float(np.floor((level + trend + s) * 1e6 + 0.5) / 1e6)
+        out.append((et, int(days[i]), "fit", float(v[i]), fitted))
         prev_level = level
         level = _HW_ALPHA * (v[i] - s) + (1 - _HW_ALPHA) * (level + trend)
         trend = _HW_BETA * (level - prev_level) + (1 - _HW_BETA) * trend
@@ -628,7 +680,9 @@ def _holt_winters_group(pdf):
     last_day = int(days[-1])
     for h in range(1, _HW_HORIZON + 1):
         f = level + h * trend + season[(last_day + h) % m]
-        out.append((et, last_day + h, "forecast", None, round(float(f), 6)))
+        out.append(
+            (et, last_day + h, "forecast", None, float(np.floor(f * 1e6 + 0.5) / 1e6))
+        )
     return pd.DataFrame(out, columns=["event_type", "epoch_day", "kind", "v", "fitted"])
 
 
@@ -781,7 +835,86 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
-@op("ts_holt_winters", sql=None)  # sequential recurrence — rows-only
+_HW_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, epoch_day, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY epoch_day) AS rn
+      FROM daily
+    ),
+    ser AS (
+      SELECT event_type, count(*) AS nd, max(epoch_day) AS last_day,
+             list(v ORDER BY epoch_day) AS vs,
+             list(epoch_day ORDER BY epoch_day) AS ds
+      FROM dd GROUP BY event_type HAVING count(*) >= 14
+    ),
+    init AS (
+      SELECT event_type, nd, last_day, lvl0,
+             ((((((vs[8] + vs[9]) + vs[10]) + vs[11]) + vs[12]) + vs[13]) + vs[14])
+               / CAST(7.0 AS DOUBLE) AS mean2,
+             (((((((vs[8] + vs[9]) + vs[10]) + vs[11]) + vs[12]) + vs[13]) + vs[14])
+               / CAST(7.0 AS DOUBLE) - lvl0) / CAST(7.0 AS DOUBLE) AS tr0,
+             list_transform(generate_series(0, 6), sl ->
+               CASE WHEN list_position(
+                        list_reverse(list_transform(ds[1:7], d -> d % 7)), sl) > 0
+                    THEN vs[8 - list_position(
+                        list_reverse(list_transform(ds[1:7], d -> d % 7)), sl)]
+                         - lvl0
+                    ELSE NULL END) AS season0
+      FROM (
+        SELECT *,
+               ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5]) + vs[6]) + vs[7])
+                 / CAST(7.0 AS DOUBLE) AS lvl0
+        FROM ser)
+    ),
+    st AS (
+      SELECT i.event_type, 0 AS rn, CAST(NULL AS BIGINT) AS epoch_day,
+             CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS fitted,
+             i.lvl0 AS level, i.tr0 AS trend, i.season0 AS season
+      FROM init i
+      UNION ALL
+      SELECT d.event_type, d.rn, d.epoch_day, d.v,
+             floor(t3.fitted_raw * 1e6 + 0.5) / 1e6 AS fitted,
+             t3.newlevel AS level, t4.newtrend AS trend,
+             list_transform(s.season,
+                            (e, j) -> CASE WHEN j = t1.sloti
+                                           THEN t4.newseason ELSE e END) AS season
+      FROM st s
+      JOIN dd d ON d.event_type = s.event_type AND d.rn = s.rn + 1,
+      LATERAL (SELECT (d.epoch_day % 7) + 1 AS sloti) t1,
+      LATERAL (SELECT s.season[t1.sloti] AS sv) t2,
+      LATERAL (SELECT s.level + s.trend + t2.sv AS fitted_raw,
+                      CAST(0.3 AS DOUBLE) * (d.v - t2.sv)
+                        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                          * (s.level + s.trend) AS newlevel) t3,
+      LATERAL (SELECT CAST(0.1 AS DOUBLE) * (t3.newlevel - s.level)
+                        + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.trend
+                          AS newtrend,
+                      CAST(0.2 AS DOUBLE) * (d.v - t3.newlevel)
+                        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * t2.sv
+                          AS newseason) t4
+    )
+    SELECT event_type, epoch_day, 'fit' AS kind, x AS v, fitted
+    FROM st WHERE rn >= 1
+    UNION ALL
+    SELECT f.event_type, f.last_day + h.h AS epoch_day, 'forecast' AS kind,
+           CAST(NULL AS DOUBLE) AS v,
+           floor((f.level + h.h * f.trend
+                  + f.season[((f.last_day + h.h) % 7) + 1]) * 1e6 + 0.5) / 1e6
+             AS fitted
+    FROM (SELECT s.*, i.last_day FROM st s
+          JOIN init i ON i.event_type = s.event_type AND s.rn = i.nd) f,
+         unnest(generate_series(1, 7)) AS h(h)
+    ORDER BY event_type, epoch_day
+    """
+
+
+@op("ts_holt_winters", sql=_HW_SQL)
 def ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing: level +
     trend + 7-day seasonality) per event type's daily series, with a
@@ -798,7 +931,12 @@ def ts_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     millions of series (per-entity forecasting) the same groupBy
     applyInPandas fans across the cluster and each group's cost is its
     own day count. Certified by an independently-written driver-side
-    recurrence replica (bit-equality) and forecast-shape properties."""
+    recurrence replica (bit-equality), forecast-shape properties, and —
+    upgraded r6 — a DuckDB recursive-CTE oracle that carries the
+    (level, trend, 7-slot season list) state one day per series per step
+    and replays the IDENTICAL IEEE op sequence (explicit left-associated
+    init sums, per-step updates via LATERAL-named intermediates, tie-free
+    floor(x·1e6+0.5)/1e6 on the emitted fit/forecast values)."""
     import bpspark
 
     bpspark.ensure_worker_imports(spark)

@@ -11,19 +11,34 @@ from bpspark.registry import all_ops
 SF = "/root/testdata/sf0.001"
 
 
-def test_ewma_matches_pandas_exactly(spark):
+def test_ewma_matches_reference_recurrence_exactly(spark):
+    """Driver-side replay of the adjusted-EWMA num/den recurrence must be
+    BIT-equal to the distributed applyInPandas output — catches grouping,
+    ordering, and Arrow-roundtrip bugs. (The op's DuckDB recursive-CTE
+    oracle is the independent cross-engine check.)"""
     got = (
-        all_ops()["ts_ewma"].fn(spark, SF).toPandas().sort_values(["user_id", "ts_us"])
+        all_ops()["ts_ewma"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
     )
     raw = duckdb.sql(
-        f"SELECT user_id, epoch_us(ts) AS ts_us, value FROM '{SF}/events.parquet'"
+        f"SELECT user_id, event_id, epoch_us(ts) AS ts_us, value"
+        f" FROM '{SF}/events.parquet'"
     ).df()
     parts = []
-    for _, g in raw.sort_values(["user_id", "ts_us"]).groupby("user_id"):
+    c = 1.0 - 0.3
+    for _, g in raw.sort_values(["user_id", "ts_us", "event_id"]).groupby("user_id"):
         g = g.copy()
-        g["ewma"] = g["value"].ewm(alpha=0.3, adjust=True).mean()
-        parts.append(g[["user_id", "ts_us", "ewma"]])
-    want = pd.concat(parts).sort_values(["user_id", "ts_us"])
+        num = den = 0.0
+        ew = []
+        for x in g["value"]:
+            num = x + c * num
+            den = 1.0 + c * den
+            ew.append(num / den)
+        g["ewma"] = ew
+        parts.append(g[["user_id", "ts_us", "event_id", "ewma"]])
+    want = pd.concat(parts).sort_values(["user_id", "ts_us", "event_id"])
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_exact=True
     )
@@ -282,20 +297,29 @@ def test_holt_winters_matches_independent_recurrence(spark):
     for et, grp in daily.groupby("event_type"):
         v = grp["value"].round(2).to_numpy(dtype=np.float64)
         days = grp["epoch_day"].to_numpy()
-        lvl = v[:m].mean()
-        tr = (v[m : 2 * m].mean() - v[:m].mean()) / m
+        # mirror the op's explicit left-associated init sums and tie-free
+        # floor rounding (shared with the DuckDB recursive-CTE oracle)
+        acc1 = 0.0
+        for j in range(m):
+            acc1 += v[j]
+        acc2 = 0.0
+        for j in range(m, 2 * m):
+            acc2 += v[j]
+        lvl = acc1 / 7.0
+        tr = (acc2 / 7.0 - lvl) / m
         sea = {int(days[j]) % m: v[j] - lvl for j in range(m)}
         fits, fcs = [], []
         for i, x in enumerate(v):
             slot = int(days[i]) % m
             s = sea[slot]
-            fits.append(round(lvl + tr + s, 6))
+            fits.append(float(np.floor((lvl + tr + s) * 1e6 + 0.5) / 1e6))
             pl = lvl
             lvl = a * (x - s) + (1 - a) * (lvl + tr)
             tr = b * (lvl - pl) + (1 - b) * tr
             sea[slot] = g * (x - lvl) + (1 - g) * s
         for h in range(1, H + 1):
-            fcs.append(round(lvl + h * tr + sea[(int(days[-1]) + h) % m], 6))
+            fcs.append(float(np.floor(
+                (lvl + h * tr + sea[(int(days[-1]) + h) % m]) * 1e6 + 0.5) / 1e6))
         sub = got[got["event_type"] == et].sort_values("epoch_day")
         fit = sub[sub["kind"] == "fit"]
         fc = sub[sub["kind"] == "forecast"]
