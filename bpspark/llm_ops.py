@@ -2711,7 +2711,99 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")
 
 
-@op("pipeline_llm_corpus", sql=None)  # composed flagship — stage funnel
+_LLM_CORPUS_SQL = r"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE length(text) BETWEEN 100 AND 2000
+        AND len(string_split(text, ' ')) >= 20
+        AND CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+            / length(text) > CAST(0.9 AS DOUBLE)
+        AND regexp_matches(text, '\bthe\b')
+    ),
+    e AS (
+      SELECT q.* FROM q
+      JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) k
+        USING (doc_id)
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM e),
+    gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM w),
+    gr AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM gi),
+    ssz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+    cpair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM cpair
+      JOIN ssz sa ON sa.doc_id = doc_a
+      JOIN ssz sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    near AS (
+      SELECT e.* FROM e
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    ngr AS (SELECT gr.doc_id, gr.g FROM gr JOIN near USING (doc_id)),
+    bench AS (SELECT DISTINCT g FROM ngr WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT n.doc_id FROM ngr n JOIN bench b ON n.g = b.g
+      WHERE n.doc_id % 97 <> 0
+    ),
+    clean AS (
+      SELECT near.* FROM near
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    chunks_cnt AS (
+      SELECT CAST(SUM(CAST(floor(greatest(length(text) - 1, 0) / 600) AS BIGINT)
+                      + 1) AS BIGINT) AS n
+      FROM clean
+    ),
+    pd AS (SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM clean),
+    asg AS (
+      SELECT source, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS tok_after
+      FROM pd WHERE rn = 1
+      UNION ALL
+      SELECT p.source, p.rn,
+             CASE WHEN a.tok_after + p.n_tokens > 1024
+                  THEN a.pack_id + 1 ELSE a.pack_id END,
+             CASE WHEN a.tok_after + p.n_tokens > 1024
+                  THEN p.n_tokens ELSE a.tok_after + p.n_tokens END
+      FROM asg a JOIN pd p ON p.source = a.source AND p.rn = a.rn + 1
+    ),
+    packs_cnt AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT source, pack_id FROM asg)
+    )
+    SELECT * FROM (
+      SELECT '0_raw' AS stage, (SELECT count(*) FROM documents) AS n_rows
+      UNION ALL SELECT '1_quality', (SELECT count(*) FROM q)
+      UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM e)
+      UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM near)
+      UNION ALL SELECT '4_decontaminated', (SELECT count(*) FROM clean)
+      UNION ALL SELECT '5_chunks', (SELECT n FROM chunks_cnt)
+      UNION ALL SELECT '6_packs', (SELECT n FROM packs_cnt)
+    ) ORDER BY stage
+    """
+
+
+@op(
+    "pipeline_llm_corpus",
+    # Oracle (upgraded r6): the full funnel re-derived in SQL. The one
+    # non-SQL stage — MinHash-LSH near-dedup — is replaced by its ground
+    # truth (brute-force shingle-Jaccard >= 0.5 pairs): measured at all
+    # three SFs, the banded-LSH candidate set has ZERO false positives
+    # (min candidate jaccard 0.8) and exact recall at >= 0.5, so the two
+    # definitions coincide on this corpus; the r6 probe + cross-SF sweep
+    # pin that. Greedy packing reuses doc_pack_greedy's recursive CTE.
+    sql=_LLM_CORPUS_SQL,
+)
 def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The whole corpus-prep flow as ONE composed declarative pipeline —
     quality gate → exact dedup → MinHash near-dedup → benchmark

@@ -73,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "scan_dynamic_partition_pruning", "q_top_parts_per_brand",
     "dedup_ngram_jaccard", "doc_pack_greedy", "ml_kmeans_lloyd",
     "ml_logreg_gd", "embedding_pq_encode", "sim_pq_adc_search",
-    "sim_ivfpq_search", "stream_ivf_index_append", "sim_ivf_index_compact",
+    "sim_ivfpq_search", "stream_ivf_index_append", "pipeline_llm_corpus",
     "sim_ivf_index_retrain", "dedup_image_phash", "dedup_audio_fingerprint",
     "pipeline_multimodal_corpus", "pipeline_audio_corpus",
     # --- tier B: remaining STALE/NEVER ops (r7+ windows rotate from
@@ -87,7 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_decision_tree_hist", "doc_pack_bestfit", "ts_holt_winters",
     "graph_community_modularity", "stream_heavy_hitters", "ml_gbdt_hist",
     "er_incremental_resolve", "stream_er_resolve",
-    "stream_stateful_counter",
+    "stream_stateful_counter", "pipeline_web_corpus",
+    "sim_ivf_index_compact",
     "multimodal_video_scene_cut", "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
@@ -118,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # round's edits (derived from the manifest, NOT from which round the
     # row was taken, so source changes demote ops to tier B
     # automatically; re-verify these last).
-    "pipeline_llm_corpus", "pipeline_web_corpus", "ts_activity_grid",
+    "ts_activity_grid",
     "ts_gapfill_locf", "ts_ohlc_hourly", "ts_scd2_intervals",
     "ts_gaps_islands", "ts_anomaly_iqr", "ts_interpolate_linear",
     "graph_triangle_count", "graph_degree_distribution",

@@ -665,7 +665,142 @@ def _canonicalize_url(url) -> F.Column:
     )
 
 
-@op("pipeline_web_corpus", sql=None)  # composed flagship — stage funnel
+_WEB_CORPUS_SQL = r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&utm_campaign=x' || doc_id
+                          || '&id=' || (doc_id % 50)
+                     ELSE '?id=' || (doc_id % 50) END
+             || CASE WHEN doc_id % 2 = 0 THEN '#section' || doc_id ELSE '' END
+               AS url
+      FROM documents
+    ),
+    parts AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+    splitp AS (
+      SELECT doc_id,
+             lower(string_split(nofrag, '://')[1]) AS scheme,
+             lower(string_split(string_split(nofrag, '://')[2], '/')[1]) AS host,
+             regexp_replace(string_split(nofrag, '?')[1],
+                            '^[a-zA-Z]+://[^/]+', '') AS path,
+             COALESCE(string_split(nofrag, '?')[2], '') AS query
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS cq
+        FROM splitp)
+    ),
+    url_stage AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl) k
+        USING (doc_id)
+    ),
+    lang_stage AS (SELECT * FROM url_stage WHERE lang = 'en'),
+    quality_stage AS (
+      SELECT * FROM lang_stage
+      WHERE length(text) BETWEEN 100 AND 2000
+        AND len(string_split(text, ' ')) >= 20
+        AND CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+            / length(text) > CAST(0.9 AS DOUBLE)
+    ),
+    qw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM quality_stage),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+            FROM qw)
+    ),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             (floor(SUM(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) * 1e6 + 0.5) / 1e6)
+               / count(*) AS avg_nll
+      FROM big b JOIN c2 USING (bigram) JOIN c1 USING (w1)
+      GROUP BY b.doc_id
+    ),
+    hist AS (SELECT avg_nll AS v, count(*) AS cnt FROM scored GROUP BY avg_nll),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum,
+             (SELECT count(*) FROM scored) AS n
+      FROM hist
+    ),
+    b2 AS (SELECT min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS b2 FROM cum),
+    ppl_stage AS (
+      SELECT q.* FROM quality_stage q
+      JOIN scored s USING (doc_id), b2
+      WHERE s.avg_nll <= b2.b2
+    ),
+    exact_stage AS (
+      SELECT p.* FROM ppl_stage p
+      JOIN (
+        SELECT min(doc_id) AS doc_id FROM (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+          FROM ppl_stage)
+        GROUP BY h) k
+      USING (doc_id)
+    ),
+    egr AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                   unnest(generate_series(1,
+                       greatest(len(string_split(text, ' ')) - 2, 0))) AS i
+            FROM exact_stage)
+    ),
+    esz AS (SELECT doc_id, count(*) AS n FROM egr GROUP BY doc_id),
+    epair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM egr a JOIN egr b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    elosers AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM epair
+      JOIN esz sa ON sa.doc_id = doc_a
+      JOIN esz sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ),
+    near_stage AS (
+      SELECT * FROM exact_stage
+      WHERE doc_id NOT IN (SELECT doc_id FROM elosers)
+    )
+    SELECT * FROM (
+      SELECT '0_raw' AS stage, (SELECT count(*) FROM documents) AS n_rows
+      UNION ALL SELECT '1_url_dedup', (SELECT count(*) FROM url_stage)
+      UNION ALL SELECT '2_langid', (SELECT count(*) FROM lang_stage)
+      UNION ALL SELECT '3_quality', (SELECT count(*) FROM quality_stage)
+      UNION ALL SELECT '4_perplexity_head_middle', (SELECT count(*) FROM ppl_stage)
+      UNION ALL SELECT '5_exact_dedup', (SELECT count(*) FROM exact_stage)
+      UNION ALL SELECT '6_near_dedup', (SELECT count(*) FROM near_stage)
+    ) ORDER BY stage
+    """
+
+
+@op(
+    "pipeline_web_corpus",
+    # Oracle (upgraded r6): the CCNet/RefinedWeb funnel re-derived in SQL,
+    # reusing the standalone ops' oracle fragments (URL canonicalization
+    # from dedup_url_canonicalized, normalized-md5 from
+    # dedup_exact_normalized) verbatim. The perplexity stage stabilizes
+    # its order-dependent NLL sum with the tie-free floor(x·1e6+0.5)/1e6
+    # in BOTH engines before the histogram/boundary logic (integer
+    # thereafter). The LSH near-dedup stage is replaced by its measured
+    # ground truth exactly as in pipeline_llm_corpus (zero false
+    # positives, exact >=0.5 recall at all three SFs).
+    sql=_WEB_CORPUS_SQL,
+)
 def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The published web-corpus curation recipe (CCNet / RefinedWeb order)
     as ONE composed pipeline: URL canonical dedup (front door, before
@@ -734,7 +869,15 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .join(c1, "w1")
         .withColumn("nll", -F.log(F.col("c2").cast("double") / F.col("c1")))
         .groupBy("doc_id")
-        .agg((F.round(F.sum("nll"), 6) / F.count(F.lit(1))).alias("avg_nll"))
+        # tie-free floor(x·1e6+0.5)/1e6 (not F.round): stabilizes the
+        # order-dependent float sum with the SAME float ops the DuckDB
+        # oracle runs, so the histogram keys below match cross-engine
+        .agg(
+            (
+                (F.floor(F.sum("nll") * 1e6 + F.lit(0.5)) / 1e6)
+                / F.count(F.lit(1))
+            ).alias("avg_nll")
+        )
     )
     hist = scored.groupBy(F.col("avg_nll").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
