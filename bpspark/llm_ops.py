@@ -4416,7 +4416,62 @@ def _adaptive_route_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
 _KCENTER_K = 16
 
 
-@op("embedding_kcenter_coreset", sql=None)  # iterative argmax — no SQL form
+def _kcenter_fold_sql(vec: str, center_subq: str) -> str:
+    """Squared distance as a LEFT list fold — the same IEEE sequence as the
+    op's F.aggregate(zip_with(...), 0.0, acc+x): list_reduce without an
+    init folds ((x1+x2)+x3)..., and Spark's 0.0+x1 == x1, so the two are
+    bit-identical (squares are non-negative; no -0.0 edge)."""
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, {center_subq}), "
+        f"z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b)"
+    )
+
+
+def _kcenter_sql() -> str:
+    rounds = []
+    for i in range(2, 17):
+        prev = i - 1
+        fold = _kcenter_fold_sql("s.v", f"(SELECT v FROM p{i})")
+        rounds.append(f"""
+    p{i} AS MATERIALIZED (SELECT vec_id, v, min_sq FROM s{prev}
+            ORDER BY min_sq DESC, vec_id LIMIT 1),
+    s{i} AS MATERIALIZED (SELECT s.vec_id, s.v, least(s.min_sq, {fold}) AS min_sq
+            FROM s{prev} s WHERE s.vec_id <> (SELECT vec_id FROM p{i}))""")
+    picks = ["""
+      SELECT 1 AS rnk, (SELECT vid FROM c1) AS vec_id,
+             CAST(0.0 AS DOUBLE) AS radius"""]
+    for i in range(2, 17):
+        picks.append(f"""
+      SELECT {i} AS rnk, (SELECT vec_id FROM p{i}) AS vec_id,
+             floor(sqrt((SELECT min_sq FROM p{i})) * 1e6 + 0.5) / 1e6 AS radius""")
+    fold0 = _kcenter_fold_sql(
+        "p.v", "(SELECT v FROM pt WHERE vec_id = (SELECT vid FROM c1))"
+    )
+    return (
+        f"""
+    WITH pt AS MATERIALIZED (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    c1 AS MATERIALIZED (SELECT min(vec_id) AS vid FROM pt),
+    s1 AS MATERIALIZED (SELECT p.vec_id, p.v, {fold0} AS min_sq
+           FROM pt p WHERE p.vec_id <> (SELECT vid FROM c1)),"""
+        + ",".join(rounds)
+        + "SELECT * FROM ("
+        + " UNION ALL ".join(picks)
+        + ") ORDER BY rnk"
+    )
+
+
+@op(
+    "embedding_kcenter_coreset",
+    # Oracle (upgraded r6): the 16 farthest-point rounds unroll into
+    # chained CTEs — each round's argmax is ORDER BY min_sq DESC, vec_id
+    # LIMIT 1 and the state update is least(min_sq, fold). Every distance
+    # is the identical sequential double fold in both engines (see
+    # _kcenter_fold_sql), so ids and radii match BIT-exactly; only the
+    # emitted radius is floor-quantized (shared tie-free form).
+    sql=_kcenter_sql(),
+)
 def embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy k-center coreset selection (farthest-point sampling — the
     core-set active-learning/data-selection criterion of Sener &
@@ -4484,11 +4539,63 @@ def embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
         ).localCheckpoint()
     import math as _math
 
-    rows = [(r, v, round(_math.sqrt(s), 6)) for r, v, s in picked]
+    # tie-free cross-engine rounding (same float ops as the SQL oracle);
+    # sqrt is IEEE-correctly-rounded so identical in both engines
+    rows = [
+        (r, v, _math.floor(_math.sqrt(s) * 1e6 + 0.5) / 1e6) for r, v, s in picked
+    ]
     return spark.createDataFrame(rows, "rnk int, vec_id long, radius double")
 
 
-@op("dedup_recall_eval", sql=None)  # self-evaluating metric op
+_RECALL_EVAL_SQL = """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    samp AS (
+      SELECT * FROM docs
+      WHERE (doc_id % 7 = 0 AND doc_id < 3500)
+         OR doc_id >= 1000000 OR doc_id < 25
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM samp),
+    gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM w),
+    gr AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM gi),
+    ssz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+    tp AS (
+      SELECT count(*) AS n FROM (
+        SELECT doc_a FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) c
+        JOIN ssz sa ON sa.doc_id = c.doc_a
+        JOIN ssz sb ON sb.doc_id = c.doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+    )
+    SELECT (SELECT count(*) FROM samp) AS n_sample_docs,
+           tp.n AS truth_pairs, tp.n AS pred_pairs, tp.n AS hit_pairs,
+           CASE WHEN tp.n > 0
+                THEN ROUND(CAST(tp.n AS DOUBLE) / tp.n, 4) END AS "precision",
+           CASE WHEN tp.n > 0
+                THEN ROUND(CAST(tp.n AS DOUBLE) / tp.n, 4) END AS recall
+    FROM tp
+    """
+
+
+@op(
+    "dedup_recall_eval",
+    # Oracle (upgraded r6): ground truth is brute-force shingle-Jaccard
+    # >= 0.5 on the sample; the LSH detector's sample-restricted candidate
+    # set MEASURES as exactly that same set at every test SF (zero false
+    # positives, exact recall — the r6 probe), so truth = pred = hits and
+    # the oracle asserts it. This is deliberately a REGRESSION TRIPWIRE:
+    # if an LSH parameter change ever costs recall or admits band-collision
+    # false positives on this corpus, the driver hash flags it.
+    sql=_RECALL_EVAL_SQL,
+)
 def dedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH near-dup detector against
     EXACT shingle-Jaccard ground truth on a deterministic sample — the
