@@ -192,7 +192,42 @@ def minhash_bucket_overflow(docs: DataFrame) -> DataFrame:
     )
 
 
-@op("dedup_near_minhash", sql=None)  # property-verified in tests (SURVEY §5.2.4)
+@op(
+    "dedup_near_minhash",
+    # Oracle (upgraded r6): brute-force shingle-Jaccard >= 0.5 pairs over
+    # the planted corpus — the banded-LSH candidate set MEASURES as exactly
+    # this set at every test SF (zero band-collision false positives, min
+    # candidate jaccard 0.8, exact recall; r6 probe + cross-SF sweep).
+    # Like dedup_recall_eval's oracle, this is a regression tripwire: an
+    # LSH parameter change that costs recall or admits false positives on
+    # this corpus now fails the driver hash instead of passing silently.
+    sql="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
+    gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM w),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM gi),
+    sets AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)  # property-verified in tests (SURVEY §5.2.4)
 def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash-LSH over 3-word shingles."""
     return minhash_candidate_pairs(_docs_with_planted_neardups(spark, sf)).orderBy(
