@@ -5083,7 +5083,7 @@ _FS_EM_ITERS = 25
 _FS_CLAMP = 1e-6
 
 
-def _fs_em(patterns, trace=None):
+def _fs_em(patterns, trace=None, quantize=False):
     """EM for the Fellegi-Sunter independent-binary-comparison model over
     agreement-pattern counts [(g1, g2, g3, n), ...]: learn λ (match
     prior) and per-comparison m/u probabilities, return (λ, m, u).
@@ -5091,12 +5091,21 @@ def _fs_em(patterns, trace=None):
     size — the estimation shape Splink uses in production. Pure driver
     floats over deterministic integer counts ⇒ bit-stable across runs.
     Pass a list as ``trace`` to collect the (λ, m, u) iterates — the
-    likelihood-monotonicity property test drives it that way."""
+    likelihood-monotonicity property test drives it that way.
+    ``quantize=True`` floor-quantizes the state at 1e-9 after every
+    M-step (the tie-free cross-engine form) — the op path uses it so the
+    DuckDB unrolled-CTE oracle, whose 8-row SUMs run in a different
+    order, stays on the identical trajectory."""
+    import math as _math
+
     n_total = sum(p[3] for p in patterns)
     lam, m, u = 0.1, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]
 
     def clamp(x):
-        return min(max(x, _FS_CLAMP), 1.0 - _FS_CLAMP)
+        x = min(max(x, _FS_CLAMP), 1.0 - _FS_CLAMP)
+        if quantize:
+            x = _math.floor(x * 1e9 + 0.5) / 1e9
+        return x
 
     if trace is not None:
         trace.append((lam, list(m), list(u)))
@@ -5123,7 +5132,141 @@ def _fs_em(patterns, trace=None):
     return lam, m, u
 
 
-@op("er_fellegi_sunter_em", sql=None)  # EM scoring — property/truth-verified
+def _fs_em_sql() -> str:
+    """DuckDB oracle for er_fellegi_sunter_em: the test-proven pair/
+    pattern SQL + the 25 EM rounds unrolled as MATERIALIZED CTEs.
+    State (λ, m1..3, u1..3) is clamped then floor-quantized at 1e-9
+    each round — the same tie-free form _fs_em(quantize=True) applies —
+    so the two engines' different 8-row summation orders can never fork
+    the trajectory. All products/divisions are written in the exact
+    left-associated order of the Python loop."""
+
+    def pm(s):  # match-class likelihood × prior, left-associated like Python
+        return (
+            f"((({s}.lam"
+            f" * CASE WHEN p.g_name = 1 THEN {s}.m1 ELSE 1.0 - {s}.m1 END)"
+            f" * CASE WHEN p.g_bal = 1 THEN {s}.m2 ELSE 1.0 - {s}.m2 END)"
+            f" * CASE WHEN p.g_seg = 1 THEN {s}.m3 ELSE 1.0 - {s}.m3 END)"
+        )
+
+    def pu(s):
+        return (
+            f"((((CAST(1.0 AS DOUBLE) - {s}.lam)"
+            f" * CASE WHEN p.g_name = 1 THEN {s}.u1 ELSE 1.0 - {s}.u1 END)"
+            f" * CASE WHEN p.g_bal = 1 THEN {s}.u2 ELSE 1.0 - {s}.u2 END)"
+            f" * CASE WHEN p.g_seg = 1 THEN {s}.u3 ELSE 1.0 - {s}.u3 END)"
+        )
+
+    def qz_clamp(x):
+        return (
+            f"floor(least(greatest({x}, CAST(0.000001 AS DOUBLE)),"
+            f" CAST(1.0 AS DOUBLE) - CAST(0.000001 AS DOUBLE)) * 1e9 + 0.5) / 1e9"
+        )
+
+    rounds = []
+    for i in range(1, _FS_EM_ITERS + 1):
+        prev = f"s{i-1}"
+        rounds.append(f"""
+    e{i} AS MATERIALIZED (
+      SELECT p.g_name, p.g_bal, p.g_seg, p.n,
+             {pm(prev)} AS pm, {pu(prev)} AS pu
+      FROM pats p, {prev}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT {qz_clamp('sw / (SELECT n_total FROM nt)')} AS lam,
+             {qz_clamp('swg1 / sw')} AS m1,
+             {qz_clamp('swg2 / sw')} AS m2,
+             {qz_clamp('swg3 / sw')} AS m3,
+             {qz_clamp('sug1 / su')} AS u1,
+             {qz_clamp('sug2 / su')} AS u2,
+             {qz_clamp('sug3 / su')} AS u3
+      FROM (
+        SELECT SUM(pm / (pm + pu) * n) AS sw,
+               SUM((1.0 - pm / (pm + pu)) * n) AS su,
+               SUM(pm / (pm + pu) * n * g_name) AS swg1,
+               SUM(pm / (pm + pu) * n * g_bal) AS swg2,
+               SUM(pm / (pm + pu) * n * g_seg) AS swg3,
+               SUM((1.0 - pm / (pm + pu)) * n * g_name) AS sug1,
+               SUM((1.0 - pm / (pm + pu)) * n * g_bal) AS sug2,
+               SUM((1.0 - pm / (pm + pu)) * n * g_seg) AS sug3
+        FROM e{i})
+    )""")
+    final_s = f"s{_FS_EM_ITERS}"
+    w_term = (
+        "CASE WHEN p.{g} = 1 THEN log2(s.{m} / s.{u}) "
+        "ELSE log2((1.0 - s.{m}) / (1.0 - s.{u})) END"
+    )
+    weight = (
+        "(("
+        + w_term.format(g="g_name", m="m1", u="u1")
+        + " + "
+        + w_term.format(g="g_bal", m="m2", u="u2")
+        + ") + "
+        + w_term.format(g="g_seg", m="m3", u="u3")
+        + ")"
+    )
+    return (
+        f"""
+    WITH recs AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+             c_acctbal AS bal, c_mktsegment AS seg FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || 'x', c_nationkey,
+             c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 40
+      UNION ALL
+      SELECT c_custkey + 2000000, c_name || 'yz', c_nationkey,
+             c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 20
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nat ORDER BY md5(CAST(id AS VARCHAR))
+      ) AS rn FROM recs
+    ),
+    bg AS (
+      SELECT a.id, a.name, a.bal, a.seg,
+             b.id AS id_b, b.name AS name_b, b.bal AS bal_b, b.seg AS seg_b
+      FROM ranked a JOIN ranked b
+        ON a.nat = b.nat AND b.rn - a.rn BETWEEN 1 AND {_FS_BG_WINDOW}
+    ),
+    blk AS (
+      SELECT a.id, a.name, a.bal, a.seg,
+             b.id AS id_b, b.name AS name_b, b.bal AS bal_b, b.seg AS seg_b
+      FROM recs a JOIN recs b
+        ON a.nat = b.nat AND a.bal = b.bal AND a.id < b.id
+    ),
+    gam AS (
+      SELECT DISTINCT LEAST(id, id_b) AS ia, GREATEST(id, id_b) AS ib,
+             CAST(levenshtein(name, name_b) <= 2 AS INT) AS g_name,
+             CAST(bal = bal_b AS INT) AS g_bal,
+             CAST(seg = seg_b AS INT) AS g_seg
+      FROM (SELECT * FROM bg UNION ALL SELECT * FROM blk)
+    ),
+    pats AS MATERIALIZED (
+      SELECT g_name, g_bal, g_seg, count(*) AS n
+      FROM gam GROUP BY g_name, g_bal, g_seg
+    ),
+    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM pats),
+    s0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam,
+                  CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+                  CAST(0.9 AS DOUBLE) AS m3,
+                  CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+                  CAST(0.1 AS DOUBLE) AS u3),"""
+        + ",".join(rounds)
+        + f"""
+    SELECT p.g_name, p.g_bal, p.g_seg, p.n AS n_pairs,
+           {pm(final_s).replace('p.g_', 'p.g_')} / ({pm(final_s)} + {pu(final_s)})
+             AS posterior,
+           floor({weight} * 1e6 + 0.5) / 1e6 AS match_weight
+    FROM pats p, {final_s} s
+    ORDER BY p.g_name, p.g_bal, p.g_seg
+    """.replace(f"{final_s}.lam", "s.lam")
+        .replace(f"{final_s}.m1", "s.m1").replace(f"{final_s}.m2", "s.m2")
+        .replace(f"{final_s}.m3", "s.m3").replace(f"{final_s}.u1", "s.u1")
+        .replace(f"{final_s}.u2", "s.u2").replace(f"{final_s}.u3", "s.u3")
+    )
+
+
+@op("er_fellegi_sunter_em", sql=_fs_em_sql())
 def er_fellegi_sunter_em(spark: SparkSession, sf: str) -> DataFrame:
     """Fellegi-Sunter match-weight learning (Fellegi & Sunter JASA'69;
     EM estimation per Winkler'88 — the model Splink runs on Spark in
@@ -5203,7 +5346,7 @@ def er_fellegi_sunter_em(spark: SparkSession, sf: str) -> DataFrame:
         for r in pat_rows
     )
 
-    lam, m, u = _fs_em(patterns)
+    lam, m, u = _fs_em(patterns, quantize=True)
     out = []
     for g1, g2, g3, n in patterns:
         g = (g1, g2, g3)
@@ -5215,7 +5358,12 @@ def er_fellegi_sunter_em(spark: SparkSession, sf: str) -> DataFrame:
             weight += (
                 math.log2(m[k] / u[k]) if g[k] else math.log2((1.0 - m[k]) / (1.0 - u[k]))
             )
-        out.append((g1, g2, g3, n, pm / (pm + pu), weight))
+        # posterior is raw (identical products/division of the quantized
+        # state in both engines); weight is floor-quantized because log2
+        # can differ by an ULP between libms
+        out.append(
+            (g1, g2, g3, n, pm / (pm + pu), math.floor(weight * 1e6 + 0.5) / 1e6)
+        )
     return spark.createDataFrame(
         out,
         "g_name int, g_bal int, g_seg int, n_pairs long, posterior double, match_weight double",
