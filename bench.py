@@ -107,11 +107,14 @@ def main() -> None:
         passes += 1
     timings = {name: round(best_times[name], 3) for name in names}
 
-    # Floor probe (VERDICT r5 item 8): extra reps on the three heaviest
-    # headline queries so every BENCH artifact carries its own
-    # noise-floor evidence next to value_per_calib, instead of the
-    # calibration caveat living only in BASELINE.md prose. 8 samples
-    # total per probed query (the r5 floor-probe protocol); kept OUT of
+    # Floor probe (VERDICT r5 item 8): the three heaviest headline
+    # queries get their own DEDICATED 8-rep best-of, so every BENCH
+    # artifact carries noise-floor evidence next to value_per_calib
+    # instead of the calibration caveat living only in BASELINE.md
+    # prose. Exactly 8 fresh samples regardless of --repeat or
+    # degraded-host retries (NOT seeded from best_times — a retried
+    # round would otherwise record a 9-10-sample minimum under the same
+    # key and skew cross-round floor comparisons); kept OUT of
     # ``queries`` so the headline best-of statistic stays 3-sample
     # comparable across rounds.
     floor_probe: dict[str, float] = {}
@@ -119,8 +122,8 @@ def main() -> None:
         for name in ("join_asof_latest_prior", "sim_cosine_topk", "dedup_near_minhash"):
             if name not in ops:
                 continue
-            best = best_times.get(name, float("inf"))
-            for _ in range(8 - args.repeat):
+            best = float("inf")
+            for _ in range(8):
                 t0 = time.perf_counter()
                 ops[name].fn(spark, args.sf_dir).count()
                 best = min(best, time.perf_counter() - t0)

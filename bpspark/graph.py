@@ -21,16 +21,19 @@ _DAMPING = 0.85
 _ITERATIONS = 5
 
 
+# {d} below is interpolated from _DAMPING and the round count from
+# _ITERATIONS — editing either can never fork op and oracle (self-code-
+# review r6); MATERIALIZED keeps DuckDB from re-inlining ew per round.
 _PAGERANK_ROUND_SQL = """
     m{i} AS (
       SELECT ew.dst AS src,
              floor(SUM(r.rank / ew.deg) * 1e6 + 0.5) / 1e6 AS mass
       FROM ew JOIN r{prev} r ON r.src = ew.src GROUP BY ew.dst
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT src,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-               + CAST(0.85 AS DOUBLE) * mass AS rank
+             (CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE))
+               + CAST({d} AS DOUBLE) * mass AS rank
       FROM m{i}
     )"""
 
@@ -44,11 +47,16 @@ _PAGERANK_SQL = (
     edges AS (SELECT a AS src, b AS dst FROM cs
               UNION ALL SELECT b AS src, a AS dst FROM cs),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    ew AS MATERIALIZED (
+      SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
     r0 AS (SELECT src, CAST(1.0 AS DOUBLE) AS rank FROM deg),"""
-    + ",".join(_PAGERANK_ROUND_SQL.format(i=i, prev=f"{i-1}") for i in range(1, 6))
-    + """
-    SELECT src AS node, rank FROM r5 ORDER BY rank DESC, node LIMIT 20
+    + ",".join(
+        _PAGERANK_ROUND_SQL.format(i=i, prev=f"{i-1}", d=_DAMPING)
+        for i in range(1, _ITERATIONS + 1)
+    )
+    + f"""
+    SELECT src AS node, rank FROM r{_ITERATIONS}
+    ORDER BY rank DESC, node LIMIT 20
     """
 )
 

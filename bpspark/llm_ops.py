@@ -192,6 +192,48 @@ def minhash_bucket_overflow(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- shared oracle fragments for the brute-force shingle-Jaccard ground
+# truth (self-code-review r6: previously copy-pasted five times — now any
+# change to the shingle width, threshold, or twin planting edits ONE place
+# and every oracle that depends on it follows).
+
+# the planted-twin corpus of _docs_with_planted_neardups, as a CTE body
+_PLANTED_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 25"""
+
+
+def _jaccard_pairs_sql(src: str, p: str = "") -> str:
+    """CTE chain over doc CTE ``src`` (columns doc_id, text): 3-word
+    shingle sets -> pairs sharing >=1 shingle -> exact Jaccard. Emits
+    ``{p}gr`` (distinct per-doc shingles — reusable for gram-level logic)
+    and ``{p}jac`` (doc_a < doc_b, raw-double ``jaccard``); callers filter
+    ``jaccard >= 0.5``. Mirrors _word_shingles' short-doc guard (DuckDB
+    range is empty when stop <= start)."""
+    return f"""
+    {p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+    {p}gi AS (SELECT doc_id, ws,
+                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+           FROM {p}w),
+    {p}gr AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+              FROM {p}gi),
+    {p}sz AS (SELECT doc_id, count(*) AS n FROM {p}gr GROUP BY doc_id),
+    {p}cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM {p}gr a JOIN {p}gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    {p}jac AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM {p}cand
+      JOIN {p}sz sa ON sa.doc_id = doc_a
+      JOIN {p}sz sb ON sb.doc_id = doc_b
+    )"""
+
+
 @op(
     "dedup_near_minhash",
     # Oracle (upgraded r6): brute-force shingle-Jaccard >= 0.5 pairs over
@@ -201,30 +243,11 @@ def minhash_bucket_overflow(docs: DataFrame) -> DataFrame:
     # Like dedup_recall_eval's oracle, this is a regression tripwire: an
     # LSH parameter change that costs recall or admits false positives on
     # this corpus now fails the driver hash instead of passing silently.
-    sql="""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
-      FROM documents WHERE doc_id < 25
-    ),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
-    gi AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-           FROM w),
-    grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
-              FROM gi),
-    sets AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b
-    FROM cand
-    JOIN sets sa ON sa.doc_id = doc_a
-    JOIN sets sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    sql=f"""
+    WITH docs AS ({_PLANTED_DOCS_SQL}
+    ),{_jaccard_pairs_sql("docs")}
+    SELECT doc_a, doc_b FROM jac
+    WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )  # property-verified in tests (SURVEY §5.2.4)
@@ -245,31 +268,11 @@ def dedup_near_minhash(spark: SparkSession, sf: str) -> DataFrame:
     # sweep + driver hash pin that equivalence. jaccard is emitted as the
     # RAW int/int division (identical doubles in both engines — no rounding
     # needed, avoiding the shortest-decimal-vs-binary round fork class).
-    sql="""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
-      FROM documents WHERE doc_id < 25
-    ),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
-    gi AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-           FROM w),
-    grams AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
-              FROM gi),
-    sets AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-    FROM cand
-    JOIN sets sa ON sa.doc_id = doc_a
-    JOIN sets sb ON sb.doc_id = doc_b
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+    sql=f"""
+    WITH docs AS ({_PLANTED_DOCS_SQL}
+    ),{_jaccard_pairs_sql("docs")}
+    SELECT doc_a, doc_b, jaccard FROM jac
+    WHERE jaccard >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )
@@ -2329,8 +2332,13 @@ def _kmeans_assign_batches(centroids):
     return assign
 
 
+# ONE definition for the Spark loop and the generated oracle — editing k or
+# the round count can never fork the two (self-code-review r6).
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 4
+
 _KMEANS_ITER_SQL = """
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT pt.vec_id, c.cluster,
              floor(SUM((pt.x - c.m) * (pt.x - c.m)) * 1e6 + 0.5) / 1e6 AS d2
       FROM pt JOIN c{prev} c USING (pos)
@@ -2341,21 +2349,21 @@ _KMEANS_ITER_SQL = """
              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
       FROM a{i}
     ),
-    g{i} AS (SELECT vec_id, cluster, d2 FROM s{i} WHERE rk = 1)"""
+    g{i} AS MATERIALIZED (SELECT vec_id, cluster, d2 FROM s{i} WHERE rk = 1)"""
 
 _KMEANS_MEANS_SQL = """
     m{i} AS (
       SELECT g.cluster, pt.pos, floor(AVG(pt.x) * 1e6 + 0.5) / 1e6 AS m
       FROM g{i} g JOIN pt USING (vec_id) GROUP BY g.cluster, pt.pos
     ),
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT c.cluster, c.pos, COALESCE(m.m, c.m) AS m
       FROM c{prev} c LEFT JOIN m{i} m ON m.cluster = c.cluster AND m.pos = c.pos
     )"""
 
 _KMEANS_SQL = (
-    """
-    WITH pt AS (
+    f"""
+    WITH pt AS MATERIALIZED (
       SELECT vec_id, CAST(emb[i] AS DOUBLE) AS x, i AS pos FROM (
         SELECT vec_id, embedding AS emb,
                unnest(generate_series(1, len(embedding))) AS i
@@ -2363,18 +2371,18 @@ _KMEANS_SQL = (
     ),
     ids AS (
       SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
     ),
     c0 AS (SELECT ids.cluster, pt.pos, pt.x AS m FROM ids JOIN pt USING (vec_id)),"""
     + ",".join(
         _KMEANS_ITER_SQL.format(i=i, prev=f"{i-1}")
-        + ("," + _KMEANS_MEANS_SQL.format(i=i, prev=f"{i-1}") if i < 4 else "")
-        for i in range(1, 5)
+        + ("," + _KMEANS_MEANS_SQL.format(i=i, prev=f"{i-1}") if i < _KMEANS_ROUNDS else "")
+        for i in range(1, _KMEANS_ROUNDS + 1)
     )
-    + """
+    + f"""
     SELECT cluster, count(*) AS n_points,
            floor(SUM(d2) * 100 + 0.5) / 100 AS inertia
-    FROM g4 GROUP BY cluster ORDER BY cluster
+    FROM g{_KMEANS_ROUNDS} GROUP BY cluster ORDER BY cluster
     """
 )
 
@@ -2395,17 +2403,17 @@ def ml_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     and DuckDB; see docs/SCALE.md cross-engine float rules). Argmin ties
     break to the lowest cluster id in both engines."""
     emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
-    k = 8
+    k = _KMEANS_K
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [list(r["embedding"]) for r in init]
     assigned = None
-    for it in range(4):
+    for it in range(_KMEANS_ROUNDS):
         assigned = emb.mapInPandas(
             _kmeans_assign_batches(centroids),
             "vec_id long, cluster int, dist2 double",
         )
-        if it == 3:
-            break  # the 4th centroid update is never read — skip the job
+        if it == _KMEANS_ROUNDS - 1:
+            break  # the final centroid update is never read — skip the job
         means = (
             assigned.join(emb, "vec_id")
             .select("cluster", F.posexplode("embedding").alias("pos", "x"))
@@ -2639,12 +2647,17 @@ def text_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ONE definition for the Spark loop and the generated oracle (self-code-
+# review r6): rounds and learning rate can never fork the two.
+_LOGREG_ROUNDS = 6
+_LOGREG_LR = 2.0
+
 _LOGREG_ITER_SQL = """
-    p{r} AS (
+    p{r} AS MATERIALIZED (
       SELECT pt.vec_id, 1.0 / (1.0 + exp(-(SUM(pt.x * w.wv)))) AS p
       FROM pt JOIN w{prev} w USING (pos) GROUP BY pt.vec_id
     ),
-    l{r} AS (
+    l{r} AS MATERIALIZED (
       SELECT floor((SUM(-(y.y * ln(p.p + 1e-12)
                           + (1 - y.y) * ln(1 - p.p + 1e-12))) / nn.n) * 1e6
                    + 0.5) / 1e6 AS loss,
@@ -2657,14 +2670,14 @@ _LOGREG_ITER_SQL = """
       FROM pt JOIN p{r} p USING (vec_id) JOIN yv y ON y.vec_id = pt.vec_id, nn
       GROUP BY pt.pos, nn.n
     ),
-    w{r} AS (
-      SELECT w.pos, floor((w.wv - 2.0 * g.gr) * 1e6 + 0.5) / 1e6 AS wv
+    w{r} AS MATERIALIZED (
+      SELECT w.pos, floor((w.wv - {lr} * g.gr) * 1e6 + 0.5) / 1e6 AS wv
       FROM w{prev} w JOIN g{r} g USING (pos)
     )"""
 
 _LOGREG_SQL = (
     """
-    WITH pt AS (
+    WITH pt AS MATERIALIZED (
       SELECT vec_id, i AS pos, CAST(emb[i] AS DOUBLE) AS x FROM (
         SELECT vec_id, embedding AS emb,
                unnest(generate_series(1, len(embedding))) AS i
@@ -2675,11 +2688,14 @@ _LOGREG_SQL = (
     yv AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
     w0 AS (SELECT DISTINCT pos, 0.0 AS wv FROM pt),"""
-    + ",".join(_LOGREG_ITER_SQL.format(r=r, prev=f"{r-1}") for r in range(1, 7))
+    + ",".join(
+        _LOGREG_ITER_SQL.format(r=r, prev=f"{r-1}", lr=_LOGREG_LR)
+        for r in range(1, _LOGREG_ROUNDS + 1)
+    )
     + "SELECT * FROM ("
     + " UNION ALL ".join(
         f"SELECT CAST({r - 1} AS INTEGER) AS iteration, loss, accuracy FROM l{r}"
-        for r in range(1, 7)
+        for r in range(1, _LOGREG_ROUNDS + 1)
     )
     + ") ORDER BY iteration"
 )
@@ -2713,9 +2729,9 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)), F.first(F.size("embedding"))
     ).first()
     w = np.zeros(d + 1)
-    lr = 2.0
+    lr = _LOGREG_LR
     history = []
-    for it in range(6):
+    for it in range(_LOGREG_ROUNDS):
         bw = spark.sparkContext.broadcast(w.copy())
 
         def partials(batches, _w=bw):
@@ -2746,7 +2762,7 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")
 
 
-_LLM_CORPUS_SQL = r"""
+_LLM_CORPUS_SQL = rf"""
     WITH RECURSIVE q AS (
       SELECT doc_id, text, source FROM documents
       WHERE length(text) BETWEEN 100 AND 2000
@@ -2760,23 +2776,9 @@ _LLM_CORPUS_SQL = r"""
       JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) k
         USING (doc_id)
     ),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM e),
-    gi AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-           FROM w),
-    gr AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM gi),
-    ssz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
-    cpair AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    {_jaccard_pairs_sql("e")},
     losers AS (
-      SELECT DISTINCT doc_b AS doc_id
-      FROM cpair
-      JOIN ssz sa ON sa.doc_id = doc_a
-      JOIN ssz sb ON sb.doc_id = doc_b
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.5
     ),
     near AS (
       SELECT e.* FROM e
@@ -2794,8 +2796,10 @@ _LLM_CORPUS_SQL = r"""
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     chunks_cnt AS (
-      SELECT CAST(SUM(CAST(floor(greatest(length(text) - 1, 0) / 600) AS BIGINT)
-                      + 1) AS BIGINT) AS n
+      -- COALESCE: SUM over an empty `clean` is NULL, Spark's count() is 0
+      SELECT COALESCE(CAST(SUM(CAST(floor(greatest(length(text) - 1, 0) / 600)
+                                    AS BIGINT) + 1) AS BIGINT),
+                      CAST(0 AS BIGINT)) AS n
       FROM clean
     ),
     pd AS (SELECT source, doc_id,
@@ -4582,34 +4586,15 @@ def embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "rnk int, vec_id long, radius double")
 
 
-_RECALL_EVAL_SQL = """
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || ' perturbed' AS text
-      FROM documents WHERE doc_id < 25
+_RECALL_EVAL_SQL = f"""
+    WITH docs AS ({_PLANTED_DOCS_SQL}
     ),
     samp AS (
       SELECT * FROM docs
       WHERE (doc_id % 7 = 0 AND doc_id < 3500)
          OR doc_id >= 1000000 OR doc_id < 25
-    ),
-    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM samp),
-    gi AS (SELECT doc_id, ws,
-                  unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-           FROM w),
-    gr AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g FROM gi),
-    ssz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
-    tp AS (
-      SELECT count(*) AS n FROM (
-        SELECT doc_a FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY 1, 2) c
-        JOIN ssz sa ON sa.doc_id = c.doc_a
-        JOIN ssz sb ON sb.doc_id = c.doc_b
-        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
-    )
+    ),{_jaccard_pairs_sql("samp")},
+    tp AS (SELECT count(*) AS n FROM jac WHERE jaccard >= 0.5)
     SELECT (SELECT count(*) FROM samp) AS n_sample_docs,
            tp.n AS truth_pairs, tp.n AS pred_pairs, tp.n AS hit_pairs,
            CASE WHEN tp.n > 0

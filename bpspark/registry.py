@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_community_modularity", "stream_heavy_hitters", "ml_gbdt_hist",
     "er_incremental_resolve", "stream_er_resolve",
     "stream_stateful_counter", "pipeline_web_corpus",
+    "dedup_near_minhash",
     "sim_ivf_index_compact",
     "multimodal_video_scene_cut", "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
@@ -159,7 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_conditional", "fn_map", "fn_array", "fn_json", "udf_scalar_pandas",
     "udaf_grouped_pandas", "udtf_apply_in_pandas", "udtf_map_in_pandas",
     "dedup_exact_hash", "text_stats", "text_quality_filter",
-    "sim_cosine_topk", "dedup_near_minhash", "stream_tumbling_count",
+    "sim_cosine_topk", "stream_tumbling_count",
     "stream_sliding_agg", "stream_session_window",
     "stream_session_dynamic_gap", "scan_binary_zip", "sink_append_parquet",
     "stream_static_join", "stream_dedup_state", "stream_drop_folder",

@@ -665,7 +665,9 @@ def _canonicalize_url(url) -> F.Column:
     )
 
 
-_WEB_CORPUS_SQL = r"""
+from bpspark.llm_ops import _jaccard_pairs_sql as _jps
+
+_WEB_CORPUS_SQL = rf"""
     WITH raw AS (
       SELECT doc_id,
              'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
@@ -752,25 +754,9 @@ _WEB_CORPUS_SQL = r"""
         GROUP BY h) k
       USING (doc_id)
     ),
-    egr AS (
-      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS g
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-                   unnest(generate_series(1,
-                       greatest(len(string_split(text, ' ')) - 2, 0))) AS i
-            FROM exact_stage)
-    ),
-    esz AS (SELECT doc_id, count(*) AS n FROM egr GROUP BY doc_id),
-    epair AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM egr a JOIN egr b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    {_jps("exact_stage", "e")},
     elosers AS (
-      SELECT DISTINCT doc_b AS doc_id
-      FROM epair
-      JOIN esz sa ON sa.doc_id = doc_a
-      JOIN esz sb ON sb.doc_id = doc_b
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      SELECT DISTINCT doc_b AS doc_id FROM ejac WHERE jaccard >= 0.5
     ),
     near_stage AS (
       SELECT * FROM exact_stage

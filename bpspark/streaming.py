@@ -407,7 +407,8 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
     updates_dir = f"{stage}/updates"
 
     def count_events(key, pdfs, state: GroupState):
-        import pandas as pd  # runs in the Python worker
+        import numpy as np  # runs in the Python worker
+        import pandas as pd
 
         (user_id,) = key
         n, cents = state.get if state.exists else (0, 0)
@@ -420,8 +421,6 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
             # (half-even), DuckDB ROUND (half-away) and Spark F.round
             # (HALF_UP) only coincide while the data stays exact-2dp
             # (ADVICE r5).
-            import numpy as np
-
             cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(

@@ -21,6 +21,7 @@ from bpspark.io import table
 from bpspark.registry import op
 
 _SESSION_GAP_US = 1_800_000_000  # 30 min
+_EWMA_ALPHA = 0.3  # shared by ts_ewma's Python recurrence AND its oracle SQL
 
 
 @op(
@@ -417,7 +418,7 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     # needed. (1-a) is spelled as the explicit double subtraction in both
     # engines: a bare 0.7 literal would be DuckDB DECIMAL / the double
     # nearest 0.7, while 1.0-0.3 in IEEE is 0.7000000000000001.
-    sql="""
+    sql=f"""
     WITH RECURSIVE d AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS x,
              row_number() OVER (PARTITION BY user_id
@@ -429,9 +430,9 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
       FROM d WHERE rn = 1
       UNION ALL
       SELECT d.user_id, d.event_id, d.ts_us, d.rn,
-             d.x + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.num AS num,
+             d.x + (CAST(1.0 AS DOUBLE) - CAST({_EWMA_ALPHA} AS DOUBLE)) * r.num AS num,
              CAST(1.0 AS DOUBLE)
-               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.den AS den
+               + (CAST(1.0 AS DOUBLE) - CAST({_EWMA_ALPHA} AS DOUBLE)) * r.den AS den
       FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1
     )
     SELECT user_id, ts_us, event_id, num / den AS ewma
@@ -465,7 +466,7 @@ def ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ewma_group(pdf):
     pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-    c = 1.0 - 0.3  # 0.7000000000000001 — the exact IEEE value the oracle uses
+    c = 1.0 - _EWMA_ALPHA  # 0.7000000000000001 — the exact IEEE value the oracle uses
     num = 0.0
     den = 0.0
     out = []
@@ -835,7 +836,18 @@ def ts_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
-_HW_SQL = """
+def _hw_chain(lo: int, hi: int) -> str:
+    """Left-associated vs[lo]+…+vs[hi] — the same IEEE order as the op's
+    explicit Python accumulation loop."""
+    expr = f"vs[{lo}]"
+    for j in range(lo + 1, hi + 1):
+        expr = f"({expr} + vs[{j}])"
+    return expr
+
+
+# α/β/γ and the season length are interpolated from the module constants
+# (self-code-review r6) — editing them can never fork op and oracle.
+_HW_SQL = f"""
     WITH RECURSIVE daily AS (
       SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
@@ -851,25 +863,25 @@ _HW_SQL = """
       SELECT event_type, count(*) AS nd, max(epoch_day) AS last_day,
              list(v ORDER BY epoch_day) AS vs,
              list(epoch_day ORDER BY epoch_day) AS ds
-      FROM dd GROUP BY event_type HAVING count(*) >= 14
+      FROM dd GROUP BY event_type HAVING count(*) >= {2 * _HW_SEASON}
     ),
     init AS (
       SELECT event_type, nd, last_day, lvl0,
-             ((((((vs[8] + vs[9]) + vs[10]) + vs[11]) + vs[12]) + vs[13]) + vs[14])
-               / CAST(7.0 AS DOUBLE) AS mean2,
-             (((((((vs[8] + vs[9]) + vs[10]) + vs[11]) + vs[12]) + vs[13]) + vs[14])
-               / CAST(7.0 AS DOUBLE) - lvl0) / CAST(7.0 AS DOUBLE) AS tr0,
-             list_transform(generate_series(0, 6), sl ->
+             {_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
+               / CAST({float(_HW_SEASON)} AS DOUBLE) AS mean2,
+             ({_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
+               / CAST({float(_HW_SEASON)} AS DOUBLE) - lvl0) / CAST({float(_HW_SEASON)} AS DOUBLE) AS tr0,
+             list_transform(generate_series(0, {_HW_SEASON - 1}), sl ->
                CASE WHEN list_position(
-                        list_reverse(list_transform(ds[1:7], d -> d % 7)), sl) > 0
-                    THEN vs[8 - list_position(
-                        list_reverse(list_transform(ds[1:7], d -> d % 7)), sl)]
+                        list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl) > 0
+                    THEN vs[{_HW_SEASON + 1} - list_position(
+                        list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl)]
                          - lvl0
                     ELSE NULL END) AS season0
       FROM (
         SELECT *,
-               ((((((vs[1] + vs[2]) + vs[3]) + vs[4]) + vs[5]) + vs[6]) + vs[7])
-                 / CAST(7.0 AS DOUBLE) AS lvl0
+               {_hw_chain(1, _HW_SEASON)}
+                 / CAST({float(_HW_SEASON)} AS DOUBLE) AS lvl0
         FROM ser)
     ),
     st AS (
@@ -886,17 +898,17 @@ _HW_SQL = """
                                            THEN t4.newseason ELSE e END) AS season
       FROM st s
       JOIN dd d ON d.event_type = s.event_type AND d.rn = s.rn + 1,
-      LATERAL (SELECT (d.epoch_day % 7) + 1 AS sloti) t1,
+      LATERAL (SELECT (d.epoch_day % {_HW_SEASON}) + 1 AS sloti) t1,
       LATERAL (SELECT s.season[t1.sloti] AS sv) t2,
       LATERAL (SELECT s.level + s.trend + t2.sv AS fitted_raw,
-                      CAST(0.3 AS DOUBLE) * (d.v - t2.sv)
-                        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                      CAST({_HW_ALPHA} AS DOUBLE) * (d.v - t2.sv)
+                        + (CAST(1.0 AS DOUBLE) - CAST({_HW_ALPHA} AS DOUBLE))
                           * (s.level + s.trend) AS newlevel) t3,
-      LATERAL (SELECT CAST(0.1 AS DOUBLE) * (t3.newlevel - s.level)
-                        + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.trend
+      LATERAL (SELECT CAST({_HW_BETA} AS DOUBLE) * (t3.newlevel - s.level)
+                        + (CAST(1.0 AS DOUBLE) - CAST({_HW_BETA} AS DOUBLE)) * s.trend
                           AS newtrend,
-                      CAST(0.2 AS DOUBLE) * (d.v - t3.newlevel)
-                        + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * t2.sv
+                      CAST({_HW_GAMMA} AS DOUBLE) * (d.v - t3.newlevel)
+                        + (CAST(1.0 AS DOUBLE) - CAST({_HW_GAMMA} AS DOUBLE)) * t2.sv
                           AS newseason) t4
     )
     SELECT event_type, epoch_day, 'fit' AS kind, x AS v, fitted
@@ -905,11 +917,11 @@ _HW_SQL = """
     SELECT f.event_type, f.last_day + h.h AS epoch_day, 'forecast' AS kind,
            CAST(NULL AS DOUBLE) AS v,
            floor((f.level + h.h * f.trend
-                  + f.season[((f.last_day + h.h) % 7) + 1]) * 1e6 + 0.5) / 1e6
+                  + f.season[((f.last_day + h.h) % {_HW_SEASON}) + 1]) * 1e6 + 0.5) / 1e6
              AS fitted
     FROM (SELECT s.*, i.last_day FROM st s
           JOIN init i ON i.event_type = s.event_type AND s.rn = i.nd) f,
-         unnest(generate_series(1, 7)) AS h(h)
+         unnest(generate_series(1, {_HW_HORIZON})) AS h(h)
     ORDER BY event_type, epoch_day
     """
 

@@ -25,15 +25,13 @@ TABLES = (
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sfs = ["0.01"]
-    for a in sys.argv[1:]:
-        if a.startswith("--sf"):
-            sfs = a.split("=", 1)[1].split(",") if "=" in a else None
-    if sfs is None:
-        i = sys.argv.index("--sf")
-        sfs = sys.argv[i + 1].split(",")
-        names = [a for a in names if a != sys.argv[i + 1]]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("ops", nargs="+", help="op names from the registry")
+    ap.add_argument("--sf", default="0.01", help="comma-separated SFs, e.g. 0.001,0.01,0.1")
+    args = ap.parse_args()
+    names, sfs = args.ops, args.sf.split(",")
     os.chdir("/tmp")
 
     import duckdb
@@ -60,7 +58,11 @@ def main() -> None:
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         for name in names:
-            op = ops[name]
+            op = ops.get(name)
+            if op is None:
+                print(f"{name}: UNKNOWN op (not in registry)")
+                bad += 1
+                continue
             if op.sql is None:
                 print(f"{name} sf{sf}: NO-ORACLE (rows-only)")
                 continue
