@@ -35,62 +35,29 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the round-6 driver window (50 ops; the grading sweep
-    # covers exactly this front), 40/50 oracle-backed (the
-    # tests/test_sweep_window.py floor). Packed per VERDICT r5 items
-    # 1/2/4/5:
-    #  * 36 never-swept oracle-backed ops in tools/stale_ops.py candidate
-    #    order (the win_*/agg_* relational tail, the privacy/dq/sessionize
-    #    families, the sink/scan long tail, the first q_* shape) — four
-    #    heavy oracle-backed candidates (graph_community_modularity,
-    #    stream_heavy_hitters, stream_er_resolve, er_incremental_resolve,
-    #    ~27 s combined at sf0.01) are deferred to the tier-B front so the
-    #    window stays inside the ~100 s envelope;
-    #  * the 4 rows-only->oracle upgrades of this round, so their now-STALE
-    #    rows convert straight to hash rows (dedup_ngram_jaccard,
-    #    doc_pack_greedy, ml_kmeans_lloyd, ml_logreg_gd — VERDICT item 2);
-    #  * 10 rows-only slots draining the two families the verdict named:
-    #    the ANN/quantization tier a 100 TB user hits first (PQ encode/ADC/
-    #    IVFPQ + the streaming IVF index lifecycle, VERDICT item 4) and the
-    #    multimodal dedup arm + its flagship corpus funnels (item 5).
-    # sample_hash_mod leads to absorb the first-op JVM warmup.
+    # --- tier A: the round-7 driver window (50 ops; the grading sweep
+    # covers exactly this front), 50/50 oracle-backed — the exact
+    # tools/stale_ops.py candidate line after rebuilding the manifest with
+    # CORRECTNESS_r01..r06 (r6 artifact rev 7218329). Packed per VERDICT r6
+    # item 1:
+    #  * the 3 STALE ops whose r6 oracle upgrades invalidated their old
+    #    rows (stream_stateful_counter, pipeline_web_corpus,
+    #    dedup_near_minhash) and the 10 never-swept oracle upgrades of r6
+    #    (ts_ewma, graph_pagerank, embedding_kcenter_coreset,
+    #    dedup_recall_eval, doc_pack_bestfit, ts_holt_winters,
+    #    er_fellegi_sunter_em, ...);
+    #  * the four heavy candidates deferred from r6's envelope
+    #    (graph_community_modularity, stream_heavy_hitters,
+    #    er_incremental_resolve, stream_er_resolve);
+    #  * then the oracle-backed q_* tail, scan/stream/udtf/sql shapes.
+    # ts_ewma leads to absorb the first-op JVM warmup (cheap, hash-exact).
     # Regenerate future windows from `python tools/stale_ops.py` after
     # rebuilding the manifest with the new round's snapshot rev.
-    "sample_hash_mod", "set_except_all", "join_right_outer",
-    "win_ntile_bucketize", "agg_histogram_fixed", "win_time_range_interval",
-    "win_first_last_ignore_nulls", "win_nth_value",
-    "win_cumulative_distinct", "sample_neyman_allocation",
-    "agg_heavy_hitters_mg", "er_sorted_neighborhood",
-    "privacy_pseudonymize_consistent", "dq_referential_audit",
-    "sim_filtered_topk", "sessionize_pattern_funnel", "ts_changepoint_cusum",
-    "sim_binary_quantized_topk", "layout_overlap_report",
-    "text_fix_mojibake", "text_unicode_nfc", "privacy_t_closeness",
-    "dq_benford_digits", "agg_ks_two_sample",
-    "sessionize_markov_transitions", "doc_span_corruption", "join_null_safe",
-    "agg_median_abs_deviation", "sink_partitioned_silver",
-    "join_bucketed_colocated", "sink_overwrite_dynamic",
-    "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",
-    "scan_dynamic_partition_pruning", "q_top_parts_per_brand",
-    "dedup_ngram_jaccard", "doc_pack_greedy", "ml_kmeans_lloyd",
-    "ml_logreg_gd", "embedding_pq_encode", "sim_pq_adc_search",
-    "sim_ivfpq_search", "stream_ivf_index_append", "pipeline_llm_corpus",
-    "sim_ivf_index_retrain", "dedup_image_phash", "dedup_audio_fingerprint",
-    "pipeline_multimodal_corpus", "pipeline_audio_corpus",
-    # --- tier B: remaining STALE/NEVER ops (r7+ windows rotate from
-    # here): the four heavy deferred candidates first, then the q_* tail,
-    # scan/pipeline/stream harnesses, sketch/profile ops, and long-tail
-    # fn_* scalar variants (cheapest to re-derive from green siblings);
-    # rows-only ML/PQ/sampling backlog interleaved where it was.
-    "ts_ewma", "graph_pagerank", "ml_pca_top_component",
-    "agg_approx_percentile", "sample_deterministic", "sample_stratified",
-    "embedding_kcenter_coreset", "dedup_recall_eval",
-    "ml_decision_tree_hist", "doc_pack_bestfit", "ts_holt_winters",
-    "graph_community_modularity", "stream_heavy_hitters", "ml_gbdt_hist",
-    "er_incremental_resolve", "stream_er_resolve",
-    "stream_stateful_counter", "pipeline_web_corpus",
-    "dedup_near_minhash",
-    "sim_ivf_index_compact",
-    "multimodal_video_scene_cut", "er_fellegi_sunter_em",
+    "ts_ewma", "graph_pagerank", "embedding_kcenter_coreset",
+    "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
+    "graph_community_modularity", "stream_heavy_hitters",
+    "er_incremental_resolve", "stream_er_resolve", "stream_stateful_counter",
+    "pipeline_web_corpus", "dedup_near_minhash", "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
     "q_small_quantity_revenue", "q_large_volume_customers",
@@ -100,27 +67,52 @@ _PRIORITY: tuple[str, ...] = (
     "q_revenue_forecast", "q_parts_supplier_counts", "q_basket_pairs",
     "q_percent_of_total", "join_nearest_event", "q_repeat_purchase_30d",
     "reshape_nest_unnest", "scan_jsonlines", "scan_csv", "scan_orc",
-    "scan_schema_evolution", "pipeline_ingest_batch", "pipeline_quarantine",
-    "pipeline_chapters", "pipeline_idempotent_rerun",
-    "pipeline_observe_metrics", "stream_ingest_pipeline",
-    "stream_interval_join", "stream_dedup_within_watermark",
-    "sessionize_batch", "join_asof_tolerance", "udtf_python_native",
-    "udtf_map_in_arrow", "udf_sql_registered", "sql_recursive_cte",
-    "join_lateral_topn", "q_retention_cohorts", "q_event_funnel",
-    "profile_summary_stats", "agg_sketch_hll", "agg_sketch_count_min",
-    "agg_bitmap_distinct", "sql_correlated_scalar", "profile_crosstab",
-    "sql_pipe_syntax", "sql_parameterized", "fn_string_extra", "fn_try_cast",
-    "fn_regex_extract_all", "fn_explode_unnest", "fn_arrays_zip",
-    "fn_array_hof", "fn_map_transform", "fn_url_parse", "fn_aes_roundtrip",
-    "fn_null_semantics", "fn_array_setops", "fn_try_arith", "fn_trig",
-    "fn_iso8601_duration", "fn_format_output", "fn_xml_xpath",
-    "fn_variant_json", "fn_string_collation",
-    # --- tier C: ops whose driver row still certifies the current code —
-    # the FRESH set from tools/stale_ops.py at the r5 snapshot + this
-    # round's edits (derived from the manifest, NOT from which round the
-    # row was taken, so source changes demote ops to tier B
-    # automatically; re-verify these last).
-    "ts_activity_grid",
+    "scan_schema_evolution", "stream_interval_join", "sessionize_batch",
+    "join_asof_tolerance", "udtf_python_native", "udtf_map_in_arrow",
+    "udf_sql_registered", "sql_recursive_cte", "join_lateral_topn",
+    "q_retention_cohorts",
+    # --- tier B: the last 42 ops with no driver row yet (the r8 window
+    # candidates — full 377-op coverage lands there): the rows-only
+    # ML/sampling/sketch/pipeline-harness backlog plus the oracle-backed
+    # sql_*/fn_* long tail. r7's rows-only->oracle upgrades join this
+    # front as their old rows stale.
+    "ml_pca_top_component", "agg_approx_percentile", "sample_deterministic",
+    "sample_stratified", "ml_decision_tree_hist", "ml_gbdt_hist",
+    "sim_ivf_index_compact", "multimodal_video_scene_cut",
+    "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
+    "pipeline_idempotent_rerun", "pipeline_observe_metrics",
+    "stream_ingest_pipeline", "stream_dedup_within_watermark",
+    "q_event_funnel", "profile_summary_stats", "agg_sketch_hll",
+    "agg_sketch_count_min", "agg_bitmap_distinct", "sql_correlated_scalar",
+    "profile_crosstab", "sql_pipe_syntax", "sql_parameterized",
+    "fn_string_extra", "fn_try_cast", "fn_regex_extract_all",
+    "fn_explode_unnest", "fn_arrays_zip", "fn_array_hof", "fn_map_transform",
+    "fn_url_parse", "fn_aes_roundtrip", "fn_null_semantics",
+    "fn_array_setops", "fn_try_arith", "fn_trig", "fn_iso8601_duration",
+    "fn_format_output", "fn_xml_xpath", "fn_variant_json",
+    "fn_string_collation",
+    # --- tier C: ops whose driver row still certifies the current code
+    # (the FRESH set from tools/stale_ops.py at the r6 manifest rebuild),
+    # in prior priority order; re-verify these last.
+    "sample_hash_mod", "set_except_all", "join_right_outer",
+    "win_ntile_bucketize", "agg_histogram_fixed", "win_time_range_interval",
+    "win_first_last_ignore_nulls", "win_nth_value", "win_cumulative_distinct",
+    "sample_neyman_allocation", "agg_heavy_hitters_mg",
+    "er_sorted_neighborhood", "privacy_pseudonymize_consistent",
+    "dq_referential_audit", "sim_filtered_topk", "sessionize_pattern_funnel",
+    "ts_changepoint_cusum", "sim_binary_quantized_topk",
+    "layout_overlap_report", "text_fix_mojibake", "text_unicode_nfc",
+    "privacy_t_closeness", "dq_benford_digits", "agg_ks_two_sample",
+    "sessionize_markov_transitions", "doc_span_corruption", "join_null_safe",
+    "agg_median_abs_deviation", "sink_partitioned_silver",
+    "join_bucketed_colocated", "sink_overwrite_dynamic",
+    "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",
+    "scan_dynamic_partition_pruning", "q_top_parts_per_brand",
+    "dedup_ngram_jaccard", "doc_pack_greedy", "ml_kmeans_lloyd",
+    "ml_logreg_gd", "embedding_pq_encode", "sim_pq_adc_search",
+    "sim_ivfpq_search", "stream_ivf_index_append", "pipeline_llm_corpus",
+    "sim_ivf_index_retrain", "dedup_image_phash", "dedup_audio_fingerprint",
+    "pipeline_multimodal_corpus", "pipeline_audio_corpus", "ts_activity_grid",
     "ts_gapfill_locf", "ts_ohlc_hourly", "ts_scd2_intervals",
     "ts_gaps_islands", "ts_anomaly_iqr", "ts_interpolate_linear",
     "graph_triangle_count", "graph_degree_distribution",
@@ -131,13 +123,13 @@ _PRIORITY: tuple[str, ...] = (
     "agg_collect_arrays", "join_skew_salted", "sql_end_to_end", "agg_mode",
     "join_range_bucketed", "agg_bool_and_or", "q_dormant_high_balance",
     "q_duplicate_payment_check", "stream_watermark_late", "agg_weighted_avg",
-    "join_anti_dedup", "agg_skew_kurt",
-    "join_fuzzy_levenshtein", "agg_gini_impurity", "set_except",
-    "dedup_embedding_cosine", "rag_context_pack", "ts_seasonal_decompose",
-    "ts_autocorrelation", "graph_label_propagation", "graph_kcore_decompose",
-    "privacy_l_diversity", "stream_drift_monitor", "q_dominant_suppliers",
-    "q_shipping_priority", "q_nation_revenue", "q_hypertable_rollup",
-    "multimodal_columns", "ingest_properties_zip", "join_asof_latest_prior",
+    "join_anti_dedup", "agg_skew_kurt", "join_fuzzy_levenshtein",
+    "agg_gini_impurity", "set_except", "dedup_embedding_cosine",
+    "rag_context_pack", "ts_seasonal_decompose", "ts_autocorrelation",
+    "graph_label_propagation", "graph_kcore_decompose", "privacy_l_diversity",
+    "stream_drift_monitor", "q_dominant_suppliers", "q_shipping_priority",
+    "q_nation_revenue", "q_hypertable_rollup", "multimodal_columns",
+    "ingest_properties_zip", "join_asof_latest_prior",
     "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
     "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
     "udtf_analyze_dynamic", "sample_temperature_mixture",
@@ -160,12 +152,11 @@ _PRIORITY: tuple[str, ...] = (
     "fn_conditional", "fn_map", "fn_array", "fn_json", "udf_scalar_pandas",
     "udaf_grouped_pandas", "udtf_apply_in_pandas", "udtf_map_in_pandas",
     "dedup_exact_hash", "text_stats", "text_quality_filter",
-    "sim_cosine_topk", "stream_tumbling_count",
-    "stream_sliding_agg", "stream_session_window",
-    "stream_session_dynamic_gap", "scan_binary_zip", "sink_append_parquet",
-    "stream_static_join", "stream_dedup_state", "stream_drop_folder",
-    "sink_control_table", "dedup_exact_normalized", "dedup_token_sorted",
-    "dedup_cluster_cc", "sim_cosine_lsh", "text_langid",
+    "sim_cosine_topk", "stream_tumbling_count", "stream_sliding_agg",
+    "stream_session_window", "stream_session_dynamic_gap", "scan_binary_zip",
+    "sink_append_parquet", "stream_static_join", "stream_dedup_state",
+    "stream_drop_folder", "sink_control_table", "dedup_exact_normalized",
+    "dedup_token_sorted", "dedup_cluster_cc", "sim_cosine_lsh", "text_langid",
     "text_token_count_bpe", "text_fingerprint", "text_normalize_clean",
     "text_pii_redact", "text_readability", "text_tfidf_topterms",
     "text_feature_hashing", "cdc_snapshot_diff", "join_bloom_prefilter",
@@ -187,19 +178,18 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect_all", "dedup_substring_spans", "sim_cosine_ivf",
     "search_hybrid_rrf", "sample_weighted_reservoir",
     "dedup_incremental_minhash", "sim_incremental_topk",
-    "stream_minhash_dedup", "sim_mmr_rerank",
-    "sink_python_datasource_stream", "sim_adaptive_route",
-    "agg_aqp_sample_estimate", "agg_aqp_groupby_stratified",
-    "dedup_url_canonicalized", "sink_merge_scd2", "join_temporal_validity",
-    "stream_mv_refresh", "scan_python_datasource",
-    "stream_python_datasource", "scan_python_datasource_pushdown",
-    "cache_inmemory_columnar", "maintenance_delete_where_cow",
-    "ml_naive_bayes_langid", "sql_pivot_clause", "fn_struct_field_surgery",
-    "sink_compression_codecs", "sink_training_shards",
-    "q_new_vs_returning_users", "agg_sketch_hll_intersection",
-    "agg_welch_ttest", "text_ngram_freq", "text_vocab_stats",
-    "text_bigram_lift", "text_bpe_vocab_induction", "text_bpe_tokenize",
-    "multimodal_decode_stub", "multimodal_resize_stub",
+    "stream_minhash_dedup", "sim_mmr_rerank", "sink_python_datasource_stream",
+    "sim_adaptive_route", "agg_aqp_sample_estimate",
+    "agg_aqp_groupby_stratified", "dedup_url_canonicalized",
+    "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",
+    "scan_python_datasource", "stream_python_datasource",
+    "scan_python_datasource_pushdown", "cache_inmemory_columnar",
+    "maintenance_delete_where_cow", "ml_naive_bayes_langid",
+    "sql_pivot_clause", "fn_struct_field_surgery", "sink_compression_codecs",
+    "sink_training_shards", "q_new_vs_returning_users",
+    "agg_sketch_hll_intersection", "agg_welch_ttest", "text_ngram_freq",
+    "text_vocab_stats", "text_bigram_lift", "text_bpe_vocab_induction",
+    "text_bpe_tokenize", "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
     "multimodal_video_frames", "er_resolve_entities", "rag_retrieval_eval",
     "embedding_l2_normalize", "embedding_centroid_per_label",
