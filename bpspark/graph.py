@@ -73,8 +73,12 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     moves. Oracle-backed (upgraded r6): the fixed 5 rounds unroll into
     chained CTEs; each round's summed mass is quantized with the
     tie-free floor(x·1e6+0.5)/1e6 in both engines, so cross-engine /
-    cross-partitioning float summation order (~1e-14) can never
-    accumulate, and the (1-d) literal is the explicit IEEE subtraction
+    cross-partitioning float summation order (~1e-14) does not
+    accumulate across rounds — a probabilistic guarantee, measured
+    clean at all three SFs: the 5e-7 tie margin sits ~8 orders above
+    the observed noise, but a pre-quantization sum landing within
+    ~1e-14 of a 1e-6 boundary could still floor differently per engine
+    (ADVICE r6). The (1-d) literal is the explicit IEEE subtraction
     both sides. The property test still checks mass conservation,
     positivity, and degree-monotonicity."""
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")

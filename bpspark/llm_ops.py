@@ -2717,7 +2717,10 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     quantizing the weight vector after every update and the reported loss
     with tie-free floor(x·1e6+0.5)/1e6 — identical float ops in numpy and
     DuckDB, so libm exp/ln ULP differences (~1e-14 in the summed gradient)
-    can never accumulate across rounds."""
+    do not accumulate across rounds. Probabilistic, not absolute (a sum
+    within ~1e-14 of a 1e-6 boundary could still floor differently per
+    engine — ADVICE r6); measured clean at all three SFs, with ~8 orders
+    of tie margin."""
     import numpy as np
 
     emb = (
@@ -5239,15 +5242,11 @@ def _fs_em_sql() -> str:
         + ",".join(rounds)
         + f"""
     SELECT p.g_name, p.g_bal, p.g_seg, p.n AS n_pairs,
-           {pm(final_s).replace('p.g_', 'p.g_')} / ({pm(final_s)} + {pu(final_s)})
-             AS posterior,
+           {pm('s')} / ({pm('s')} + {pu('s')}) AS posterior,
            floor({weight} * 1e6 + 0.5) / 1e6 AS match_weight
     FROM pats p, {final_s} s
     ORDER BY p.g_name, p.g_bal, p.g_seg
-    """.replace(f"{final_s}.lam", "s.lam")
-        .replace(f"{final_s}.m1", "s.m1").replace(f"{final_s}.m2", "s.m2")
-        .replace(f"{final_s}.m3", "s.m3").replace(f"{final_s}.u1", "s.u1")
-        .replace(f"{final_s}.u2", "s.u2").replace(f"{final_s}.u3", "s.u3")
+    """
     )
 
 

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # ML/sampling/sketch/pipeline-harness backlog plus the oracle-backed
     # sql_*/fn_* long tail. r7's rows-only->oracle upgrades join this
     # front as their old rows stale.
+    "ml_logreg_gd",
     "ml_pca_top_component", "agg_approx_percentile", "sample_deterministic",
     "sample_stratified", "ml_decision_tree_hist", "ml_gbdt_hist",
     "sim_ivf_index_compact", "multimodal_video_scene_cut",
@@ -109,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_compact_small_files", "sink_merge_scd1", "sink_range_partitioned",
     "scan_dynamic_partition_pruning", "q_top_parts_per_brand",
     "dedup_ngram_jaccard", "doc_pack_greedy", "ml_kmeans_lloyd",
-    "ml_logreg_gd", "embedding_pq_encode", "sim_pq_adc_search",
+    "embedding_pq_encode", "sim_pq_adc_search",
     "sim_ivfpq_search", "stream_ivf_index_append", "pipeline_llm_corpus",
     "sim_ivf_index_retrain", "dedup_image_phash", "dedup_audio_fingerprint",
     "pipeline_multimodal_corpus", "pipeline_audio_corpus", "ts_activity_grid",

@@ -661,12 +661,23 @@ def _holt_winters_group(pdf):
     acc2 = 0.0
     for j in range(m, 2 * m):
         acc2 += v[j]
-    level = acc1 / 7.0
-    trend = (acc2 / 7.0 - level) / m
+    # divide by float(m), never a literal: the oracle interpolates
+    # float(_HW_SEASON), so a constant edit moves both sides (ADVICE r6)
+    level = acc1 / float(m)
+    trend = (acc2 / float(m) - level) / m
     # seasonal slots keyed by CALENDAR weekday (epoch_day mod 7), not row
     # position — on a gapped panel positional indexing would silently
     # shift every later observation into the wrong weekday slot
     season = {int(days[j]) % m: v[j] - level for j in range(m)}
+    if len(season) < m:
+        # Gapped init window: a weekday absent from the first m
+        # observations would be consulted later (the forecast horizon
+        # covers every slot) — fail loudly, exactly like the oracle's
+        # error() guard on a NULL season0 slot (ADVICE r6).
+        raise ValueError(
+            "ts_holt_winters: init window (first %d observations) misses a "
+            "weekday slot — gapped panel" % m
+        )
     out = []
     for i in range(len(v)):
         slot = int(days[i]) % m
@@ -866,23 +877,31 @@ _HW_SQL = f"""
       FROM dd GROUP BY event_type HAVING count(*) >= {2 * _HW_SEASON}
     ),
     init AS (
-      SELECT event_type, nd, last_day, lvl0,
-             {_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
-               / CAST({float(_HW_SEASON)} AS DOUBLE) AS mean2,
-             ({_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
-               / CAST({float(_HW_SEASON)} AS DOUBLE) - lvl0) / CAST({float(_HW_SEASON)} AS DOUBLE) AS tr0,
-             list_transform(generate_series(0, {_HW_SEASON - 1}), sl ->
-               CASE WHEN list_position(
-                        list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl) > 0
-                    THEN vs[{_HW_SEASON + 1} - list_position(
-                        list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl)]
-                         - lvl0
-                    ELSE NULL END) AS season0
+      -- a NULL season0 slot (weekday absent from the init window) errors
+      -- loudly instead of silently emitting NULL fitted rows, matching
+      -- the Python op's ValueError on the same input (ADVICE r6)
+      SELECT event_type, nd, last_day, lvl0, mean2, tr0,
+             CASE WHEN len(list_filter(season0_raw, e -> e IS NULL)) > 0
+                  THEN error('ts_holt_winters: init window misses a weekday slot - gapped panel')
+                  ELSE season0_raw END AS season0
       FROM (
-        SELECT *,
-               {_hw_chain(1, _HW_SEASON)}
-                 / CAST({float(_HW_SEASON)} AS DOUBLE) AS lvl0
-        FROM ser)
+        SELECT event_type, nd, last_day, lvl0,
+               {_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
+                 / CAST({float(_HW_SEASON)} AS DOUBLE) AS mean2,
+               ({_hw_chain(_HW_SEASON + 1, 2 * _HW_SEASON)}
+                 / CAST({float(_HW_SEASON)} AS DOUBLE) - lvl0) / CAST({float(_HW_SEASON)} AS DOUBLE) AS tr0,
+               list_transform(generate_series(0, {_HW_SEASON - 1}), sl ->
+                 CASE WHEN list_position(
+                          list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl) > 0
+                      THEN vs[{_HW_SEASON + 1} - list_position(
+                          list_reverse(list_transform(ds[1:{_HW_SEASON}], d -> d % {_HW_SEASON})), sl)]
+                           - lvl0
+                      ELSE NULL END) AS season0_raw
+        FROM (
+          SELECT *,
+                 {_hw_chain(1, _HW_SEASON)}
+                   / CAST({float(_HW_SEASON)} AS DOUBLE) AS lvl0
+          FROM ser))
     ),
     st AS (
       SELECT i.event_type, 0 AS rn, CAST(NULL AS BIGINT) AS epoch_day,

@@ -305,8 +305,8 @@ def test_holt_winters_matches_independent_recurrence(spark):
         acc2 = 0.0
         for j in range(m, 2 * m):
             acc2 += v[j]
-        lvl = acc1 / 7.0
-        tr = (acc2 / 7.0 - lvl) / m
+        lvl = acc1 / float(m)
+        tr = (acc2 / float(m) - lvl) / m
         sea = {int(days[j]) % m: v[j] - lvl for j in range(m)}
         fits, fcs = [], []
         for i, x in enumerate(v):
@@ -328,6 +328,41 @@ def test_holt_winters_matches_independent_recurrence(spark):
         assert np.array_equal(fit["fitted"].to_numpy(), np.array(fits)), et
         assert np.array_equal(fc["fitted"].to_numpy(), np.array(fcs)), et
         assert fc["v"].isna().all() and fit["v"].notna().all(), et
+
+
+def test_holt_winters_gapped_panel_fails_loudly_both_engines():
+    """ADVICE r6: on a panel whose first 7 observations miss a weekday,
+    the Python op must raise (not KeyError deep in the loop) and the
+    DuckDB oracle must error (not silently emit NULL fitted rows) — the
+    two engines agree on the failure mode for gapped inputs."""
+    import numpy as np
+    import pytest
+
+    from bpspark.timeseries import _HW_SQL, _holt_winters_group
+
+    # 15 daily observations, day 6 absent from the init window (weekday 6
+    # first appears at day 13) — enough rows to pass the 2*m length gate
+    days = [0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["click"] * len(days),
+            "epoch_day": np.array(days, dtype=np.int64),
+            "v": np.linspace(1.0, 2.0, len(days)),
+        }
+    )
+    with pytest.raises(ValueError, match="misses a weekday slot"):
+        _holt_winters_group(pdf)
+
+    con = duckdb.connect()
+    con.sql(
+        """CREATE VIEW events AS
+           SELECT 'click' AS event_type,
+                  TIMESTAMP '1970-01-01' + INTERVAL (d) DAY AS ts,
+                  1.0 + d / 15.0 AS value
+           FROM (SELECT UNNEST([0,1,2,3,4,5,7,8,9,10,11,12,13,14,15]) AS d)"""
+    )
+    with pytest.raises(duckdb.Error, match="misses a weekday slot"):
+        con.sql(_HW_SQL).df()
 
 
 def test_modularity_invariants(spark):
