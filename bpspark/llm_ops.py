@@ -3619,7 +3619,42 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return decisions
 
 
-@op("dedup_incremental_minhash", sql=None)  # LSH index probe — invariant tests
+@op(
+    "dedup_incremental_minhash",
+    # Oracle (upgraded r7): brute-force shingle-Jaccard >= 0.5 between the
+    # batch (docs >= 400 plus +3M perturbed twins of every 20th indexed
+    # doc) and the indexed corpus (docs < 400) — the band-index probe at
+    # >= _INC_MIN_BANDS collisions MEASURES as exactly this relation at
+    # every test SF (r7 probe: lsh-only 0 / truth-only 0 at sf0.001/0.01/
+    # 0.1; min matched jaccard 0.889, ZERO single-band chance collisions,
+    # so the nearest miss is 2 full bands away). Like dedup_near_minhash,
+    # the hash row is an LSH regression tripwire: re-run the probe before
+    # touching N_HASHES/N_BANDS/_INC_MIN_BANDS.
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 400 AND doc_id % 20 = 0
+    ),{_jaccard_pairs_sql("docs")},
+    cm AS (
+      SELECT doc_b AS batch_doc, doc_a AS index_doc
+      FROM jac WHERE jaccard >= 0.5 AND doc_a < 400 AND doc_b >= 400
+    ),
+    m AS (
+      SELECT batch_doc, MIN(index_doc) AS matched_doc,
+             CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM cm GROUP BY batch_doc
+    )
+    SELECT b.doc_id,
+           (m.matched_doc IS NULL) AS is_novel,
+           m.matched_doc,
+           COALESCE(m.n_matches, 0) AS n_matches
+    FROM (SELECT doc_id FROM docs WHERE doc_id >= 400) b
+    LEFT JOIN m ON m.batch_doc = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
 def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """INCREMENTAL near-dup — dedup_incremental_exact's shape one tier up:
     a live pipeline screens each arriving batch against a persisted
@@ -3676,9 +3711,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= _INC_MIN_BANDS)
     )
+    # matched_doc = MIN index id over the match set and n_matches = its
+    # size: both are functions of the match SET alone, which the r7 probe
+    # measured identical to {jaccard >= 0.5} at every SF — unlike the old
+    # argmax-by-band-count representative and match_bands strength, whose
+    # values depended on Spark's private xxhash64 and could never be
+    # certified by an independent engine (re-grounded r7).
     best = hits.groupBy("doc_id").agg(
-        F.max_by("index_doc", F.struct("n_bands", (-F.col("index_doc")).alias("tb"))).alias("matched_doc"),
-        F.max("n_bands").alias("match_bands"),
+        F.min("index_doc").alias("matched_doc"),
+        F.count(F.lit(1)).alias("n_matches"),
     )
     return (
         batch.select("doc_id")
@@ -3687,7 +3728,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             F.col("matched_doc").isNull().alias("is_novel"),
             "matched_doc",
-            F.coalesce("match_bands", F.lit(0)).alias("match_bands"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         )
         .orderBy("doc_id")
     )

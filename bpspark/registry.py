@@ -76,7 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # ML/sampling/sketch/pipeline-harness backlog plus the oracle-backed
     # sql_*/fn_* long tail. r7's rows-only->oracle upgrades join this
     # front as their old rows stale.
-    "ml_logreg_gd",
+    "dedup_incremental_minhash", "stream_minhash_dedup", "ml_logreg_gd",
     "ml_pca_top_component", "agg_approx_percentile", "sample_deterministic",
     "sample_stratified", "ml_decision_tree_hist", "ml_gbdt_hist",
     "sim_ivf_index_compact", "multimodal_video_scene_cut",
@@ -178,8 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "gen_calendar_dim", "fn_bitwise", "fn_hash_encode", "fn_date_arith",
     "set_intersect_all", "dedup_substring_spans", "sim_cosine_ivf",
     "search_hybrid_rrf", "sample_weighted_reservoir",
-    "dedup_incremental_minhash", "sim_incremental_topk",
-    "stream_minhash_dedup", "sim_mmr_rerank", "sink_python_datasource_stream",
+    "sim_incremental_topk",
+    "sim_mmr_rerank", "sink_python_datasource_stream",
     "sim_adaptive_route", "agg_aqp_sample_estimate",
     "agg_aqp_groupby_stratified", "dedup_url_canonicalized",
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",

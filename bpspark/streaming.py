@@ -1184,7 +1184,72 @@ def stream_session_timeout(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@op("stream_minhash_dedup", sql=None)
+from bpspark.llm_ops import _jaccard_pairs_sql as _jac_sql
+
+
+def _stream_minhash_oracle() -> str:
+    """Oracle for stream_minhash_dedup (upgraded r7): the streamed
+    decisions replayed as a 3-step novelty recursion over brute-force
+    shingle-Jaccard — wave 0 is all novel (empty index), a later doc is
+    duplicate iff it clears jaccard >= 0.5 against some doc that was
+    NOVEL in a STRICTLY EARLIER wave (the index grows by novel docs
+    only; in-batch pairs are the batch LSH op's job). Honest because the
+    band-index probe at >= _INC_MIN_BANDS collisions measures as exactly
+    the jaccard >= 0.5 relation on this corpus (r7 probe: streamed ==
+    recursion at sf0.001/0.01/0.1, zero single-band collisions, min
+    matched jaccard 0.889) — the streamed ≡ recompute pattern of
+    stream_er_resolve/stream_watermark_late, with the measured-LSH
+    equivalence of dedup_near_minhash supplying the jaccard ground
+    truth. Wave membership is a pure function of doc_id (file mtimes
+    pin arrival order), so batch_id is derivable in SQL."""
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text || ' perturbed' AS text
+      FROM documents WHERE doc_id < 10 OR (doc_id >= 200 AND doc_id < 210)
+    ),{_jac_sql("docs")},
+    adj AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM jac WHERE jaccard >= 0.5
+    ),
+    wv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 5000000 THEN
+                    CASE WHEN doc_id < 5000200 THEN 1 ELSE 2 END
+                  WHEN doc_id < 200 THEN 0
+                  WHEN doc_id < 400 THEN 1
+                  ELSE 2 END AS wave
+      FROM docs
+    ),
+    n0 AS (SELECT doc_id FROM wv WHERE wave = 0),
+    d1 AS (
+      SELECT DISTINCT w.doc_id FROM wv w
+      JOIN adj ON adj.a = w.doc_id
+      JOIN n0 ON n0.doc_id = adj.b
+      WHERE w.wave = 1
+    ),
+    n1 AS (
+      SELECT doc_id FROM wv
+      WHERE wave = 1 AND doc_id NOT IN (SELECT doc_id FROM d1)
+    ),
+    d2 AS (
+      SELECT DISTINCT w.doc_id FROM wv w
+      JOIN adj ON adj.a = w.doc_id
+      WHERE w.wave = 2
+        AND adj.b IN (SELECT doc_id FROM n0 UNION ALL SELECT doc_id FROM n1)
+    )
+    SELECT w.doc_id,
+           CAST(w.wave AS BIGINT) AS batch_id,
+           (w.doc_id NOT IN (SELECT doc_id FROM d1
+                             UNION ALL SELECT doc_id FROM d2)) AS is_novel
+    FROM wv w
+    ORDER BY w.doc_id
+    """
+
+
+@op("stream_minhash_dedup", sql=_stream_minhash_oracle())
 def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING near-dup dedup — dedup_incremental_minhash run as a
     checkpointed streaming query: document waves arrive through the file
@@ -1272,18 +1337,21 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
                     .agg(F.count(F.lit(1)).alias("n_bands"))
                     .filter(F.col("n_bands") >= _INC_MIN_BANDS)
                     .groupBy("doc_id")
-                    .agg(F.max("n_bands").alias("match_bands"))
+                    .agg(F.count(F.lit(1)).alias("n_matches"))
                 )
             else:
-                hits = s.createDataFrame([], "doc_id long, match_bands long")
+                hits = s.createDataFrame([], "doc_id long, n_matches long")
+            # emitted decisions carry only hash-independent columns (the
+            # novel/duplicate verdict); the band-collision strength stays
+            # internal — its VALUE depends on Spark's private xxhash64 and
+            # could never be certified cross-engine (re-grounded r7)
             decisions = (
                 batch_df.select("doc_id")
                 .join(hits, "doc_id", "left")
                 .select(
                     "doc_id",
-                    F.lit(batch_id).alias("batch_id"),
-                    F.col("match_bands").isNull().alias("is_novel"),
-                    F.coalesce("match_bands", F.lit(0)).alias("match_bands"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.col("n_matches").isNull().alias("is_novel"),
                 )
             )
             decisions.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")

@@ -750,9 +750,10 @@ def test_incremental_minhash_detects_twins_and_verifies_matches(spark):
     assert exact >= 18, f"only {exact}/20 twins matched their original"
 
     matches = a[~a.is_novel]
-    from bpspark.llm_ops import _INC_MIN_BANDS, _word_shingles
+    from bpspark.llm_ops import _word_shingles
 
-    assert (matches.match_bands >= _INC_MIN_BANDS).all()
+    assert (matches.n_matches >= 1).all()
+    assert a[a.is_novel].n_matches.eq(0).all()
 
     # exact-jaccard verification of every claimed non-twin match
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
