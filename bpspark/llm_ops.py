@@ -310,36 +310,142 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """64-bit SimHash per doc: sum ±1 per bit over token hashes (vectorized
-    numpy inside an Arrow batch). Token hashing uses blake2b, not Python's
-    built-in hash() — the builtin is PYTHONHASHSEED-salted, which would make
-    signatures environment-dependent."""
-    import hashlib
+def _simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, entirely JVM-side (re-grounded r7 — this
+    replaced a blake2b Pandas UDF, removing the op's only Python
+    boundary): distinct whitespace tokens -> md5 -> two 32-bit halves
+    (conv of the hex prefix; md5 is identical lowercase hex in Spark and
+    DuckDB, unlike blake2b/xxhash64 which only one engine has), per-bit
+    ±1 majority vote via 64 map-side-combinable SUMs over pure integer
+    div/% bit extraction, signature reassembled as two 32-bit longs
+    (sig_hi, sig_lo; the halves never need 64-bit assembly, so no signed
+    overflow anywhere). Every operation is engine-portable arithmetic —
+    the oracle replays the identical computation. Tokenless docs get the
+    zero signature (the old Python branch's contract)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            )
+        ).alias("w"),
+    )
+    hs = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    acc = hs.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * (({half} div {1 << i}) % 2) - 1")).alias(f"a{half}{i}")
+            for half in ("lo", "hi")
+            for i in range(32)
+        ]
+    )
 
-    import numpy as np
+    def _assemble(half: str):
+        e = F.lit(0)
+        for i in range(32):
+            e = e + F.when(F.col(f"a{half}{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return e.cast("long")
 
-    def h64(t: str) -> int:
-        return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+    sig = acc.select(
+        "doc_id", _assemble("lo").alias("sig_lo"), _assemble("hi").alias("sig_hi")
+    )
+    return docs.select("doc_id").join(sig, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("sig_lo", F.lit(0).cast("long")).alias("sig_lo"),
+        F.coalesce("sig_hi", F.lit(0).cast("long")).alias("sig_hi"),
+    )
 
-    for pdf in batches:
-        out_ids, out_hashes = [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            tokens = text.split()
-            if not tokens:
-                out_ids.append(doc_id)
-                out_hashes.append(0)
-                continue
-            hs = np.array([h64(t) for t in set(tokens)], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for i, v in enumerate(acc):
-                if v > 0:
-                    sim |= np.uint64(1) << np.uint64(i)
-            out_ids.append(doc_id)
-            out_hashes.append(int(np.int64(sim)))  # store as signed long
-        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+def _simhash_oracle_sql() -> str:
+    """Full-replication oracle for dedup_simhash (upgraded r7): unlike the
+    measured-equivalence tripwires (near_minhash), this replays the ENTIRE
+    op in DuckDB — md5 token hashes, 64-bit majority vote, two-step
+    same-signature collapse, 8×8 banding, bit_count(xor) hamming screen,
+    raw-shingle jaccard re-rank — because every step is now portable
+    arithmetic. (A tripwire oracle was measured DISHONEST here: the
+    hamming<=7 screen provably loses jaccard>=0.5 pairs on this corpus —
+    18 at sf0.001 — so brute-force jaccard is NOT equivalent to the op.)"""
+    sums = ",\n             ".join(
+        f"SUM(2 * (({half} // {1 << i}) % 2) - 1) AS a{half}{i}"
+        for half in ("lo", "hi")
+        for i in range(32)
+    )
+    slo = " + ".join(f"(CASE WHEN alo{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    shi = " + ".join(f"(CASE WHEN ahi{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    lob = ", ".join(f"(sig_lo // {1 << (8 * b)}) % 256" for b in range(4))
+    hib = ", ".join(f"(sig_hi // {1 << (8 * b)}) % 256" for b in range(4))
+    return f"""
+    WITH docs AS ({_PLANTED_DOCS_SQL}
+    ),
+    tk AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs)
+      WHERE w <> ''
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS lo
+      FROM tk
+    ),
+    ac AS (
+      SELECT doc_id,
+             {sums}
+      FROM hs GROUP BY doc_id
+    ),
+    sg0 AS (
+      SELECT doc_id, CAST({slo} AS BIGINT) AS sig_lo,
+             CAST({shi} AS BIGINT) AS sig_hi
+      FROM ac
+    ),
+    sig AS (
+      SELECT d.doc_id, COALESCE(s.sig_lo, 0) AS sig_lo,
+             COALESCE(s.sig_hi, 0) AS sig_hi, md5(d.text) AS thash
+      FROM docs d LEFT JOIN sg0 s ON s.doc_id = d.doc_id
+    ),
+    trep AS (
+      SELECT sig_hi, sig_lo, thash, MIN(doc_id) AS doc_id
+      FROM sig GROUP BY 1, 2, 3
+    ),
+    srep AS (
+      SELECT sig_hi, sig_lo, MIN(doc_id) AS doc_id FROM trep GROUP BY 1, 2
+    ),
+    same_sig AS (
+      SELECT LEAST(s.doc_id, t.doc_id) AS doc_a,
+             GREATEST(s.doc_id, t.doc_id) AS doc_b,
+             CAST(0 AS BIGINT) AS hamming
+      FROM trep t
+      JOIN srep s ON s.sig_hi = t.sig_hi AND s.sig_lo = t.sig_lo
+      WHERE t.doc_id <> s.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig_hi, sig_lo,
+             unnest(generate_series(0, 7)) AS band,
+             unnest([{lob}, {hib}]) AS chunk
+      FROM srep
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                  + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                  AND a.doc_id < b.doc_id
+    ),
+    allcand AS (
+      SELECT doc_a, doc_b, hamming FROM scand WHERE hamming <= 7
+      UNION
+      SELECT doc_a, doc_b, hamming FROM same_sig
+    ),{_jaccard_pairs_sql("docs", "j")}
+    SELECT c.doc_a, c.doc_b, c.hamming, jj.jaccard
+    FROM allcand c
+    JOIN jjac jj ON jj.doc_a = c.doc_a AND jj.doc_b = c.doc_b
+    WHERE jj.jaccard >= 0.5
+    ORDER BY c.doc_a, c.doc_b
+    """
 
 
 @op("dedup_simhash", sql=None)
