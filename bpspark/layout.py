@@ -738,19 +738,49 @@ def catalog_stats_cbo(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(sorted(stats), "stat string, value string")
 
 
-@op("mv_sketch_refresh", sql=None)  # sketches are engine-specific; merge≡full test
+@op(
+    "mv_sketch_refresh",
+    # Oracle (upgraded r8, from sql=None): the HLL estimates themselves
+    # are engine-specific (Spark = Apache DataSketches; DuckDB's HLL is a
+    # different implementation), so they CANNOT be value-hashed — instead
+    # the output carries the op's portable invariants and the oracle
+    # replays those: the group-key set, the EXACT distinct count per
+    # group (real cross-engine work: the same groupBy+distinct), a
+    # union-sanity tripwire (merged_close_to_full flips false — and the
+    # hash fails — if union-merging ever drifts >2% from the full
+    # recompute; measured drift is 0 in sparse mode and ~0.5% in dense
+    # mode at sf0.1, see docstring), and an estimate-accuracy tripwire
+    # (est_within_5pct; DataSketches HLL at the default lgK has ~1.6%
+    # RSE, deterministic for a given input set, so 5% is stable).
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_close_to_full,
+           TRUE AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def mv_sketch_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental MV over a HOLISTIC aggregate: exact distinct counts
     don't merge (mv_incremental_refresh handles only algebraic sums/
-    counts), but HLL SKETCHES do — union-merging registers is lossless,
-    so sketch(base) ∪ sketch(delta) ≡ sketch(all). The MV stores one
-    binary sketch of distinct users per event_type (state ∝ |groups| ×
-    sketch size, never |users|); each refresh sketches ONLY the delta
-    and hll_union-merges into the state. Returns per-type estimates from
-    the merged state PLUS the full-recompute estimates side by side;
-    merged_est == full_est exactly (same registers) — asserted in tests.
-    This is how 100 TB pipelines maintain daily/all-time distincts
-    without ever rescanning history."""
+    counts), but HLL SKETCHES do. The MV stores one binary sketch of
+    distinct users per event_type (state ∝ |groups| × sketch size, never
+    |users|); each refresh sketches ONLY the delta and hll_union-merges
+    into the state. NOTE (measured r8): union is register-exact only in
+    sparse mode — once sketches go dense, Spark's DataSketches union
+    coerces through HLL_8 and the merged estimate drifts from the full
+    recompute (~0.5% at sf0.1: merged 1488 vs full 1480-1499, exact
+    1500), so the MV contract is ESTIMATE QUALITY, not register
+    equality. Output = per-type EXACT distinct (the oracle's
+    cross-engine anchor; affordable at test SF — at 100 TB only the
+    sketch path runs) plus two tripwire booleans: merged_close_to_full
+    (merged vs full-recompute estimate within 2% — union sanity) and
+    est_within_5pct (merged estimate vs exact). The raw estimates are
+    engine-specific and deliberately not emitted — see the oracle
+    comment. This is how 100 TB pipelines maintain daily/all-time
+    distincts without ever rescanning history."""
     ev = table(spark, sf, "events").select("event_type", "user_id", "event_id")
     base = ev.filter(F.col("event_id") % 4 != 0)
     delta = ev.filter(F.col("event_id") % 4 == 0)
@@ -771,11 +801,28 @@ def mv_sketch_refresh(spark: SparkSession, sf: str) -> DataFrame:
     full = sketch(ev).select(
         "event_type", F.expr("hll_sketch_estimate(sk)").alias("full_est")
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
     return (
         merged.select(
             "event_type", F.expr("hll_sketch_estimate(sk)").alias("merged_est")
         )
         .join(full, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("merged_est") - F.col("full_est")) / F.col("full_est")
+                <= 0.02
+            ).alias("merged_close_to_full"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
         .orderBy("event_type")
     )
 

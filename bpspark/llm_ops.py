@@ -362,9 +362,9 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
 def _simhash_oracle_sql() -> str:
     """Full-replication oracle for dedup_simhash (upgraded r7): unlike the
     measured-equivalence tripwires (near_minhash), this replays the ENTIRE
-    op in DuckDB — md5 token hashes, 64-bit majority vote, two-step
-    same-signature collapse, 8×8 banding, bit_count(xor) hamming screen,
-    raw-shingle jaccard re-rank — because every step is now portable
+    op in DuckDB — md5 token hashes, 64-bit majority vote, exact-text
+    collapse to distinct-text reps, 8×8 banding, bit_count(xor) hamming
+    screen, raw-shingle jaccard re-rank — because every step is portable
     arithmetic. (A tripwire oracle was measured DISHONEST here: the
     hamming<=7 screen provably loses jaccard>=0.5 pairs on this corpus —
     18 at sf0.001 — so brute-force jaccard is NOT equivalent to the op.)"""
@@ -410,22 +410,11 @@ def _simhash_oracle_sql() -> str:
       SELECT sig_hi, sig_lo, thash, MIN(doc_id) AS doc_id
       FROM sig GROUP BY 1, 2, 3
     ),
-    srep AS (
-      SELECT sig_hi, sig_lo, MIN(doc_id) AS doc_id FROM trep GROUP BY 1, 2
-    ),
-    same_sig AS (
-      SELECT LEAST(s.doc_id, t.doc_id) AS doc_a,
-             GREATEST(s.doc_id, t.doc_id) AS doc_b,
-             CAST(0 AS BIGINT) AS hamming
-      FROM trep t
-      JOIN srep s ON s.sig_hi = t.sig_hi AND s.sig_lo = t.sig_lo
-      WHERE t.doc_id <> s.doc_id
-    ),
     bands AS (
       SELECT doc_id, sig_hi, sig_lo,
              unnest(generate_series(0, 7)) AS band,
              unnest([{lob}, {hib}]) AS chunk
-      FROM srep
+      FROM trep
     ),
     scand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -437,8 +426,6 @@ def _simhash_oracle_sql() -> str:
     ),
     allcand AS (
       SELECT doc_a, doc_b, hamming FROM scand WHERE hamming <= 7
-      UNION
-      SELECT doc_a, doc_b, hamming FROM same_sig
     ),{_jaccard_pairs_sql("docs", "j")}
     SELECT c.doc_a, c.doc_b, c.hamming, jj.jaccard
     FROM allcand c
@@ -448,12 +435,26 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-@op("dedup_simhash", sql=None)
+@op("dedup_simhash", sql=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 64-bit blake2b-based signature per doc
-    (environment-independent — no PYTHONHASHSEED sensitivity), candidates =
-    equal 8-bit band, screened with hamming <= 7 via bit_count(xor), then
-    re-ranked by EXACT shingle jaccard — all JVM-side after the signature.
+    """SimHash near-dup: 64-bit md5-majority-vote signature per doc,
+    computed ENTIRELY JVM-side as two 32-bit halves (sig_hi, sig_lo — see
+    _simhash_signatures; the op has no Python boundary left). Candidates =
+    equal 8-bit band (sig_lo bytes = bands 0-3, sig_hi bytes = 4-7, the
+    order the oracle fixes), screened with hamming <= 7 via two 32-bit
+    bit_count(xor) sums, then re-ranked by EXACT shingle jaccard.
+
+    Oracle: FULL replication (_simhash_oracle_sql) — every stage is
+    engine-portable arithmetic, so DuckDB replays the op rather than a
+    measured-equivalence tripwire (which was measured DISHONEST here: the
+    hamming screen provably loses jaccard>=0.5 pairs on this corpus).
+
+    Tokenization contract: single-space split in BOTH engines
+    (F.split(text, ' ') / string_split(text, ' ')); the synthetic corpus
+    is space-delimited by construction, so this matches whitespace
+    splitting on every input the op sees — documented rather than
+    widened to \\s+ to keep parity with _word_shingles / the shared
+    _jaccard_pairs_sql shingle CTEs, which use the same delimiter.
 
     The re-rank stage exists because simhash concentrates on
     same-vocabulary corpora: signatures of unrelated docs land within
@@ -464,47 +465,46 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     screen survivors pay the set comparison, so at 100 TB the expensive
     stage stays proportional to the candidate volume, not the corpus."""
     docs = _docs_with_planted_neardups(spark, sf)
-    raw_sig = docs.mapInPandas(_simhash_batches, "doc_id long, simhash long")
+    raw_sig = _simhash_signatures(docs)
     # Degenerate-corpus guard (same failure mode the minhash BUCKET_CAP
     # addresses): identical texts produce identical signatures, and an
-    # identical-signature group of B docs would alone emit O(B²) pairs from
+    # identical-TEXT group of B docs would alone emit O(B²) pairs from
     # every band. Those docs are *exact-level* duplicates — the exact-dedup
-    # channel's job — so collapse each signature group to its min-doc_id
-    # representative before any pair emission. Bucket sizes are then bounded
-    # by signature diversity, not corpus skew.
+    # channel's job — so collapse each exact-text group to its min-doc_id
+    # representative before any pair emission.
     # Identical-signature members are NOT necessarily exact text dups:
     # a 64-bit simhash can collide for true near-dups whose weighted bit
-    # sums don't flip. Collapse in two steps so neither class is lost:
-    # (1) exact-text groups (simhash, text-hash) collapse to one
-    # representative — exact dups stay the exact-dedup channel's job and
-    # a B-sized boilerplate corpus emits ZERO pairs from here; (2) the
-    # signature group keeps one DISTINCT-TEXT representative per text,
-    # and cross-text members pair with the signature representative
-    # (O(distinct texts) per group), so hamming-0 near-dups still reach
-    # the jaccard re-rank instead of being silently dropped.
+    # sums don't flip — on this same-vocabulary corpus collisions are
+    # routine (sf0.1: 5017 distinct texts share 3890 signatures). So the
+    # collapse keeps one representative per DISTINCT TEXT (not per
+    # signature): the boilerplate corpus still emits zero pairs, while
+    # same-signature distinct-text docs stay in the banding and pair at
+    # hamming 0 — the r7 one-rep-per-signature star provably lost planted
+    # twins whose base doc collapsed into a colliding neighbor. Banded
+    # rows grow only by the text/signature diversity ratio (1.29x at
+    # sf0.1), so candidate volume stays bounded by text diversity, never
+    # corpus skew.
     hashed = raw_sig.join(
         docs.select("doc_id", F.sha2("text", 256).alias("thash")), "doc_id"
     )
-    text_rep = hashed.groupBy("simhash", "thash").agg(F.min("doc_id").alias("doc_id"))
-    sig = text_rep.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
-    same_sig_pairs = (
-        text_rep.withColumnRenamed("doc_id", "member")
-        .join(sig.withColumnRenamed("doc_id", "rep"), "simhash")
-        .filter(F.col("member") != F.col("rep"))
-        .select(
-            F.least("rep", "member").alias("doc_a"),
-            F.greatest("rep", "member").alias("doc_b"),
-            F.lit(0).alias("hamming"),
-        )
+    text_rep = hashed.groupBy("sig_hi", "sig_lo", "thash").agg(
+        F.min("doc_id").alias("doc_id")
     )
     # 8 bands × 8 bits: by pigeonhole every pair with hamming <= 7 shares at
     # least one untouched band → guaranteed candidate generation at the <=7
     # verification threshold. (At larger corpus scales widen bands to cut
-    # candidate volume and lower the threshold accordingly.)
-    bands = sig.select(
-        "doc_id", "simhash",
+    # candidate volume and lower the threshold accordingly.) Band order is
+    # the oracle's contract: sig_lo bytes 0-3 = bands 0-3, sig_hi = 4-7.
+    bands = text_rep.select(
+        "doc_id", "sig_hi", "sig_lo",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(8)])
+            F.array(
+                *[
+                    F.shiftrightunsigned(half, 8 * i).bitwiseAND(F.lit(0xFF))
+                    for half in ("sig_lo", "sig_hi")
+                    for i in range(4)
+                ]
+            )
         ).alias("band", "chunk"),
     )
     # Pair emission via codegen'd self-join on (band, chunk). On corpora
@@ -525,12 +525,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            (
+                F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+                + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+            ).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= 7)
-        .unionByName(same_sig_pairs)
-        .distinct()
     )
     # exact-jaccard re-rank of the hamming survivors (hashed shingle sets)
     sh = docs.select(
@@ -551,7 +552,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.select(
             "doc_a", "doc_b", "hamming",
-            F.round(inter / union, 6).alias("jaccard"),
+            # unrounded: a single IEEE division of exact ints is
+            # bit-identical cross-engine; ROUND of a quotient is not
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")

