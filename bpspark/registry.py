@@ -9,6 +9,14 @@ Each operator from SURVEY.md §2.3 registers itself here with
 Column-name contract: every computed/aggregate column is aliased
 identically in the Spark plan and the oracle SQL — the driver sorts
 columns by name before value-hashing.
+
+STANDING RULE (r8, on reaching never-swept = 0 — every registered op has
+a driver row): the registration freeze is lifted, but a NEW op may land
+ONLY together with a same-round driver row — i.e. it must be placed
+inside the current round's 50-op ``_PRIORITY`` window (evicting a
+re-certification filler, never a never-swept/stale candidate) in the
+same commit that registers it. An op the driver has never executed is
+evidence debt from the day it lands; this rule keeps the debt at zero.
 """
 
 from __future__ import annotations
