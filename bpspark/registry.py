@@ -108,8 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "udf_sql_registered", "sql_recursive_cte", "join_lateral_topn",
     "q_retention_cohorts",
     # --- tier C: ops whose driver row still certifies the current code
-    # (the FRESH set from tools/stale_ops.py at the r6 manifest rebuild),
-    # in prior priority order; re-verify these last.
+    # (the FRESH set from tools/stale_ops.py — all FRESH at the r8
+    # manifest rebuild), in prior priority order; re-verify these last.
     "sample_hash_mod", "set_except_all", "join_right_outer",
     "win_ntile_bucketize", "agg_histogram_fixed", "win_time_range_interval",
     "win_first_last_ignore_nulls", "win_nth_value", "win_cumulative_distinct",
@@ -134,7 +134,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count", "graph_degree_distribution",
     "search_bm25_incremental", "search_bm25_segment_merge",
     "stream_bm25_index_append", "text_boilerplate_ngrams", "dedup_semdedup",
-    "dedup_simhash", "q_min_cost_supplier", "q_important_parts",
+    "q_min_cost_supplier", "q_important_parts",
     "reshape_unpivot", "win_mixed_frame", "win_percent_rank_cume",
     "agg_collect_arrays", "join_skew_salted", "sql_end_to_end", "agg_mode",
     "join_range_bucketed", "agg_bool_and_or", "q_dormant_high_balance",
@@ -145,8 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_label_propagation", "graph_kcore_decompose", "privacy_l_diversity",
     "stream_drift_monitor", "q_dominant_suppliers", "q_shipping_priority",
     "q_nation_revenue", "q_hypertable_rollup", "multimodal_columns",
-    "ingest_properties_zip", "join_asof_latest_prior",
-    "mv_incremental_refresh", "catalog_stats_cbo", "mv_sketch_refresh",
+    "ingest_properties_zip",
+    "mv_incremental_refresh", "catalog_stats_cbo",
     "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
     "udtf_analyze_dynamic", "sample_temperature_mixture",
     "graph_shortest_paths", "stream_outer_interval_join", "sink_time_travel",
