@@ -82,6 +82,53 @@ def test_ngram_jaccard_verifies_planted_pairs(spark):
     assert all(a < b for a, b in verified)
 
 
+def test_simhash_signature_matches_pure_python_reference(spark):
+    """Independent replication of _simhash_signatures' documented contract
+    (single-space split, drop empty tokens, DISTINCT tokens, md5 hex
+    halves as two 32-bit ints, per-bit ±1 majority vote with ties -> 0,
+    tokenless doc -> zero signature) on adversarial texts: tabs and
+    newlines stay INSIDE tokens (space-only split), runs of spaces yield
+    dropped empties, repeated tokens vote once. Guards the tokenization
+    contract the docstring documents (ADVICE r7) against both engines
+    drifting together."""
+    import hashlib
+
+    from bpspark.llm_ops import _simhash_signatures
+
+    texts = [
+        "plain three word doc",
+        "tab\tinside one token here",
+        "line\nbreak stays in token",
+        "multi   space   runs collapse",
+        " leading and trailing ",
+        "",
+        "repeated repeated repeated token vote once",
+        "unicode tökens aré fine ünd stable",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.sig_lo, r.sig_hi) for r in _simhash_signatures(docs).collect()}
+
+    def ref(text):
+        toks = {w for w in text.split(" ") if w}
+        if not toks:
+            return 0, 0
+        votes_lo, votes_hi = [0] * 32, [0] * 32
+        for w in toks:
+            h = hashlib.md5(w.encode()).hexdigest()
+            hi, lo = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(32):
+                votes_lo[i] += 1 if (lo >> i) & 1 else -1
+                votes_hi[i] += 1 if (hi >> i) & 1 else -1
+        sig_lo = sum(1 << i for i in range(32) if votes_lo[i] > 0)
+        sig_hi = sum(1 << i for i in range(32) if votes_hi[i] > 0)
+        return sig_lo, sig_hi
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"doc {i} ({t!r}): {got[i]} != {ref(t)}"
+
+
 def test_simhash_finds_planted_neardups(spark):
     rows = OPS["dedup_simhash"].fn(spark, SF_SMALL).collect()
     found = {(r.doc_a, r.doc_b) for r in rows}

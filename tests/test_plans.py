@@ -1120,6 +1120,16 @@ def test_window_ops_never_cartesian(spark, name):
     assert "CartesianProduct" not in plan, name
 
 
+def test_simhash_plan_has_no_python_boundary(spark):
+    """The r8 rewire's point: the signature (md5 token hashes, 64
+    majority-vote SUMs, 32-bit halves) runs entirely JVM-side — the old
+    mapInPandas signature stage is gone, so the WHOLE plan must be free
+    of Python eval nodes (the one former exception in the dedup family)."""
+    plan = plan_of(spark, "dedup_simhash")
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{node} crept back into dedup_simhash"
+
+
 def test_q21_shape_is_windowed_single_fact_exchange(spark):
     """q_waiting_orders: the EXISTS/NOT-EXISTS pair runs as two window
     aggregates over ONE l_orderkey exchange (the r4 decorrelated re-join
