@@ -1560,7 +1560,71 @@ def _embeddings_with_planted_twins(spark: SparkSession, sf: str) -> DataFrame:
     return e.unionByName(twins)
 
 
-@op("sim_cosine_lsh", sql=None)  # approximate — planted-twin recall in tests
+def _lsh_oracle_sql() -> str:
+    """Full-replication oracle for sim_cosine_lsh (upgraded r8): the
+    hyperplanes are DETERMINISTIC ±1 vectors (blake2b bits — computed
+    once here in Python and baked into the SQL as integer literals, the
+    same values _plane_weights feeds the Spark plan), so every stage is
+    portable arithmetic: twin planting (same ±0.03·noise add, float32
+    round-trip via REAL), 8 sign projections as explicit left folds
+    (list_reduce ≡ F.aggregate — bit-identical sequential IEEE sums;
+    sign-critical, so NOT list_sum), bucket assembly, 9-bucket
+    multi-probe, exact-cosine scoring (the list_sum pattern TOPK_SQL
+    certifies), top-5 ranked on the UNROUNDED cosine with neighbor_id
+    tie-break, ROUND(...,8) only in the final projection."""
+    planes = ", ".join(
+        "[" + ",".join(str(int(w)) for w in _plane_weights(p)) + "]"
+        for p in range(N_PLANES)
+    )
+    noise = "[" + ",".join(str(int(w)) for w in _plane_weights(99)) + "]"
+    probe_buckets = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(
+               list_zip(embedding,
+                        list_transform({noise}, b -> b * CAST(0.03 AS DOUBLE))),
+               z -> CAST(CAST(z[1] AS DOUBLE) + z[2] AS REAL))
+      FROM embeddings WHERE vec_id < 25
+    ),
+    sig AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+             CAST(list_sum(list_transform([{planes}],
+                  (w, p) -> CASE WHEN list_reduce(
+                      list_transform(list_zip(embedding, w),
+                                     z -> CAST(z[1] AS DOUBLE) * z[2]),
+                      (a, b) -> a + b) > 0
+                  THEN CAST(1 AS BIGINT) << (p - 1) ELSE 0 END))
+               AS BIGINT) AS bucket
+      FROM emb
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+             unnest([{probe_buckets}]) AS bucket
+      FROM sig WHERE vec_id < 25
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (p.q_norm * c.norm) AS cosine
+      FROM sig c JOIN probes p ON c.bucket = p.bucket
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 8) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@op("sim_cosine_lsh", sql=_lsh_oracle_sql())
 def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the third scale path next to brute force
     and IVF): each vector gets an 8-bit signature — the sign pattern of its
@@ -1573,7 +1637,12 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     HIGH-cosine neighbors (planted twins at ~0.95 are found reliably);
     on isotropic data with no real neighbors (this corpus's top-5 sit
     near cosine 0.3) no sublinear method can do well — which is exactly
-    why the recall test uses planted positives."""
+    why the recall test uses planted positives.
+
+    Oracle (upgraded r8, from rows-only): FULL replication — the
+    hyperplanes are deterministic literals, so DuckDB replays plant,
+    projections (explicit left folds, sign-critical), banding,
+    multi-probe, and the exact-cosine top-5 (_lsh_oracle_sql)."""
     e = _with_norm(_embeddings_with_planted_twins(spark, sf))
     proj = [
         F.aggregate(

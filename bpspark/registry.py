@@ -60,9 +60,10 @@ _PRIORITY: tuple[str, ...] = (
     #  * ALL 42 never-swept ops: the oracle-backed sql_*/fn_*/q_*/profile
     #    tail first, then the rows-only ML/sampling/sketch/pipeline
     #    harness backlog (rows-only by design: samplers/sketches/binary);
-    #  * two headline re-certifications fill the last slots
-    #    (dedup_near_minhash, join_asof_latest_prior — fresh, so their
-    #    slots only refresh the evidence at the r8 rev).
+    #  * sim_cosine_lsh (r8 upgrade #3: deterministic-hyperplane LSH got
+    #    a full-replication oracle — its r6 rows-only row staled) and one
+    #    headline re-certification (dedup_near_minhash — fresh, its slot
+    #    only refreshes the evidence at the r8 rev) fill the last slots.
     # 33/50 oracle-backed — the never-swept tail is rows-only-heavy BY
     # CONSTRUCTION (that is why it was swept last); see
     # tests/test_sweep_window.py for the amended composition gate.
@@ -86,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_ingest_pipeline", "stream_dedup_within_watermark",
     "agg_sketch_hll", "agg_sketch_count_min",
-    "dedup_near_minhash", "join_asof_latest_prior",
+    "sim_cosine_lsh", "dedup_near_minhash",
     # --- tier B: the round-7 window (all FRESH — swept at rev 34d9435),
     # in its r7 order.
     "graph_pagerank", "embedding_kcenter_coreset",
@@ -145,7 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_label_propagation", "graph_kcore_decompose", "privacy_l_diversity",
     "stream_drift_monitor", "q_dominant_suppliers", "q_shipping_priority",
     "q_nation_revenue", "q_hypertable_rollup", "multimodal_columns",
-    "ingest_properties_zip",
+    "ingest_properties_zip", "join_asof_latest_prior",
     "mv_incremental_refresh", "catalog_stats_cbo",
     "pipeline_governed_batch", "scan_xml", "udf_scalar_arrow",
     "udtf_analyze_dynamic", "sample_temperature_mixture",
@@ -172,7 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_window", "stream_session_dynamic_gap", "scan_binary_zip",
     "sink_append_parquet", "stream_static_join", "stream_dedup_state",
     "stream_drop_folder", "sink_control_table", "dedup_exact_normalized",
-    "dedup_token_sorted", "dedup_cluster_cc", "sim_cosine_lsh", "text_langid",
+    "dedup_token_sorted", "dedup_cluster_cc", "text_langid",
     "text_token_count_bpe", "text_fingerprint", "text_normalize_clean",
     "text_pii_redact", "text_readability", "text_tfidf_topterms",
     "text_feature_hashing", "cdc_snapshot_diff", "join_bloom_prefilter",
