@@ -4472,11 +4472,89 @@ def sim_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MMR_LAMBDA = 0.7
+_MMR_MU = 1.0 - _MMR_LAMBDA  # the IEEE double 0.30000000000000004 — computed
+# ONCE here and embedded verbatim (repr) in the oracle, so both engines
+# subtract the same constant (DuckDB's bare `1.0 - 0.7` runs on the
+# DECIMAL path and yields the double nearest 0.3 instead)
 _MMR_CANDIDATES = 20
 _MMR_K = 5
 
 
-@op("sim_mmr_rerank", sql=None)  # greedy-iterative — numpy-parity tests
+def _q6(x: float) -> float:
+    """Tie-free 6dp quantization — floor(x·1e6 + 0.5)/1e6, THE shared
+    cross-engine rounding (identical float ops in Python, Spark F.floor,
+    DuckDB floor; unlike round(), whose tie/repr behavior differs across
+    all three)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _mmr_oracle_sql() -> str:
+    """Full-replication oracle for sim_mmr_rerank (upgraded r8): the
+    greedy is a FIXED 5-round loop over a 20-candidate set, so it unrolls
+    into materialized CTEs (the r6 pattern). Every number is a left-fold
+    dot product (list_reduce ≡ the op's explicit Python/Spark folds —
+    bit-identical sequential IEEE sums), quantized tie-free at 6dp before
+    every argmax, with vec_id tie-breaks — so DuckDB replays the exact
+    slate, scores included."""
+    lam = f"CAST({_MMR_LAMBDA!r} AS DOUBLE)"
+    mu = f"CAST({_MMR_MU!r} AS DOUBLE)"
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    rounds = []
+    for k in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM p{j}" for j in range(1, k))
+        rounds.append(f"""
+    sel{k} AS (SELECT vec_id FROM ({sel})),
+    d{k} AS (
+      SELECT c.vec_id, c.rel, MAX(s.sim) AS div
+      FROM cand c JOIN sims s ON s.ia = c.vec_id
+      WHERE s.ib IN (SELECT vec_id FROM sel{k})
+        AND c.vec_id NOT IN (SELECT vec_id FROM sel{k})
+      GROUP BY c.vec_id, c.rel
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT vec_id, rel,
+             floor(({lam} * rel - {mu} * div) * 1e6 + 0.5) / 1e6 AS score
+      FROM d{k} ORDER BY score DESC, vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS rank, vec_id AS doc_id, rel AS relevance, score AS mmr_score FROM p{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH nrm AS (
+      SELECT vec_id, embedding,
+             sqrt({dot.format(a="embedding", b="embedding")}) AS norm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS q_emb, norm AS q_norm FROM nrm WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT n.vec_id, n.embedding, n.norm,
+             floor(({dot.format(a="q.q_emb", b="n.embedding")}
+                    / (q.q_norm * n.norm)) * 1e6 + 0.5) / 1e6 AS rel
+      FROM nrm n, q WHERE n.vec_id <> 0
+      ORDER BY rel DESC, n.vec_id LIMIT {_MMR_CANDIDATES}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             floor(({dot.format(a="a.embedding", b="b.embedding")}
+                    / (a.norm * b.norm)) * 1e6 + 0.5) / 1e6 AS sim
+      FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT vec_id, rel,
+             floor(({lam} * rel - {mu} * CAST(0.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS score
+      FROM cand ORDER BY score DESC, vec_id LIMIT 1
+    ),{",".join(rounds)}
+    SELECT * FROM ({finals}) ORDER BY rank
+    """
+
+
+@op("sim_mmr_rerank", sql=_mmr_oracle_sql())
 def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998
     — the diversity step production retrieval runs after similarity):
@@ -4489,11 +4567,18 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     scale) and runs corpus-sized; the greedy RE-RANK is inherently
     sequential and runs on the collected candidate set — ≤20×d floats,
     a bounded driver visit of the same class as the PQ query tables and
-    IVF quantizer (audited pattern). All scores are rounded to 6dp
-    before argmax with doc_id tiebreaks, so the selection is
-    deterministic bit-for-bit; the numpy reference implementation in
-    tests/test_llm_ops.py must reproduce the exact slate."""
-    import numpy as _np
+    IVF quantizer (audited pattern).
+
+    Determinism/oracle (reworked r8, rows-only → full replication): all
+    similarities and scores are explicit LEFT-FOLD dot products (never
+    numpy matmul/linalg, whose internal summation order is a BLAS
+    implementation detail) quantized tie-free at 6dp (_q6) before every
+    argmax with vec_id tie-breaks — the same IEEE op sequence Spark,
+    this driver-side loop, and the DuckDB oracle (_mmr_oracle_sql) all
+    execute, so the slate matches bit-for-bit. The previous version
+    mixed three rounding behaviors (F.round HALF_UP, np.round HALF_EVEN,
+    Python round HALF_EVEN) — latent cross-version fragility, gone."""
+    import math as _math
 
     e = _with_norm(table(spark, sf, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(
@@ -4505,8 +4590,14 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            F.round(
-                _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm")), 6
+            "norm",
+            (
+                F.floor(
+                    (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm")))
+                    * 1e6
+                    + 0.5
+                )
+                / F.lit(1e6)
             ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), "vec_id")
@@ -4515,18 +4606,32 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     ids = [r["vec_id"] for r in cands]
     rel = [float(r["rel"]) for r in cands]
-    V = _np.array([r["embedding"] for r in cands], dtype=_np.float64)
-    V = V / _np.linalg.norm(V, axis=1, keepdims=True)
-    sims = _np.round(V @ V.T, 6)
+    vecs = [[float(x) for x in r["embedding"]] for r in cands]
+    norms = [float(r["norm"]) for r in cands]  # Spark-fold norms, not recomputed
+
+    def _fold_dot(a, b):  # explicit left fold — mirrors _dot / list_reduce
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    n = len(ids)
+    sims = [
+        [
+            _q6(_fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j])) if i != j else 0.0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
     picked: list[int] = []
     out_rows = []
-    while len(picked) < _MMR_K and len(picked) < len(ids):
+    while len(picked) < _MMR_K and len(picked) < n:
         best = None
-        for i in range(len(ids)):
+        for i in range(n):
             if i in picked:
                 continue
             div = max((sims[i][j] for j in picked), default=0.0)
-            score = round(_MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div, 6)
+            score = _q6(_MMR_LAMBDA * rel[i] - _MMR_MU * div)
             key = (score, -ids[i])
             if best is None or key > best[0]:
                 best = (key, i, score)

@@ -60,10 +60,10 @@ _PRIORITY: tuple[str, ...] = (
     #  * ALL 42 never-swept ops: the oracle-backed sql_*/fn_*/q_*/profile
     #    tail first, then the rows-only ML/sampling/sketch/pipeline
     #    harness backlog (rows-only by design: samplers/sketches/binary);
-    #  * sim_cosine_lsh (r8 upgrade #3: deterministic-hyperplane LSH got
-    #    a full-replication oracle — its r6 rows-only row staled) and one
-    #    headline re-certification (dedup_near_minhash — fresh, its slot
-    #    only refreshes the evidence at the r8 rev) fill the last slots.
+    #  * the last two slots hold r8 upgrades #3 and #4, whose rows-only
+    #    rows staled: sim_cosine_lsh (deterministic-hyperplane LSH,
+    #    full-replication oracle) and sim_mmr_rerank (explicit-fold
+    #    quantized greedy, unrolled 5-round full-replication oracle).
     # 33/50 oracle-backed — the never-swept tail is rows-only-heavy BY
     # CONSTRUCTION (that is why it was swept last); see
     # tests/test_sweep_window.py for the amended composition gate.
@@ -87,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_ingest_pipeline", "stream_dedup_within_watermark",
     "agg_sketch_hll", "agg_sketch_count_min",
-    "sim_cosine_lsh", "dedup_near_minhash",
+    "sim_cosine_lsh", "sim_mmr_rerank",
     # --- tier B: the round-7 window (all FRESH — swept at rev 34d9435),
     # in its r7 order.
     "graph_pagerank", "embedding_kcenter_coreset",
@@ -195,7 +195,7 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect_all", "dedup_substring_spans", "sim_cosine_ivf",
     "search_hybrid_rrf", "sample_weighted_reservoir",
     "sim_incremental_topk",
-    "sim_mmr_rerank", "sink_python_datasource_stream",
+    "dedup_near_minhash", "sink_python_datasource_stream",
     "sim_adaptive_route", "agg_aqp_sample_estimate",
     "agg_aqp_groupby_stratified", "dedup_url_canonicalized",
     "sink_merge_scd2", "join_temporal_validity", "stream_mv_refresh",

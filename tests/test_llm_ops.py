@@ -832,11 +832,16 @@ def test_incremental_topk_equals_full_recompute(spark):
 def test_mmr_rerank_diversity_and_reference_parity(spark):
     """MMR invariants: deterministic; pick #1 is the most relevant
     candidate; the MMR slate is strictly more diverse than the plain
-    top-5 (lower mean pairwise cosine); and an independent numpy
-    reference reproduces the exact slate (same greedy, same rounding)."""
+    top-5 (lower mean pairwise cosine); and an independent reference
+    built from raw parquet reproduces the exact slate (same explicit
+    left-fold dots and tie-free _q6 quantization the op — and since r8
+    its full-replication oracle — uses; numpy matmul is deliberately
+    NOT used for the slate, its summation order is a BLAS detail)."""
+    import math
+
     import numpy as np
 
-    from bpspark.llm_ops import _MMR_CANDIDATES, _MMR_K, _MMR_LAMBDA
+    from bpspark.llm_ops import _MMR_CANDIDATES, _MMR_K, _MMR_LAMBDA, _MMR_MU, _q6
 
     a = [tuple(r) for r in OPS["sim_mmr_rerank"].fn(spark, SF_SMALL).collect()]
     b = [tuple(r) for r in OPS["sim_mmr_rerank"].fn(spark, SF_SMALL).collect()]
@@ -844,33 +849,48 @@ def test_mmr_rerank_diversity_and_reference_parity(spark):
     assert len(a) == _MMR_K
     assert [r[0] for r in a] == [1, 2, 3, 4, 5]
 
-    # independent reference from raw parquet
+    # independent reference from raw parquet — explicit folds throughout
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
-    vecs = {int(r.vec_id): np.asarray(r.embedding, float) for r in emb.itertuples()}
-    qv = vecs[0] / np.linalg.norm(vecs[0])
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def fold_dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += x * y
+        return acc
+
+    norm = {i: math.sqrt(fold_dot(v, v)) for i, v in vecs.items()}
     rel = {
-        i: round(float(v @ qv / np.linalg.norm(v)), 6)
+        i: _q6(fold_dot(vecs[0], v) / (norm[0] * norm[i]))
         for i, v in vecs.items()
         if i != 0
     }
     cand = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_CANDIDATES]
-    N = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in cand}
+    sim = {
+        (i, j): _q6(fold_dot(vecs[i], vecs[j]) / (norm[i] * norm[j]))
+        for i in cand
+        for j in cand
+        if i != j
+    }
     picked: list[int] = []
+    scores: list[float] = []
     while len(picked) < _MMR_K:
         best = None
         for i in cand:
             if i in picked:
                 continue
-            div = max((round(float(N[i] @ N[j]), 6) for j in picked), default=0.0)
-            score = round(_MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div, 6)
+            div = max((sim[(i, j)] for j in picked), default=0.0)
+            score = _q6(_MMR_LAMBDA * rel[i] - _MMR_MU * div)
             if best is None or (score, -i) > best[0]:
-                best = ((score, -i), i)
+                best = ((score, -i), i, score)
         picked.append(best[1])
+        scores.append(best[2])
     assert [r[1] for r in a] == picked, f"spark slate {[r[1] for r in a]} != ref {picked}"
+    assert [r[3] for r in a] == scores
     assert a[0][1] == cand[0]  # first pick = max relevance
 
     def mean_pairwise(ids):
-        M = np.stack([N[i] if i in N else vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        M = np.stack([np.asarray(vecs[i]) / norm[i] for i in ids])
         S = M @ M.T
         iu = np.triu_indices(len(ids), 1)
         return float(S[iu].mean())
