@@ -7,9 +7,10 @@ Scale stance (the whole point of these ops at 100 TB):
 - NO all-pairs crossJoin anywhere: near-dup and ANN ops prune candidates
   with LSH banding / IVF bucketing first; only bucket-mates are compared.
 - shingling/minhash/simhash are pure JVM expressions (higher-order
-  functions over arrays) — Python appears only where vectorized-batch
-  semantics genuinely need it (simhash bit accumulation, fake multimodal
-  decode), always via Arrow-batched pandas UDFs.
+  functions over arrays; test_simhash_plan_has_no_python_boundary pins
+  the r8 simhash rewire) — Python appears only where vectorized-batch
+  semantics genuinely need it (binary multimodal decode), always via
+  Arrow-batched pandas UDFs.
 - every similarity comparison is written so partial work distributes:
   hash-partition by band/bucket, aggregate per group.
 """
@@ -1571,7 +1572,9 @@ def _lsh_oracle_sql() -> str:
     sign-critical, so NOT list_sum), bucket assembly, 9-bucket
     multi-probe, exact-cosine scoring (the list_sum pattern TOPK_SQL
     certifies), top-5 ranked on the UNROUNDED cosine with neighbor_id
-    tie-break, ROUND(...,8) only in the final projection."""
+    tie-break, floor(x·1e8+0.5)/1e8 only in the final projection (the
+    tie-free _q6 pattern at 8dp — ROUND(quotient, n) is the one
+    primitive whose tie/repr behavior differs across engines)."""
     planes = ", ".join(
         "[" + ",".join(str(int(w)) for w in _plane_weights(p)) + "]"
         for p in range(N_PLANES)
@@ -1615,7 +1618,8 @@ def _lsh_oracle_sql() -> str:
       FROM sig c JOIN probes p ON c.bucket = p.bucket
       WHERE c.vec_id <> p.query_id
     )
-    SELECT query_id, neighbor_id, ROUND(cosine, 8) AS cosine
+    SELECT query_id, neighbor_id,
+           floor(cosine * 1e8 + 0.5) / 1e8 AS cosine
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rn
           FROM scored)
@@ -1686,7 +1690,13 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # tie-free floor quantization (the _q6 pattern at 8dp), NOT
+            # round(): identical float ops in Spark and the DuckDB oracle.
+            (F.floor(F.col("cosine") * 1e8 + 0.5) / 1e8).alias("cosine"),
+        )
     )
 
 
@@ -4578,8 +4588,6 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     execute, so the slate matches bit-for-bit. The previous version
     mixed three rounding behaviors (F.round HALF_UP, np.round HALF_EVEN,
     Python round HALF_EVEN) — latent cross-version fragility, gone."""
-    import math as _math
-
     e = _with_norm(table(spark, sf, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")

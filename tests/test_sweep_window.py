@@ -53,15 +53,22 @@ def test_window_ops_all_need_a_row():
     ops = all_ops()
     window = _window()
     in_window = {o.name for o in window}
-    # Every op that needs a row must be IN the window...
+    n_needing = sum(1 for o in ops.values() if needs_row(o))
+    # Every op that needs a row must be IN the window — except when more
+    # than 50 ops need one (a wide refactor round): the window can only
+    # hold 50, so up to (n_needing - 50) may queue for the next round and
+    # the binding rule degrades to the no-resweep assertion below (no
+    # slot may go to a fresh op while a needing op waits outside).
     left_out = [n for n, o in ops.items() if needs_row(o) and n not in in_window]
-    assert not left_out, f"ops needing a driver row left outside the window: {left_out}"
+    assert len(left_out) <= max(0, n_needing - 50), (
+        f"ops needing a driver row left outside the window while slots "
+        f"exist for them: {left_out}"
+    )
     # ...and FRESH ops may only occupy slots the needing set can't fill
     # (r8 amendment: the coverage-finishing window has 47 candidates for
     # 50 slots — the spare slots re-certify fresh ops at the new rev,
     # which is free evidence, not waste; with >50 candidates this reduces
     # to the original no-resweep rule).
-    n_needing = sum(1 for o in ops.values() if needs_row(o))
     resweeps = [o.name for o in window if not needs_row(o)]
     allowed_fresh = max(0, 50 - n_needing)
     assert len(resweeps) <= allowed_fresh, (
