@@ -3151,7 +3151,83 @@ def _learn_bpe_merges(spark: SparkSession, sf: str) -> list:
     return _bpe_learn_impl(spark, sf)
 
 
-@op("text_bpe_vocab_induction", sql=None)  # iterative — invariant tests
+def _bpe_merge_cte_sql() -> str:
+    """DuckDB CTE chain replaying the exact-greedy (batch=1) merge
+    learning: words → sym0 (char-spaced + </w>) → per round k:
+    weighted adjacent-pair count (integer wn sums — no floats anywhere),
+    argmax with (weight DESC, pair ASC) lexicographic tie-break (binary
+    collation, identical to Spark's UTF-8 string ordering on these
+    ASCII symbols), and the merge applied via the DOUBLE-SPACE literal
+    replace trick: DuckDB regex is RE2 (no lookaround), so Spark's
+    `(?<=^|\\s)L\\sR(?=\\s|$)` is replayed as a plain `replace()` on
+    ' '||replace(syms,' ','  ')||' ' — doubling the delimiters gives
+    every token-adjacency its own spaces, so consecutive matches don't
+    consume each other's boundaries; both engines then replace the same
+    non-overlapping left-to-right occurrences without rescanning
+    replacements. Caller appends SELECTs over m1..m{k} / sym{k}."""
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS wn
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+)""",
+        """sym0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> word[i]), ' ')
+           || ' </w>' AS syms,
+         wn
+  FROM words
+)""",
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        p = k - 1
+        parts.append(f"""pairs{k} AS MATERIALIZED (
+  SELECT pr AS pair, CAST(SUM(wn) AS BIGINT) AS w
+  FROM (
+    SELECT unnest(list_transform(
+             list_zip(l[1:len(l) - 1], l[2:len(l)]),
+             z -> z[1] || ' ' || z[2])) AS pr,
+           wn
+    FROM (SELECT string_split(syms, ' ') AS l, wn FROM sym{p})
+    WHERE len(l) >= 2
+  )
+  GROUP BY pr
+)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT {k} AS rank,
+         string_split(pair, ' ')[1] AS left_s,
+         string_split(pair, ' ')[2] AS right_s,
+         replace(pair, ' ', '') AS merged,
+         w AS pair_weight
+  FROM pairs{k} ORDER BY w DESC, pair LIMIT 1
+)""")
+        parts.append(f"""sym{k} AS MATERIALIZED (
+  SELECT trim(regexp_replace(
+           replace(' ' || replace(s.syms, ' ', '  ') || ' ',
+                   ' ' || m.left_s || '  ' || m.right_s || ' ',
+                   ' ' || m.merged || ' '),
+           ' +', ' ', 'g')) AS syms,
+         s.wn
+  FROM sym{p} s, m{k} m
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_induction_oracle_sql() -> str:
+    """Full-replication oracle for text_bpe_vocab_induction (upgraded
+    r8): the op is exact greedy over integer weights with lexicographic
+    ties — no floats, no RNG — so the 8 rounds unroll into MATERIALIZED
+    CTEs (_bpe_merge_cte_sql) and the merge table matches row-for-row."""
+    sel = "\nUNION ALL\n".join(
+        f'SELECT rank, left_s AS "left", right_s AS "right", merged, pair_weight'
+        f" FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_merge_cte_sql()}\n{sel}\nORDER BY rank"
+
+
+@op("text_bpe_vocab_induction", sql=_bpe_induction_oracle_sql())
 def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
     """Byte-pair-encoding vocabulary induction over the documents corpus —
     the distributed form of tokenizer training: (1) ONE corpus scan
@@ -3167,7 +3243,12 @@ def text_bpe_vocab_induction(spark: SparkSession, sf: str) -> DataFrame:
     the corpus. k merges = k driver round-trips of ONE row each —
     inherent to the greedy-argmax algorithm, and the standard
     compromise in every distributed BPE trainer. Output: the learned
-    merge table (rank, left, right, merged, pair_weight)."""
+    merge table (rank, left, right, merged, pair_weight).
+
+    Oracle (upgraded r8, rows-only → full replication): exact greedy
+    over integer weights unrolls into 8 MATERIALIZED CTE rounds
+    (_bpe_induction_oracle_sql) — see _bpe_merge_cte_sql for the
+    RE2-safe double-space replay of the lookaround merge regex."""
     return spark.createDataFrame(
         _bpe_learn_impl(spark, sf),
         "rank int, left string, right string, merged string, pair_weight bigint",
@@ -3928,7 +4009,55 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
 _INC_MIN_BANDS = 2
 
 
-@op("text_bpe_tokenize", sql=None)  # applies the learned (iterative) vocab
+def _bpe_tokenize_oracle_sql() -> str:
+    """Full-replication oracle for text_bpe_tokenize (upgraded r8):
+    re-derives the 8 merges (_bpe_merge_cte_sql), symbolizes every
+    document the same way (per-word char-spacing + </w>, words joined
+    by single spaces — safe because a learned pair's LEFT can never be
+    or end with </w>, so merges cannot fire across word boundaries),
+    and replays the merges in rank order with the double-space literal
+    replace. Counts are integers; compression is ONE IEEE division of
+    exact doubles quantized tie-free at 4dp (the _q6 pattern)."""
+    applies = []
+    for k in range(1, _BPE_MERGES + 1):
+        src = "docsyms" if k == 1 else f"apply{k - 1}"
+        applies.append(f"""apply{k} AS MATERIALIZED (
+  SELECT a.doc_id, a.n_tokens_chars,
+         trim(regexp_replace(
+           replace(' ' || replace(a.syms, ' ', '  ') || ' ',
+                   ' ' || m.left_s || '  ' || m.right_s || ' ',
+                   ' ' || m.merged || ' '),
+           ' +', ' ', 'g')) AS syms
+  FROM {src} a, m{k} m
+)""")
+    return f"""WITH {_bpe_merge_cte_sql()},
+docsyms AS MATERIALIZED (
+  SELECT doc_id,
+         len(string_split(syms, ' ')) AS n_tokens_chars,
+         syms
+  FROM (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> ''),
+               w -> array_to_string(list_transform(range(1, length(w) + 1),
+                                                   i -> w[i]), ' ') || ' </w>'),
+             ' ') AS syms
+    FROM documents
+  )
+),
+{",".join(applies)}
+SELECT doc_id,
+       n_tokens_chars,
+       len(string_split(syms, ' ')) AS n_tokens_bpe,
+       floor(len(string_split(syms, ' ')) * 1e4 / n_tokens_chars + 0.5) / 1e4
+         AS compression
+FROM apply{_BPE_MERGES}
+ORDER BY doc_id"""
+
+
+@op("text_bpe_tokenize", sql=_bpe_tokenize_oracle_sql())
 def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer APPLY — the other half of BPE: learn the merge table
     (_learn_bpe_merges, 8 rounds, distributed counts), then tokenize
@@ -3940,7 +4069,13 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     the IVF quantizer and Bloom bitmap). Output per doc: token count
     before merges (chars+boundaries), after merges, and the compression
     ratio — tests pin that merges never increase tokens and that a
-    known word tokenizes to the learned merged symbols."""
+    known word tokenizes to the learned merged symbols.
+
+    Oracle (upgraded r8, rows-only → full replication): the whole
+    learn-then-apply funnel replays in DuckDB (_bpe_tokenize_oracle_sql);
+    compression switched from round(q, 4) to tie-free
+    floor(q·1e4+0.5)/1e4 on both engines (cross-engine ROUND of a
+    quotient is the one non-portable primitive)."""
     import re as _re
 
     merges = _learn_bpe_merges(spark, sf)
@@ -3970,9 +4105,10 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         base_tokens.alias("n_tokens_chars"),
         F.size(F.split(col, " ")).alias("n_tokens_bpe"),
-        F.round(
-            F.size(F.split(col, " ")) / base_tokens.cast("double"), 4
-        ).alias("compression"),
+        # int·1e4 is exact in double, then ONE division and the tie-free
+        # floor — the same IEEE op sequence the DuckDB oracle runs
+        (F.floor(F.size(F.split(col, " ")) * 1e4 / base_tokens + 0.5) / 1e4)
+        .alias("compression"),
     ).orderBy("doc_id")
 
 

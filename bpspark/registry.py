@@ -49,8 +49,12 @@ _PRIORITY: tuple[str, ...] = (
     # the 377 registered ops has a driver row). Exact composition, from
     # `python tools/stale_ops.py` after rebuilding the manifest with
     # CORRECTNESS_r01..r07 (r7 snapshot rev 34d9435):
-    #  * ts_ewma leads to absorb the first-op JVM warmup (cheap,
-    #    hash-exact, fresh — re-certification costs nothing here);
+    #  * text_bpe_vocab_induction leads (it took the ts_ewma
+    #    re-certification filler's slot when its r8 oracle upgrade staled
+    #    its row — the standing-rule eviction; it also absorbs the
+    #    first-op JVM warmup). Its apply-side twin text_bpe_tokenize
+    #    (upgraded in the same commit) is the one op queued for r9 —
+    #    51 needing > 50 slots;
     #  * the 5 STALE ops: the two r7 oracle upgrades whose rows staled
     #    (dedup_incremental_minhash, stream_minhash_dedup), ml_logreg_gd
     #    (impl edited after its r6 row), and the two r8 fixes/upgrades
@@ -69,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     # tests/test_sweep_window.py for the amended composition gate.
     # Regenerate future windows from `python tools/stale_ops.py` after
     # rebuilding the manifest with the new round's snapshot rev.
-    "ts_ewma",
+    "text_bpe_vocab_induction",
     "dedup_incremental_minhash", "stream_minhash_dedup", "ml_logreg_gd",
     "dedup_simhash", "mv_sketch_refresh",
     "q_event_funnel", "profile_summary_stats", "agg_bitmap_distinct",
@@ -88,8 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     "stream_ingest_pipeline", "stream_dedup_within_watermark",
     "agg_sketch_hll", "agg_sketch_count_min",
     "sim_cosine_lsh", "sim_mmr_rerank",
-    # --- tier B: the round-7 window (all FRESH — swept at rev 34d9435),
-    # in its r7 order.
+    # --- tier B: text_bpe_tokenize queues here (the 51st needing op —
+    # its stale row leads the r9 window), then ts_ewma (fresh; displaced
+    # from the tier-A filler slot by the standing-rule eviction), then
+    # the round-7 window (all FRESH — swept at rev 34d9435) in r7 order.
+    "text_bpe_tokenize", "ts_ewma",
     "graph_pagerank", "embedding_kcenter_coreset",
     "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
     "graph_community_modularity", "stream_heavy_hitters",
@@ -205,8 +212,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_pivot_clause", "fn_struct_field_surgery", "sink_compression_codecs",
     "sink_training_shards", "q_new_vs_returning_users",
     "agg_sketch_hll_intersection", "agg_welch_ttest", "text_ngram_freq",
-    "text_vocab_stats", "text_bigram_lift", "text_bpe_vocab_induction",
-    "text_bpe_tokenize", "multimodal_decode_stub", "multimodal_resize_stub",
+    "text_vocab_stats", "text_bigram_lift",
+    "multimodal_decode_stub", "multimodal_resize_stub",
     "multimodal_frame_sample", "multimodal_audio_decode",
     "multimodal_video_frames", "er_resolve_entities", "rag_retrieval_eval",
     "embedding_l2_normalize", "embedding_centroid_per_label",
