@@ -418,6 +418,57 @@ def test_bpe_batched_merges_beyond_default_bound(spark):
     assert batched1[0][1:] == greedy[0][1:]
 
 
+def test_bpe_double_space_replay_matches_lookaround_regex():
+    """The r8 BPE oracles replay Spark's lookaround merge regex
+    `(?<=^|\\s)L\\sR(?=\\s|$)` in RE2-only DuckDB via the double-space
+    literal replace (see _bpe_merge_cte_sql). Property-pin the string-level
+    equivalence of the two algorithms on adversarial token streams —
+    self-overlapping pairs (L == R), tokens that are substrings of other
+    tokens, and </w>-suffixed symbols. Both must implement 'replace
+    non-overlapping token-adjacent (L, R) occurrences left-to-right
+    without rescanning replacements'."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from(
+        ["a", "b", "ab", "ba", "aa", "aab", "</w>", "a</w>", "b</w>", "ab</w>"]
+    )
+
+    def regex_replay(s: str, left: str, right: str, merged: str) -> str:
+        # Python needs the fixed-width lookbehind split; Java's
+        # (?<=^|\s) and this alternation scan identically left-to-right
+        pat = (
+            r"(?:^|(?<=\s))"
+            + re.escape(left)
+            + r"\s"
+            + re.escape(right)
+            + r"(?=\s|$)"
+        )
+        return re.sub(pat, merged.replace("\\", "\\\\"), s)
+
+    def double_space_replay(s: str, left: str, right: str, merged: str) -> str:
+        d = " " + s.replace(" ", "  ") + " "
+        d = d.replace(f" {left}  {right} ", f" {merged} ")
+        return re.sub(" +", " ", d).strip()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        seq=st.lists(tokens, min_size=0, max_size=12),
+        left=tokens,
+        right=tokens,
+    )
+    def check(seq, left, right):
+        s = " ".join(seq)
+        merged = left + right
+        assert regex_replay(s, left, right, merged) == double_space_replay(
+            s, left, right, merged
+        ), (s, left, right)
+
+    check()
+
+
 def test_bpe_vocab_induction_deterministic_and_wellformed(spark):
     """BPE merge learning: ranks are 1..k, merged token = left+right,
     weights positive, and the greedy argmax (lexicographic tie-break)
