@@ -1441,11 +1441,11 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
         SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM b
     )
     SELECT bucket, n_ref, n_cur,
-           CASE WHEN n_ref > 0 THEN ROUND(
+           CASE WHEN n_ref > 0 THEN
              (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
              * (n_cur - n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
-             / (n_ref * (t_cur / CAST(t_ref AS DOUBLE))), 6
-           ) END AS chi2_contrib
+             / (n_ref * (t_cur / CAST(t_ref AS DOUBLE)))
+           END AS chi2_contrib
     FROM b, tot
     ORDER BY bucket
     """,
@@ -1482,12 +1482,12 @@ def profile_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
             # explicit NULL when the reference window is empty for a
             # bucket (Spark's non-ANSI division nulls, DuckDB infs — make
             # both engines agree on NULL)
+            # UNROUNDED (r8): the quotient chain is one identical IEEE
+            # op sequence in both engines; ROUND-of-quotient is the
+            # documented cross-engine fork class
             F.when(
                 F.col("n_ref") > 0,
-                F.round(
-                    (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected,
-                    6,
-                ),
+                (F.col("n_cur") - expected) * (F.col("n_cur") - expected) / expected,
             ).alias("chi2_contrib"),
         )
         .orderBy("bucket")
