@@ -174,5 +174,12 @@ def extract_isbn_from_path(path: str) -> str:
     """R2: filename-key extraction — the ISBN-13 business key from the ZIP
     file name (MetadataIngestionExecuter.java:56-62 contract)."""
     name = os.path.basename(path)
-    stem = name[:-4] if name.lower().endswith(".zip") else name
-    return stem if stem.isdigit() and len(stem) == 13 else ""
+    # r8 tightening, mirroring the Spark-side sources.ISBN_ZIP_KEY_RE
+    # exactly (tests/test_ingestion.py pins the agreement): the name must
+    # END in .zip (the R2 contract is about ZIP drop files), and the stem
+    # must be 13 ASCII digits — str.isdigit() alone accepts non-ASCII
+    # digit glyphs the regex never matches.
+    if not name.lower().endswith(".zip"):
+        return ""
+    stem = name[:-4]
+    return stem if stem.isascii() and stem.isdigit() and len(stem) == 13 else ""

@@ -83,6 +83,23 @@ def ingest_from_arrivals(spark: SparkSession, arrivals: DataFrame, ledgers: Ledg
         .join(ledgers.workflows.select("isbn"), "isbn", "left_anti")               # R9
         .join(ledgers.completed_books.select("isbn"), "isbn", "left_anti")         # R10
     )
+    # within-batch single-flight (r8): two arrivals carrying the SAME
+    # ISBN in one batch both pass the ledger anti-joins (the ledgers
+    # only know PRIOR batches), which would emit duplicate control rows
+    # in a single append — the reference never does, because its
+    # per-file isNewIsbn check (MetadataIngestionServiceImpl.java:181)
+    # sees the first file's in-flight workflow when the second is
+    # processed. Batch equivalent: first path per ISBN wins; unkeyed
+    # arrivals (isbn = '') are exempt — they are per-file quarantine
+    # candidates, never a workflow key.
+    from pyspark.sql.window import Window as _W
+
+    _wf = _W.partitionBy("isbn").orderBy("path")
+    new_arrivals = (
+        new_arrivals.withColumn("_rn", F.row_number().over(_wf))
+        .filter((F.col("isbn") == "") | (F.col("_rn") == 1))
+        .drop("_rn")
+    )
 
     # --- R3/R4/R5: parse only the genuinely-new ZIPs -----------------------
     parsed = parse_zip_entries(new_arrivals)
@@ -93,9 +110,16 @@ def ingest_from_arrivals(spark: SparkSession, arrivals: DataFrame, ledgers: Ledg
 
     # --- R6: required book record ({isbn}.txt → entry == isbn) -------------
     books = entries.filter(F.col("entry") == F.col("isbn"))
-    zips_seen = entries.select("path", "isbn").distinct()
+    # r8: derive the MISSING_BOOK_METADATA set from new_arrivals, not
+    # from parsed entries — a ZIP that parses to ZERO entries (empty
+    # archive, directories only) previously vanished with neither a
+    # control row nor a quarantine row, violating R15's every-rejected-
+    # file contract. Now: every genuinely-new path that neither failed
+    # extraction nor contains its own book record is quarantined.
     q_missing = (
-        zips_seen.join(books.select("isbn"), "isbn", "left_anti")
+        new_arrivals.select("path")
+        .join(q_extract.select("path"), "path", "left_anti")
+        .join(books.select("path").distinct(), "path", "left_anti")
         .select(
             "path",
             F.lit(errors.MISSING_BOOK_METADATA).alias("error_code"),
@@ -296,7 +320,7 @@ def sink_control_table_op(spark: SparkSession, sf: str) -> DataFrame:
 def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Zero-extra-pass data-quality metrics via DataFrame.observe(): the
     silver projection runs ONCE and the observation accumulators (row
-    count, null keys, max price, revenue sum) ride along inside the same
+    count, null keys, revenue sum) ride along inside the same
     job — at 100 TB this replaces a whole second QC scan; metrics arrive
     on the driver through the observation listener channel, not a
     collect. Returned as a 1-row frame (rows-only: the observation API
@@ -319,8 +343,10 @@ def pipeline_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "overwrite"
     ).save()
     m = obs.get
+    # SUM observations come back None on an empty input frame — report
+    # zeros instead of a driver TypeError (r8; COUNT is never None)
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["null_keys"]), float(m["revenue"]))],
+        [(int(m["n_rows"]), int(m["null_keys"] or 0), float(m["revenue"] or 0.0))],
         "n_rows bigint, null_keys bigint, revenue double",
     )
 

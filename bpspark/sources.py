@@ -41,16 +41,34 @@ PARSED_SCHEMA = StructType(
 )
 
 
+# R2 business-key rule — THE single Spark-side definition (r8: the five
+# former inline copies could fork from the worker-side
+# parse.extract_isbn_from_path). The whole file stem must be exactly 13
+# ASCII digits; a 13-digit SUFFIX of a longer stem is NOT a key
+# ('x9780000000123.zip' → ''), matching the strict worker rule. The
+# (?:^|/) anchor enforces stem-start on full paths and bare names alike;
+# (?i:zip) mirrors the worker's case-insensitive extension check.
+ISBN_ZIP_KEY_RE = r"(?:^|/)([0-9]{13})\.(?i:zip)$"
+
+
+def with_zip_keys(df: DataFrame) -> DataFrame:
+    """Add the R2 key columns (zip_name, isbn) derived from ``path`` —
+    shared by every batch and streaming entry point so the business-key
+    rule cannot diverge between them (MetadataIngestionExecuter.java:56-62
+    contract; the worker-side mirror is parse.extract_isbn_from_path)."""
+    return df.withColumn(
+        "zip_name", F.element_at(F.split(F.col("path"), "/"), -1)
+    ).withColumn("isbn", F.regexp_extract(F.col("path"), ISBN_ZIP_KEY_RE, 1))
+
+
 def scan_drop_folder(spark: SparkSession, drop_dir: str) -> DataFrame:
     """R1 batch form: one row per ZIP — (path, modificationTime, length,
     content) — with the ISBN business key extracted from the file name (R2,
     MetadataIngestionExecuter.java:56-62)."""
-    return (
+    return with_zip_keys(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.zip")
         .load(drop_dir)
-        .withColumn("zip_name", F.element_at(F.split(F.col("path"), "/"), -1))
-        .withColumn("isbn", F.regexp_extract(F.col("zip_name"), r"([0-9]{13})\.zip$", 1))
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from bpspark.io import table
 from bpspark.registry import op
+from bpspark.sources import ISBN_ZIP_KEY_RE
 from bpspark.search import _bm25_oracle as _search_mod_bm25_oracle
 
 
@@ -329,7 +330,7 @@ def stream_dedup_state(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "*.zip")
         .option("maxFilesPerTrigger", 1)
         .load(f"{stage}/*")
-        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
         .withWatermark("modificationTime", "1 hour")
         .dropDuplicates(["isbn"])
         .select("isbn", "length")
@@ -486,11 +487,16 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     anti-joins, parse, validation, typed projection) → idempotent control
     sink. Checkpointed offsets = R16 single-flight; the second run (same
     checkpoint, no new files) processes nothing — exactly-once end to end.
+    Wave 2 re-delivers one wave-1 ZIP under a NEW path (a fresh stream
+    offset), so the control sink's isbn anti-join is load-bearing, not
+    just the checkpoint (r8: the previous fixture's waves were disjoint
+    and the claimed cross-wave suppression was never exercised).
     Returns the control table after two runs + a replay."""
     import shutil
 
     from bpspark.fixtures import default_dir
     from bpspark.pipeline import Ledgers, ingest_from_arrivals, sink_control_table
+    from bpspark.sources import with_zip_keys
 
     fx = default_dir()
     stage = tempfile.mkdtemp(prefix="bpspark_stream_ingest_")
@@ -498,7 +504,9 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(drop)
     control = f"{stage}/control"
     ckpt = f"{stage}/ckpt"
-    # first wave: 5 ZIPs; second wave: 3 more (one shared ISBN → anti-join)
+    # first wave: 5 ZIPs; second wave: 3 more + one RE-DELIVERED wave-1
+    # ZIP in a subfolder (new offset, same ISBN → the sink anti-join
+    # must drop it)
     names = sorted(os.listdir(f"{fx}/drop"))[:8]
     for n in names[:5]:
         shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
@@ -508,11 +516,9 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # run the R1→R14 graph over this micro-batch's arrivals only
-        arrivals = batch_df.withColumn(
-            "zip_name", F.element_at(F.split(F.col("path"), "/"), -1)
-        ).withColumn("isbn", F.regexp_extract(F.col("zip_name"), r"([0-9]{13})\.zip$", 1))
-        res = ingest_from_arrivals(spark, arrivals, ledgers)
+        # run the R1→R14 graph over this micro-batch's arrivals only,
+        # keyed by THE shared R2 rule (with_zip_keys)
+        res = ingest_from_arrivals(spark, with_zip_keys(batch_df), ledgers)
         sink_control_table(res.workflows_new, control)
 
     def run_once() -> None:
@@ -520,6 +526,7 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             spark.readStream.format("binaryFile")
             .schema(BINFILE_SCHEMA)
             .option("pathGlobFilter", "*.zip")
+            .option("recursiveFileLookup", "true")
             .load(drop)
         )
         with harness_shuffle(spark):
@@ -534,6 +541,10 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     run_once()
     for n in names[5:]:
         shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
+    # re-deliver one wave-1 file at a new path: fresh offset, known ISBN —
+    # only the control sink's anti-join stands between it and a duplicate
+    os.makedirs(f"{drop}/redelivery")
+    shutil.copy(f"{fx}/drop/{names[0]}", f"{drop}/redelivery/{names[0]}")
     run_once()
     run_once()  # replay with no new files — must be a no-op
     return spark.read.parquet(control).select("workflow_id", "isbn").orderBy("isbn")
@@ -553,7 +564,7 @@ def stream_drop_folder(spark: SparkSession, sf: str) -> DataFrame:
         .schema(BINFILE_SCHEMA)
         .option("pathGlobFilter", "*.zip")
         .load(f"{fx}/drop")
-        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
         .select("isbn", "length", "modificationTime")
     )
     return run_to_memory(arrivals)
@@ -635,7 +646,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
         .option("pathGlobFilter", "*.zip")
         .option("maxFilesPerTrigger", 1)
         .load(f"{stage}/*")
-        .withColumn("isbn", F.regexp_extract("path", r"([0-9]{13})\.zip$", 1))
+        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
         .withWatermark("modificationTime", "1 hour")
         .dropDuplicatesWithinWatermark(["isbn"])
         .select("isbn", "length")

@@ -111,3 +111,89 @@ def test_observe_metrics_match_direct_aggregation(spark):
     assert row["n_rows"] == exp[0]
     assert row["null_keys"] == 0
     assert abs(row["revenue"] - float(exp[1])) < 1e-6
+
+
+def test_key_rule_single_definition(spark):
+    """R2 business-key rule: the Spark-side regexp (sources.ISBN_ZIP_KEY_RE)
+    and the worker-side parse.extract_isbn_from_path must agree on every
+    name — r8 fixed a fork where a 13-digit SUFFIX of a longer stem
+    matched the regex but not the strict stem rule."""
+    from pyspark.sql import functions as F
+
+    from bpspark.parse import extract_isbn_from_path
+    from bpspark.sources import ISBN_ZIP_KEY_RE
+
+    paths = [
+        "9780000000123.zip",
+        "x9780000000123.zip",              # 13-digit suffix, longer stem
+        "/drop/a/9780000000123.zip",
+        "/drop/9780000000123.ZIP",         # case-insensitive extension
+        "97800000001234.zip",              # 14 digits
+        "978000000012.zip",                # 12 digits
+        "9780000000123.txt",
+        "٠١٢٣٤٥٦٧٨٩٠١٢.zip",  # non-ASCII digits
+        "9780000000123",                   # no extension
+        "/drop/redelivery/9780000000123.zip",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["isbn"]
+        for r in df.select(
+            "path", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1).alias("isbn")
+        ).collect()
+    }
+    for p in paths:
+        assert got[p] == extract_isbn_from_path(p), p
+
+
+def test_empty_zip_quarantined(spark, fixture_dir, tmp_path):
+    """R15 (r8 fix): a ZIP that parses to ZERO entries must land in the
+    quarantine (MISSING_BOOK_METADATA), not silently vanish."""
+    import io as _io
+    import zipfile
+
+    drop = tmp_path / "drop_empty"
+    drop.mkdir()
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w"):
+        pass  # zero entries
+    (drop / "9799999999999.zip").write_bytes(buf.getvalue())
+
+    ledgers = Ledgers.load(spark, fixture_dir)
+    res = ingest_batch(spark, str(drop), ledgers)
+    assert res.workflows_new.count() == 0
+    q = res.quarantine.collect()
+    assert len(q) == 1
+    assert q[0]["error_code"] == errors.MISSING_BOOK_METADATA
+
+
+def test_within_batch_duplicate_isbn_single_flight(spark, fixture_dir, tmp_path):
+    """r8 fix: two arrivals carrying the same ISBN in ONE batch must
+    produce exactly one control row (the lexicographically-first path),
+    mirroring the reference's per-file isNewIsbn in-flight check."""
+    import shutil
+
+    from bpspark.pipeline import ingest_from_arrivals
+    from bpspark.sources import scan_drop_folder
+
+    src = sorted(
+        n for n in __import__("os").listdir(f"{fixture_dir}/drop")
+        if n.endswith(".zip")
+    )[0]
+    a = tmp_path / "wave_a"
+    b = tmp_path / "wave_b"
+    a.mkdir()
+    b.mkdir()
+    shutil.copy(f"{fixture_dir}/drop/{src}", a / src)
+    shutil.copy(f"{fixture_dir}/drop/{src}", b / src)
+
+    ledgers = Ledgers.load(spark, fixture_dir)
+    arrivals = scan_drop_folder(spark, str(a)).unionByName(
+        scan_drop_folder(spark, str(b))
+    )
+    res = ingest_from_arrivals(spark, arrivals, ledgers)
+    rows = res.workflows_new.select("isbn").collect()
+    assert len(rows) == 1
+    assert rows[0]["isbn"] == src[:-4]
+    kept = res.new_arrivals.select("path").collect()
+    assert len(kept) == 1 and "/wave_a/" in kept[0]["path"]
