@@ -2029,6 +2029,11 @@ def _binned_lineitem(spark: SparkSession, sf: str):
         F.min("x0").alias("mn0"), F.max("x0").alias("mx0"),
         F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
     ).collect()[0]
+    if mm[0] is None:  # empty input (r8 guard): degenerate single-bin edges
+        return li.select("y", F.lit(0).alias("b0"), F.lit(0).alias("b1")), {
+            0: (0.0, 1.0),
+            1: (0.0, 1.0),
+        }
     edges = {}
     for f in (0, 1):
         mn, mx = float(mm[f * 2]), float(mm[f * 2 + 1])

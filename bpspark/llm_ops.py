@@ -2765,18 +2765,30 @@ def ml_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings").select("embedding")
     partials = emb.mapInPandas(_gram_batches, _GRAM_SCHEMA)
     values, row = _reduce_partials_one_row(partials, ["col_sum", "gram"], ["n"])
+    import math
     import numpy as np
 
     n = row["n"]
-    s = np.array(values[:64])
-    g = np.array(values[64:]).reshape(64, 64)
+    if not n:  # empty input: no covariance to decompose (r8 guard)
+        return spark.createDataFrame([], "dim int, loading double, top_eigenvalue double")
+    # d from the reduced payload length (len = d + d²), not a hardcoded 64
+    d = int((math.isqrt(4 * len(values) + 1) - 1) // 2)
+    s = np.array(values[:d])
+    g = np.array(values[d:]).reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
+    # quantize the covariance BEFORE eigh (r8): the distributed partial
+    # sums behind it are combine-order dependent at the ~1e-15 relative
+    # level, and eigh amplifies ULP wobble through the eigenvector by
+    # 1/eigengap; flooring at 1e-9 (5+ orders above the wobble, well
+    # below the 2dp-input covariance scale) makes the eigh input — and
+    # hence every emitted double — identical across partitionings.
+    cov = np.floor(cov * 1e9 + 0.5) / 1e9
     vals, vecs = np.linalg.eigh(cov)
     top = vecs[:, -1]
     if top[int(np.argmax(np.abs(top)))] < 0:  # deterministic sign
         top = -top
-    rows = [(i, float(top[i]), float(vals[-1])) for i in range(64)]
+    rows = [(i, float(top[i]), float(vals[-1])) for i in range(d)]
     return spark.createDataFrame(
         rows, "dim int, loading double, top_eigenvalue double"
     ).orderBy("dim")
@@ -2909,16 +2921,27 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
     within ~1e-14 of a 1e-6 boundary could still floor differently per
     engine — ADVICE r6); measured clean at all three SFs, with ~8 orders
     of tie margin."""
-    import numpy as np
-
     emb = (
         table(spark, sf, "embeddings")
         .select("embedding", (F.col("label") % 2).cast("double").alias("y"))
         .cache()
     )
+    try:
+        return _logreg_gd_body(spark, emb)
+    finally:
+        emb.unpersist()
+
+
+def _logreg_gd_body(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The cached-input GD loop (split out r8 so the cache is released in
+    a finally — the driver sweeps hundreds of ops in one session)."""
+    import numpy as np
+
     n_total, d = emb.select(
         F.count(F.lit(1)), F.first(F.size("embedding"))
     ).first()
+    if not n_total:  # empty input (r8 guard): no rounds to run
+        return spark.createDataFrame([], "iteration int, loss double, accuracy double")
     w = np.zeros(d + 1)
     lr = _LOGREG_LR
     history = []
@@ -2950,6 +2973,7 @@ def ml_logreg_gd(spark: SparkSession, sf: str) -> DataFrame:
         acc = row["hits"] / n_total
         history.append((it, loss, float(acc)))
         w = np.floor((w - lr * grad) * 1e6 + 0.5) / 1e6
+        bw.destroy()  # the round's job is done; don't pin 6 broadcasts (r8)
     return spark.createDataFrame(history, "iteration int, loss double, accuracy double")
 
 

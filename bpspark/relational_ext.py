@@ -407,7 +407,12 @@ def win_mixed_frame(spark: SparkSession, sf: str) -> DataFrame:
 @op("agg_approx_percentile", sql=None)  # sketch-based → rows-only
 def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate percentiles (mergeable sketch — the 100 TB path where
-    exact percentile's full sort per group is prohibitive)."""
+    exact percentile's full sort per group is prohibitive). Returned
+    values are actual dataset elements picked by the GK summary, so they
+    are exact-2dp prices; they are deterministic for a FIXED input
+    layout (same splits/partial-merge order — reruns in one session
+    agree, tests pin it) but, like any mergeable quantile sketch, may
+    pick a different element if the scan's split layout changes."""
     li = table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
@@ -757,10 +762,14 @@ def win_time_range_interval(spark: SparkSession, sf: str) -> DataFrame:
 def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified (per-key) sample via ``sampleBy`` — downsample dominant
     strata while keeping rare ones intact, the standard class-rebalancing
-    step for training-data curation. Seeded and reproducible within Spark;
-    rows-only because no cross-engine oracle shares Spark's sampler.
-    Map-only at any scale (per-row Bernoulli keyed by the stratum column;
-    no shuffle)."""
+    step for training-data curation. Seeded, so reproducible for a FIXED
+    input layout — sampleBy is per-partition-seeded Bernoulli, meaning
+    the selected row SET changes if the scan's split count or row order
+    changes (r8 doc fix: 'reproducible' is layout-conditional, the
+    inherent contract of every partition-seeded sampler); rows-only
+    because no cross-engine oracle shares Spark's sampler. Map-only at
+    any scale (per-row Bernoulli keyed by the stratum column; no
+    shuffle)."""
     c = table(spark, sf, "customer")
     fractions = {
         "BUILDING": 0.2,

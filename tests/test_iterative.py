@@ -73,9 +73,12 @@ def test_pca_top_component_properties(spark):
     ).astype("float64")
     axis_vars = emb.var(axis=0)
     assert lam >= axis_vars.max() - 1e-9
-    # and matches the true top eigenvalue of the exact covariance
+    # and matches the true top eigenvalue of the exact covariance —
+    # within the op's documented 1e-9 covariance quantization (r8: the
+    # cov matrix is floored pre-eigh to kill partition-order ULP wobble,
+    # shifting the eigenvalue by up to ~d·5e-10)
     cov = np.cov(emb, rowvar=False, bias=True)
-    assert math.isclose(lam, float(np.linalg.eigvalsh(cov)[-1]), rel_tol=1e-8)
+    assert math.isclose(lam, float(np.linalg.eigvalsh(cov)[-1]), rel_tol=1e-6)
 
 
 def test_reduce_partials_is_distributed_and_exact(spark):

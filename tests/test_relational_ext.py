@@ -187,3 +187,25 @@ def test_layout_overlap_extremes(spark):
     # disjointness double-check: sorted range envelopes never intersect
     r = rng.sort_values("mn_day")
     assert (r["mn_day"].iloc[1:].to_numpy() > r["mx_day"].iloc[:-1].to_numpy()).all()
+
+
+def test_approx_percentile_rerun_deterministic(spark):
+    """GK-sketch percentiles are layout-conditional but must be stable
+    across reruns in one session (the driver may sweep an op twice);
+    returned values are actual dataset elements, hence exact-2dp prices."""
+    r1 = sorted(map(tuple, OPS["agg_approx_percentile"].fn(spark, SF_SMALL).collect()))
+    r2 = sorted(map(tuple, OPS["agg_approx_percentile"].fn(spark, SF_SMALL).collect()))
+    assert r1 == r2
+    for _flag, med, p99 in r1:
+        assert med <= p99
+        assert round(med, 2) == med and round(p99, 2) == p99  # dataset elements
+
+
+def test_sample_stratified_rerun_deterministic(spark):
+    """Seeded sampleBy must select the SAME row set on rerun over the
+    same input layout, and respect the stratum fractions qualitatively."""
+    r1 = sorted(r["c_custkey"] for r in OPS["sample_stratified"].fn(spark, SF_SMALL).collect())
+    r2 = sorted(r["c_custkey"] for r in OPS["sample_stratified"].fn(spark, SF_SMALL).collect())
+    assert r1 == r2 and len(r1) > 0
+    segs = {r["c_mktsegment"] for r in OPS["sample_stratified"].fn(spark, SF_SMALL).collect()}
+    assert "FURNITURE" not in segs  # absent stratum fully dropped
