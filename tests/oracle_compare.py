@@ -36,7 +36,14 @@ def _canon_cell(v):
     # numpy scalars → python
     if hasattr(v, "item"):
         return _canon_cell(v.item())
-    return f"{type(v).__name__ if isinstance(v, (int, str)) is False else ''}{v}"
+    # distinct tags for int vs str (r8): the driver's value hash forks on
+    # 5 vs "5", but the old untagged format canonicalized both to "5" —
+    # a mixed/miscast column passed locally and FAILed at grading
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return f"{type(v).__name__}:{v}"
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
@@ -105,8 +112,23 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
     if s_rows != d_rows:
         # find first divergence for debuggability
         diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
-        only_s = [r for r in s_rows[:2000] if r not in set(d_rows[:2000])][:2]
+        d_set = set(d_rows[:2000])  # hoisted (r8): was rebuilt per row
+        only_s = [r for r in s_rows[:2000] if r not in d_set][:2]
         problems.append(
             f"{name}: value mismatch; first zip-diffs={diffs!r} spark-only-sample={only_s!r}"
         )
     return problems
+
+
+# The testdata tables every tool registers as DuckDB views — ONE list
+# (r8: three tools carried drifting copies).
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_views(con, sf_dir: str) -> None:
+    """Register the parquet tables of ``sf_dir`` as DuckDB views."""
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -26,9 +26,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--double"]
     double = "--double" in sys.argv[1:]
-    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-    out = args[1] if len(args) > 1 else "/tmp/driver_replica.json"
-    os.chdir("/tmp")  # foreign cwd on purpose
+    sf_dir = os.path.abspath(args[0]) if len(args) > 0 else "/root/testdata/sf0.01"
+    out = os.path.abspath(args[1]) if len(args) > 1 else "/tmp/driver_replica.json"
+    os.chdir("/tmp")  # foreign cwd on purpose (args resolved FIRST — ADVICE r5 class)
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -46,11 +46,9 @@ def main() -> None:
 
     q, o = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    from oracle_compare import register_views
+
+    register_views(con, sf_dir)
 
     results: dict[str, dict] = {}
     fails: list[str] = []
@@ -58,6 +56,7 @@ def main() -> None:
     for sweep in range(2 if double else 1):
         tag = f"#{sweep + 1}" if double else ""
         for name, fn in q.items():
+            key = f"{name}{tag}"  # r8: record each sweep; #2 no longer overwrites #1
             t0 = time.monotonic()
             try:
                 pdf = fn(spark, sf_dir).toPandas()
@@ -86,28 +85,28 @@ def main() -> None:
                     detail = probs or None
                 else:
                     status, detail = "rows_only", None
-                results[name] = {
+                results[key] = {
                     "status": status,
                     "rows": len(pdf),
                     "sec": round(time.monotonic() - t0, 2),
                     "detail": detail,
                 }
             except Exception as ex:  # noqa: BLE001
-                results[name] = {
+                results[key] = {
                     "status": "ERROR",
                     "sec": round(time.monotonic() - t0, 2),
                     "detail": str(ex)[:300],
                 }
-            total += results[name]["sec"]
-            if results[name]["status"] in ("FAIL", "ERROR", "VACUOUS"):
-                fails.append(name + tag)
+            total += results[key]["sec"]
+            if results[key]["status"] in ("FAIL", "ERROR", "VACUOUS"):
+                fails.append(key)
             print(
-                f"{results[name]['sec']:7.2f}s {results[name]['status']:>9} {name}{tag}",
+                f"{results[key]['sec']:7.2f}s {results[key]['status']:>9} {key}",
                 flush=True,
             )
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
-    n = len(results) * (2 if double else 1)
+    n = len(results)  # r8: one entry per (op, sweep) — no multiplier
     print(f"TOTAL {total:.0f}s over {n} op runs; FAILS: {fails}")
 
 

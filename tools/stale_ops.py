@@ -115,7 +115,10 @@ def valid_rows(correctness_path: str) -> set[str]:
     for name, row in data.items():
         err = row.get("err")
         checks = (row.get("rows_match"), row.get("schema_match"), row.get("hash_match"))
-        if err is None and False not in checks:
+        # require at least one check to have actually RUN (r8): a row with
+        # err null and all three match fields null — e.g. a sweep cut short
+        # after launch — must not certify the op as FRESH forever
+        if err is None and False not in checks and any(c is not None for c in checks):
             ok.add(name)
         elif str(err).strip() == "no_oracle" and row.get("spark_rows") is not None:
             ok.add(name)
