@@ -43,12 +43,52 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the round-8 driver window (50 ops; the grading sweep
-    # covers exactly this front) — the COVERAGE-FINISHING window per
-    # VERDICT r7 item 2: after it sweeps, never-swept = 0 (every one of
-    # the 377 registered ops has a driver row). Exact composition, from
-    # `python tools/stale_ops.py` after rebuilding the manifest with
-    # CORRECTNESS_r01..r07 (r7 snapshot rev 34d9435):
+    # --- tier A: the ROUND-9 driver window (50 ops; the grading sweep
+    # covers exactly this front). Manifest rebuilt with
+    # CORRECTNESS_r01..r08 (r8 snapshot rev 9f5c7c1); `stale` reported
+    # FRESH 371 / NEVER 0 / STALE 6. Composition:
+    #  * slots 1-6: the 6 STALE ops — text_bpe_tokenize leads (its r8
+    #    oracle upgrade missed the 50-slot r8 window; VERDICT r8 item 1);
+    #    ts_interpolate_linear / profile_partition_skew /
+    #    profile_distribution_drift / stream_dedup_state /
+    #    stream_drop_folder were staled by r8's late hardening commits
+    #    (66dbd59/830e620/971bdea landed AFTER their rows' sweep rev);
+    #  * slots 7-16: ops this round EDITS (standing rule: an edit
+    #    re-enters the same round's window) — dedup_near_minhash
+    #    (VERDICT item 3 result-identical optimization),
+    #    agg_sketch_count_min (ADVICE key-cap), the 5 pipeline_* ops +
+    #    stream_ingest_pipeline (ADVICE pipeline.py:100 single-flight
+    #    projection — shared-helper edit, manually treated as stale per
+    #    the stale_ops.py limitation note), sim_knn_graph_ivf +
+    #    sim_ivf_recall_eval (VERDICT item 4 oracle-upgrade candidates);
+    #  * slots 17-50: FRESH re-certification fillers in r7-window order
+    #    (ts_ewma first — displaced from two rounds' windows), all
+    #    oracle-backed q_*/analytics ops. 39/50 oracle-backed at pack
+    #    time (41 if both IVF oracle upgrades land).
+    # New ops registered this round must evict a TAIL filler (never a
+    # stale/edited op) in the same commit, per the standing rule above.
+    "text_bpe_tokenize", "ts_interpolate_linear", "profile_partition_skew",
+    "profile_distribution_drift", "stream_dedup_state", "stream_drop_folder",
+    "dedup_near_minhash", "agg_sketch_count_min",
+    "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
+    "pipeline_idempotent_rerun", "pipeline_observe_metrics",
+    "stream_ingest_pipeline", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
+    "ts_ewma", "graph_pagerank", "embedding_kcenter_coreset",
+    "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
+    "graph_community_modularity", "stream_heavy_hitters",
+    "er_incremental_resolve", "stream_er_resolve", "stream_stateful_counter",
+    "pipeline_web_corpus", "er_fellegi_sunter_em",
+    "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
+    "q_customer_order_distribution", "q_promo_revenue_share",
+    "q_small_quantity_revenue", "q_large_volume_customers",
+    "q_yoy_revenue_growth", "q_nation_trade_volume", "q_market_share",
+    "q_product_profit", "q_returned_items", "q_priority_shipping_mix",
+    "q_top_supplier", "q_disjunctive_predicates", "q_waiting_orders",
+    "q_revenue_forecast", "q_parts_supplier_counts", "q_basket_pairs",
+    "q_percent_of_total", "join_nearest_event",
+    # --- tier B: the round-8 window (all FRESH after the r8 sweep),
+    # kept in its r8 order for deterministic re-cert priority.
+    # Historical r8 notes:
     #  * text_bpe_vocab_induction leads (it took the ts_ewma
     #    re-certification filler's slot when its r8 oracle upgrade staled
     #    its row — the standing-rule eviction; it also absorbs the
@@ -92,11 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_ingest_pipeline", "stream_dedup_within_watermark",
     "agg_sketch_hll", "agg_sketch_count_min",
     "sim_cosine_lsh", "sim_mmr_rerank",
-    # --- tier B: text_bpe_tokenize queues here (the 51st needing op —
-    # its stale row leads the r9 window), then ts_ewma (fresh; displaced
-    # from the tier-A filler slot by the standing-rule eviction), then
-    # the round-7 window (all FRESH — swept at rev 34d9435) in r7 order.
-    "text_bpe_tokenize", "ts_ewma",
+    # --- (former tier B) the round-7 window in r7 order; names already
+    # in tier A above keep their tier-A slot (first occurrence wins in
+    # _ordered — later duplicates are inert).
     "graph_pagerank", "embedding_kcenter_coreset",
     "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
     "graph_community_modularity", "stream_heavy_hitters",
