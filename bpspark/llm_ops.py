@@ -4045,14 +4045,23 @@ def _bpe_tokenize_oracle_sql() -> str:
     applies = []
     for k in range(1, _BPE_MERGES + 1):
         src = "docsyms" if k == 1 else f"apply{k - 1}"
+        # merge-optional (ADVICE r8): if the corpus yields fewer than
+        # _BPE_MERGES learnable merges, m{k} is empty — a cross join
+        # would annihilate the doc set while the Spark side just applies
+        # fewer merges. LEFT JOIN ON TRUE + COALESCE keeps every doc:
+        # with no merge row the replace chain is NULL (NULL operands)
+        # and the symbols pass through unchanged, exactly Spark's
+        # early-break behavior.
         applies.append(f"""apply{k} AS MATERIALIZED (
   SELECT a.doc_id, a.n_tokens_chars,
-         trim(regexp_replace(
-           replace(' ' || replace(a.syms, ' ', '  ') || ' ',
-                   ' ' || m.left_s || '  ' || m.right_s || ' ',
-                   ' ' || m.merged || ' '),
-           ' +', ' ', 'g')) AS syms
-  FROM {src} a, m{k} m
+         COALESCE(
+           trim(regexp_replace(
+             replace(' ' || replace(a.syms, ' ', '  ') || ' ',
+                     ' ' || m.left_s || '  ' || m.right_s || ' ',
+                     ' ' || m.merged || ' '),
+             ' +', ' ', 'g')),
+           a.syms) AS syms
+  FROM {src} a LEFT JOIN m{k} m ON TRUE
 )""")
     return f"""WITH {_bpe_merge_cte_sql()},
 docsyms AS MATERIALIZED (

@@ -92,13 +92,27 @@ def ingest_from_arrivals(spark: SparkSession, arrivals: DataFrame, ledgers: Ledg
     # processed. Batch equivalent: first path per ISBN wins; unkeyed
     # arrivals (isbn = '') are exempt — they are per-file quarantine
     # candidates, never a workflow key.
-    from pyspark.sql.window import Window as _W
-
-    _wf = _W.partitionBy("isbn").orderBy("path")
-    new_arrivals = (
-        new_arrivals.withColumn("_rn", F.row_number().over(_wf))
-        .filter((F.col("isbn") == "") | (F.col("_rn") == 1))
-        .drop("_rn")
+    #
+    # r9 (ADVICE r8): winners are computed on an (isbn, path) PROJECTION
+    # — min(path) per keyed isbn, identical to the former
+    # row_number-over-(partitionBy isbn, orderBy path) == 1 winner — and
+    # joined back by path as a broadcast left-semi, so the binary
+    # `content` column never enters an exchange. The old window form
+    # shuffled ZIP bytes by isbn even when the batch had no duplicates;
+    # now only ~100-byte path strings shuffle (the winners agg), and the
+    # semi join is map-side. A drop-folder micro-batch is file-arrival
+    # scale (10^3-10^5 paths), well inside broadcast range.
+    winners = (
+        new_arrivals.filter(F.col("isbn") != "")
+        .select("isbn", "path")
+        .groupBy("isbn")
+        .agg(F.min("path").alias("path"))
+        .select("path")
+    )
+    new_arrivals = new_arrivals.filter(F.col("isbn") == "").unionByName(
+        new_arrivals.filter(F.col("isbn") != "").join(
+            F.broadcast(winners), "path", "left_semi"
+        )
     )
 
     # --- R3/R4/R5: parse only the genuinely-new ZIPs -----------------------

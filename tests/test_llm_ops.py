@@ -600,6 +600,30 @@ def test_bpe_tokenize_compresses_never_expands(spark):
     assert mean_comp < 0.95, mean_comp
 
 
+def test_bpe_tokenize_oracle_survives_merge_starved_corpus():
+    """ADVICE r8: if the corpus yields fewer than _BPE_MERGES learnable
+    merges, the later m{k} CTEs are empty — the apply steps must pass
+    symbols through (LEFT JOIN + COALESCE), never annihilate the doc set
+    via a cross join with an empty merge row. A 1-letter alphabet runs
+    out of adjacent pairs after ~3 merges; every doc must still get a
+    row, with counts consistent with full merging."""
+    import duckdb
+
+    from bpspark.llm_ops import _bpe_tokenize_oracle_sql
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'a a a'), (2, 'aa'), (3, 'a aa a')) AS t(doc_id, text)"
+    )
+    df = con.sql(_bpe_tokenize_oracle_sql()).df()
+    assert list(df["doc_id"]) == [1, 2, 3]
+    # 'a' -> 'a </w>' (2 syms) and 'aa' -> 'a a </w>' (3 syms) both
+    # collapse to ONE symbol once the learnable merges are exhausted.
+    assert list(df["n_tokens_bpe"]) == [3, 1, 3]
+    assert list(df["n_tokens_chars"]) == [6, 3, 7]
+
+
 def test_video_stream_parser_rejects_truncation():
     """Truncated frame headers/rasters must raise, never hang (the
     parser's loops are bounded by the payload length)."""
