@@ -1769,7 +1769,10 @@ def _ivf_target_k(n: int) -> int:
 
 
 def _ivf_centroid_literal(
-    e: DataFrame, train_iters: int = IVF_TRAIN_ITERS, k: int | None = None
+    e: DataFrame,
+    train_iters: int = IVF_TRAIN_ITERS,
+    k: int | None = None,
+    portable: bool = False,
 ) -> tuple:
     """Train and collect the IVF coarse quantizer; return it as a literal
     array<struct<cent_id,c_emb,c_norm>> column plus the centroid count.
@@ -1790,24 +1793,43 @@ def _ivf_centroid_literal(
     64 ≈ 25 MB) and every real IVF system ships it to workers as a
     broadcast constant. In exchange, centroid ASSIGNMENT becomes fully
     map-side — zero shuffle — instead of a corpus×k join + per-vector
-    argmax shuffle."""
+    argmax shuffle.
+
+    ``portable=True`` (r9, for oracle-replicable callers — the kNN-graph
+    pair): the whole training funnel becomes cross-engine replayable —
+    seeds ordered by md5(vec_id-as-string) (identical hex in Spark and
+    DuckDB, where xxhash64 is Spark-private), the training sample is the
+    plain ``vec_id % 3`` residue class, and each round's means are
+    quantized tie-free (floor(m·1e6+0.5)/1e6, the ml_kmeans_lloyd r6
+    pattern) so cross-engine float-summation noise cannot accumulate
+    across rounds. Same O-shape, same driver-visit contract; default
+    callers (the certified IVF ladder) are byte-identical to before."""
     if k is None:
         k = _ivf_target_k(e.count())
+    if portable:
+        seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+        sample_pred = F.col("vec_id") % 3 == 0
+    else:
+        seed_order = [F.xxhash64("vec_id"), F.col("vec_id")]
+        sample_pred = F.pmod(F.xxhash64("vec_id"), F.lit(3)) == 0
     seeds = (
         e.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .orderBy(*seed_order)
         .limit(k)
         .collect()
     )
     cents = [(i, list(r["embedding"])) for i, r in enumerate(seeds)]
     if train_iters > 0:
-        sample = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(3)) == 0)
+        sample = e.filter(sample_pred)
+        mean_expr = F.avg(F.col("col").cast("double"))
+        if portable:
+            mean_expr = F.floor(mean_expr * 1e6 + F.lit(0.5)) / 1e6
         for _ in range(train_iters):
             assigned = _assign_home(sample, _centroid_literal_from_rows(cents))
             means = (
                 assigned.select("home_cent", F.posexplode("embedding"))
                 .groupBy("home_cent", "pos")
-                .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                .agg(mean_expr.alias("m"))
                 .groupBy("home_cent")
                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
                 .collect()
@@ -1819,14 +1841,17 @@ def _ivf_centroid_literal(
     return _centroid_literal_from_rows(cents), len(cents)
 
 
-def _ivf_probe_assign(e: DataFrame, nprobe: int, cent_lit=None) -> DataFrame:
+def _ivf_probe_assign(
+    e: DataFrame, nprobe: int, cent_lit=None, portable: bool = False
+) -> DataFrame:
     """Per-vector nearest-``nprobe`` centroids, computed entirely map-side
     against the literal quantizer: vec_id, embedding, norm, home_cent
     (nearest), probe_cents (array of the nprobe nearest). Pass a prebuilt
     ``cent_lit`` to reuse one trained quantizer across calls (the recall
-    harness times queries, not training)."""
+    harness times queries, not training); ``portable`` selects the
+    oracle-replicable quantizer training (see _ivf_centroid_literal)."""
     if cent_lit is None:
-        cent_lit, _k = _ivf_centroid_literal(e)
+        cent_lit, _k = _ivf_centroid_literal(e, portable=portable)
     scored = F.transform(
         cent_lit,
         lambda c: F.struct(
@@ -1857,7 +1882,9 @@ def _ivf_probe_assign(e: DataFrame, nprobe: int, cent_lit=None) -> DataFrame:
     )
 
 
-def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5, cent_lit=None) -> DataFrame:
+def _ivf_knn_graph(
+    e: DataFrame, nprobe: int, k: int = 5, cent_lit=None, portable: bool = False
+) -> DataFrame:
     """Approximate kNN graph over the WHOLE corpus (every vector is a
     query): IVF-bucketed candidate generation, one shuffle on cent_id.
 
@@ -1868,7 +1895,7 @@ def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5, cent_lit=None) -> Data
     are the residual risk, same as LSH buckets: with a trained (k-means)
     quantizer cluster sizes concentrate near n/k; a degenerate corpus
     needs the BUCKET_CAP discipline used by dedup_near_minhash."""
-    assigned = _ivf_probe_assign(e, nprobe, cent_lit=cent_lit)
+    assigned = _ivf_probe_assign(e, nprobe, cent_lit=cent_lit, portable=portable)
     home = assigned.select(
         F.col("home_cent").alias("cent_id"), "vec_id", "embedding", "norm"
     )
@@ -1894,11 +1921,171 @@ def _ivf_knn_graph(e: DataFrame, nprobe: int, k: int = 5, cent_lit=None) -> Data
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"))
+        # tie-free quantization, not ROUND (r9: the r8 oracle standard —
+        # the cosine itself is a bit-identical left fold cross-engine,
+        # and floor(x·1e8+0.5)/1e8 is the same float ops in both engines)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("cosine") * 1e8 + F.lit(0.5)) / 1e8).alias("cosine"),
+        )
     )
 
 
-@op("sim_knn_graph_ivf", sql=None)  # approximate — recall harness + eval op
+def _ivf_portable_cte_sql() -> str:
+    """DuckDB CTE chain replaying the PORTABLE IVF quantizer + probe
+    assignment end-to-end (the sim_knn_graph_ivf / sim_ivf_recall_eval
+    funnel): md5-ordered seeds with k = clamp(isqrt(n)), the vec_id%3
+    training sample, IVF_TRAIN_ITERS unrolled Lloyd rounds with tie-free
+    floor-quantized means, then nearest-IVF_KNN_NPROBE probe assignment
+    of the FULL corpus against the final quantized centroids. Every dot
+    product is a list_sum over identical doubles (the certified
+    TOPK_SQL fold pattern); assignment/probe ties break (csim DESC,
+    cent_id DESC) — the exact comparator of Spark's
+    reverse(array_sort(struct(csim, cent_id))). Emits ``pa`` (vec_id,
+    embedding, norm, cent_id, rn) — rn=1 is the home cluster, rn<=nprobe
+    the probe set."""
+    dot_ec = ("list_sum(list_transform(list_zip(s.embedding, c.c_emb),"
+              " t -> CAST(t[1] AS DOUBLE) * t[2]))")
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)""",
+        f"""seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id,
+         embedding
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT (SELECT greatest(4, least({IVF_MAX_K},
+           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)))
+         FROM e)
+)""",
+        """c0 AS MATERIALIZED (
+  SELECT cent_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS c_norm
+  FROM seeds
+)""",
+        """samp AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 3 = 0)""",
+    ]
+    for r in range(1, IVF_TRAIN_ITERS + 1):
+        p = r - 1
+        parts.append(f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT s.vec_id, s.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {dot_ec} / (s.norm * c.c_norm) DESC, c.cent_id DESC
+           ) AS rn
+    FROM samp s CROSS JOIN c{p} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT cent_id, pos, floor(AVG(x) * 1e6 + 0.5) / 1e6 AS m
+  FROM (
+    SELECT cent_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+    FROM (SELECT cent_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM a{r})
+  )
+  GROUP BY cent_id, pos
+)""")
+        parts.append(f"""c{r} AS MATERIALIZED (
+  SELECT cent_id, c_emb,
+         sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_norm
+  FROM (
+    SELECT cent_id, array_agg(m ORDER BY pos) AS c_emb
+    FROM m{r} GROUP BY cent_id
+  )
+)""")
+    parts.append(f"""pa AS MATERIALIZED (
+  SELECT s.vec_id, s.embedding, s.norm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY {dot_ec} / (s.norm * c.c_norm) DESC, c.cent_id DESC
+         ) AS rn
+  FROM e s CROSS JOIN c{IVF_TRAIN_ITERS} c
+)""")
+    return ",\n".join(parts)
+
+
+_KNN_SCORED_SQL = f"""home AS (
+  SELECT vec_id, embedding, norm, cent_id FROM pa WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cent_id
+  FROM pa WHERE rn <= {IVF_KNN_NPROBE}
+),
+knn AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT p.query_id, h.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(h.embedding, p.q_emb),
+                t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+             / (h.norm * p.q_norm) AS cosine,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_sum(list_transform(list_zip(h.embedding, p.q_emb),
+                t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+                / (h.norm * p.q_norm) DESC, h.vec_id
+           ) AS rn
+    FROM home h JOIN probes p USING (cent_id)
+    WHERE h.vec_id <> p.query_id
+  ) WHERE rn <= 5
+)"""
+
+
+def _ivf_knn_oracle_sql() -> str:
+    """Full-replication oracle for sim_knn_graph_ivf: portable quantizer
+    CTEs + bucketed top-5, tie-free 8dp output quantization."""
+    return f"""WITH {_ivf_portable_cte_sql()},
+{_KNN_SCORED_SQL}
+SELECT query_id, neighbor_id,
+       floor(cosine * 1e8 + 0.5) / 1e8 AS cosine
+FROM knn
+ORDER BY query_id, neighbor_id"""
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """Full-replication oracle for sim_ivf_recall_eval: exact brute-force
+    top-5 over the vec_id%29 query sample, semi-joined against the
+    replayed approximate graph; recall quantized tie-free at 4dp."""
+    return f"""WITH {_ivf_portable_cte_sql()},
+{_KNN_SCORED_SQL},
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM e WHERE vec_id % 29 = 0),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(list_zip(q.q_emb, c.embedding),
+                t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+                / (q.q_norm * c.norm) DESC, c.vec_id
+           ) AS rn
+    FROM q JOIN e c ON q.query_id <> c.vec_id
+  ) WHERE rn <= 5
+),
+hits AS (
+  SELECT t.query_id, t.neighbor_id FROM truth t
+  WHERE EXISTS (SELECT 1 FROM knn k
+                WHERE k.query_id = t.query_id
+                  AND k.neighbor_id = t.neighbor_id
+                  AND k.query_id % 29 = 0)
+)
+SELECT (SELECT COUNT(DISTINCT query_id) FROM truth) AS n_queries,
+       (SELECT COUNT(*) FROM truth) AS truth_pairs,
+       (SELECT COUNT(*) FROM hits) AS hit_pairs,
+       floor((SELECT CAST(COUNT(*) AS DOUBLE) FROM hits)
+             / (SELECT COUNT(*) FROM truth) * 1e4 + 0.5) / 1e4
+         AS recall_at_5"""
+
+
+@op("sim_knn_graph_ivf", sql=_ivf_knn_oracle_sql())
 def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus×corpus approximate kNN graph: top-5 cosine neighbors for
     EVERY vector (not a 10-query set) via IVF buckets — the shape that
@@ -1906,21 +2093,32 @@ def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
     training corpus. sim_cosine_topk/sim_cosine_ivf answer a small query
     set; this op answers n queries without an n² plan. Recall vs brute
     force is measured by sim_ivf_recall_eval and tools/ann_recall.py
-    (curve recorded in docs/SCALE.md)."""
+    (curve recorded in docs/SCALE.md).
+
+    Oracle (upgraded r9, rows-only → full replication): the op runs the
+    PORTABLE quantizer (md5 seeds, vec_id%3 sample, quantized Lloyd
+    means — _ivf_centroid_literal portable=True), so the entire
+    train→assign→probe→top-5 funnel replays in DuckDB
+    (_ivf_knn_oracle_sql). The certified xxhash64 IVF ladder is
+    untouched — portable mode is this pair's own path."""
     e = _with_norm(table(spark, sf, "embeddings"))
-    return _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE)
+    return _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE, portable=True)
 
 
-@op("sim_ivf_recall_eval", sql=None)  # self-evaluating metric op
+@op("sim_ivf_recall_eval", sql=_ivf_recall_oracle_sql())
 def sim_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the IVF kNN graph against EXACT brute-force ground
     truth on a deterministic query sample (vec_id % 29 == 0, ~3% of the
     corpus) — the standard ANN evaluation: ground truth is only ever
     computed on a sample, the approximate method runs corpus-wide.
     Returns ONE row (n_queries, truth_pairs, hit_pairs, recall_at_5);
-    everything is declarative — no result collection."""
+    everything is declarative — no result collection. Oracle (upgraded
+    r9): brute-force truth + the replayed portable-quantizer graph in
+    DuckDB (_ivf_recall_oracle_sql) — the recall number itself is now
+    hash-certified, turning this op into a cross-engine-verified ANN
+    quality tripwire."""
     e = _with_norm(table(spark, sf, "embeddings"))
-    approx = _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE).filter(
+    approx = _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE, portable=True).filter(
         F.col("query_id") % 29 == 0
     )
     q = e.filter(F.col("vec_id") % 29 == 0).select(
@@ -1956,7 +2154,10 @@ def sim_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             "n_queries",
             "truth_pairs",
             "hit_pairs",
-            F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall_at_5"),
+            (
+                F.floor(F.col("hit_pairs") / F.col("truth_pairs") * 1e4 + F.lit(0.5))
+                / 1e4
+            ).alias("recall_at_5"),
         )
     )
 
