@@ -4234,27 +4234,28 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
 _INC_MIN_BANDS = 2
 
 
-def _bpe_tokenize_oracle_sql() -> str:
-    """Full-replication oracle for text_bpe_tokenize (upgraded r8):
-    re-derives the 8 merges (_bpe_merge_cte_sql), symbolizes every
-    document the same way (per-word char-spacing + </w>, words joined
-    by single spaces — safe because a learned pair's LEFT can never be
-    or end with </w>, so merges cannot fire across word boundaries),
-    and replays the merges in rank order with the double-space literal
-    replace. Counts are integers; compression is ONE IEEE division of
-    exact doubles quantized tie-free at 4dp (the _q6 pattern)."""
+def _bpe_apply_chain_sql(carry_cols: tuple = ()) -> str:
+    """docsyms + apply1.._BPE_MERGES CTE chain replaying the tokenizer
+    APPLY in DuckDB: symbolize every document (per-word char-spacing +
+    </w>, words joined by single spaces — safe because a learned pair's
+    LEFT can never be or end with </w>, so merges cannot fire across
+    word boundaries), then replay the merges in rank order with the
+    double-space literal replace. ``carry_cols`` are extra document
+    columns (e.g. ``source``) threaded through every apply CTE. Each
+    apply step is merge-OPTIONAL (ADVICE r8): if the corpus yields
+    fewer than _BPE_MERGES learnable merges, m{k} is empty — a cross
+    join would annihilate the doc set while the Spark side just applies
+    fewer merges. LEFT JOIN ON TRUE + COALESCE keeps every doc: with no
+    merge row the replace chain is NULL (NULL operands) and the symbols
+    pass through unchanged, exactly Spark's early-break behavior.
+    Requires the _bpe_merge_cte_sql() CTEs in the same WITH."""
+    carry = "".join(f" {c}," for c in carry_cols)
+    acarry = "".join(f" a.{c}," for c in carry_cols)
     applies = []
     for k in range(1, _BPE_MERGES + 1):
         src = "docsyms" if k == 1 else f"apply{k - 1}"
-        # merge-optional (ADVICE r8): if the corpus yields fewer than
-        # _BPE_MERGES learnable merges, m{k} is empty — a cross join
-        # would annihilate the doc set while the Spark side just applies
-        # fewer merges. LEFT JOIN ON TRUE + COALESCE keeps every doc:
-        # with no merge row the replace chain is NULL (NULL operands)
-        # and the symbols pass through unchanged, exactly Spark's
-        # early-break behavior.
         applies.append(f"""apply{k} AS MATERIALIZED (
-  SELECT a.doc_id, a.n_tokens_chars,
+  SELECT a.doc_id,{acarry} a.n_tokens_chars,
          COALESCE(
            trim(regexp_replace(
              replace(' ' || replace(a.syms, ' ', '  ') || ' ',
@@ -4264,13 +4265,12 @@ def _bpe_tokenize_oracle_sql() -> str:
            a.syms) AS syms
   FROM {src} a LEFT JOIN m{k} m ON TRUE
 )""")
-    return f"""WITH {_bpe_merge_cte_sql()},
-docsyms AS MATERIALIZED (
-  SELECT doc_id,
+    return f"""docsyms AS MATERIALIZED (
+  SELECT doc_id,{carry}
          len(string_split(syms, ' ')) AS n_tokens_chars,
          syms
   FROM (
-    SELECT doc_id,
+    SELECT doc_id,{carry}
            array_to_string(
              list_transform(
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -4281,7 +4281,17 @@ docsyms AS MATERIALIZED (
     FROM documents
   )
 ),
-{",".join(applies)}
+{",".join(applies)}"""
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    """Full-replication oracle for text_bpe_tokenize (upgraded r8):
+    re-derives the 8 merges (_bpe_merge_cte_sql) and replays the apply
+    funnel (_bpe_apply_chain_sql). Counts are integers; compression is
+    ONE IEEE division of exact doubles quantized tie-free at 4dp (the
+    _q6 pattern)."""
+    return f"""WITH {_bpe_merge_cte_sql()},
+{_bpe_apply_chain_sql()}
 SELECT doc_id,
        n_tokens_chars,
        len(string_split(syms, ' ')) AS n_tokens_bpe,
@@ -4289,6 +4299,41 @@ SELECT doc_id,
          AS compression
 FROM apply{_BPE_MERGES}
 ORDER BY doc_id"""
+
+
+def _pack_tokenized_oracle_sql() -> str:
+    """Full-replication oracle for doc_pack_tokenized: the BPE learn +
+    apply funnel yields per-doc BPE token counts, then the greedy cut
+    replays as doc_pack_greedy's recursive per-source state carrier
+    (depth = max docs/source; all integer arithmetic)."""
+    return f"""WITH RECURSIVE {_bpe_merge_cte_sql()},
+{_bpe_apply_chain_sql(("source",))},
+d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM apply{_BPE_MERGES}
+),
+asg AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS tok_after
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN a.tok_after + d.n_tokens > {_PACK_BUDGET_TOKENS}
+              THEN a.pack_id + 1 ELSE a.pack_id END AS pack_id,
+         CASE WHEN a.tok_after + d.n_tokens > {_PACK_BUDGET_TOKENS}
+              THEN d.n_tokens ELSE a.tok_after + d.n_tokens END AS tok_after
+  FROM asg a JOIN d ON d.source = a.source AND d.rn = a.rn + 1
+)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM asg
+GROUP BY source, pack_id
+ORDER BY source, pack_id"""
 
 
 @op("text_bpe_tokenize", sql=_bpe_tokenize_oracle_sql())
@@ -4310,9 +4355,28 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     compression switched from round(q, 4) to tie-free
     floor(q·1e4+0.5)/1e4 on both engines (cross-engine ROUND of a
     quotient is the one non-portable primitive)."""
+    merges = _learn_bpe_merges(spark, sf)
+    counted = _bpe_doc_token_counts(spark, sf, merges)
+    return counted.select(
+        "doc_id",
+        "n_tokens_chars",
+        "n_tokens_bpe",
+        # int·1e4 is exact in double, then ONE division and the tie-free
+        # floor — the same IEEE op sequence the DuckDB oracle runs
+        (F.floor(F.col("n_tokens_bpe") * 1e4 / F.col("n_tokens_chars") + F.lit(0.5)) / 1e4)
+        .alias("compression"),
+    ).orderBy("doc_id")
+
+
+def _bpe_doc_token_counts(spark: SparkSession, sf: str, merges: list) -> DataFrame:
+    """(doc_id, source, n_tokens_chars, n_tokens_bpe) — the map-side
+    tokenizer APPLY shared by text_bpe_tokenize and doc_pack_tokenized:
+    symbolize words (char-spaced + </w>) and replay the learned merges
+    in rank order as literal regexp_replace steps; the merge table is
+    plan literals (the ship-the-tiny-model trick), so the whole pass is
+    one shuffle-free projection per document."""
     import re as _re
 
-    merges = _learn_bpe_merges(spark, sf)
     d = table(spark, sf, "documents")
     words = F.filter(
         F.split(F.lower("text"), r"[^a-z0-9]+"), lambda w: F.length(w) > 0
@@ -4328,6 +4392,7 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
     doc_syms = d.select(
         "doc_id",
+        "source",
         F.array_join(F.transform(words, sym_one), " ").alias("syms"),
     )
     col = F.col("syms")
@@ -4337,13 +4402,46 @@ def text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         col = F.regexp_replace(col, pat, merged.replace("\\", "\\\\").replace("$", r"\$"))
     return doc_syms.select(
         "doc_id",
+        "source",
         base_tokens.alias("n_tokens_chars"),
         F.size(F.split(col, " ")).alias("n_tokens_bpe"),
-        # int·1e4 is exact in double, then ONE division and the tie-free
-        # floor — the same IEEE op sequence the DuckDB oracle runs
-        (F.floor(F.size(F.split(col, " ")) * 1e4 / base_tokens + 0.5) / 1e4)
-        .alias("compression"),
-    ).orderBy("doc_id")
+    )
+
+
+@op("doc_pack_tokenized", sql=_pack_tokenized_oracle_sql())
+def doc_pack_tokenized(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-aware context-window packing — doc_pack_greedy with the
+    budget measured in REAL tokenizer tokens instead of whitespace
+    words: learn the BPE merge table (one distributed pass over word
+    types), count each document's post-merge tokens map-side
+    (_bpe_doc_token_counts — zero extra shuffle), then place the greedy
+    cuts per source exactly like doc_pack_greedy. This is the
+    production packing contract: a pack must fit the model's context
+    window in the model's OWN token count, and whitespace counts
+    under-estimate it badly (~5× here — the docs average ~54 words but
+    ~260 BPE tokens).
+
+    100 TB: identical shape to doc_pack_greedy — tokenize is map-only
+    (merge table is plan literals), packing is embarrassingly parallel
+    across (source, shard) groups via applyInPandas; no new shuffles
+    beyond the per-group sort the cut placement needs.
+
+    Oracle: full replication — the BPE learn+apply CTEs feed
+    doc_pack_greedy's recursive greedy state carrier
+    (_pack_tokenized_oracle_sql); all quantities are exact integers."""
+    merges = _learn_bpe_merges(spark, sf)
+    toks = _bpe_doc_token_counts(spark, sf, merges).select(
+        "source", "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            _pack_greedy_group,
+            "source string, pack_id long, n_docs long, pack_tokens long, "
+            "first_doc_id long, last_doc_id long",
+        )
+        .orderBy("source", "pack_id")
+    )
 
 
 # ---------------------------------------------------------------------------

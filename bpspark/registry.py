@@ -85,7 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_product_profit", "q_returned_items", "q_priority_shipping_mix",
     "q_top_supplier", "q_disjunctive_predicates", "q_waiting_orders",
     "q_revenue_forecast", "q_parts_supplier_counts", "q_basket_pairs",
-    "q_percent_of_total", "join_nearest_event",
+    # slots 49-50: the two ops REGISTERED this round (standing rule: a
+    # new op lands only with a same-round driver row) — each evicted a
+    # tail re-cert filler (q_percent_of_total, join_nearest_event):
+    "doc_pack_tokenized", "search_crossencoder_rerank",
     # --- tier B: the round-8 window (all FRESH after the r8 sweep),
     # kept in its r8 order for deterministic re-cert priority.
     # Historical r8 notes:

@@ -690,3 +690,120 @@ def rag_context_pack(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _RAG_CONTEXT_BUDGET_TOKENS)
         .select("query", "doc_id", "tf", "rnk", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder rerank over the hybrid candidate set
+# ---------------------------------------------------------------------------
+
+_CE_ALPHA = 0.1  # weight of the dampened-tf term relative to term coverage
+
+
+def _ce_score_batches(terms: tuple):
+    """mapInPandas scorer — the cross-encoder INFERENCE SEAM. In a real
+    deployment this body is an ONNX/torch cross-encoder forward pass
+    over (query, passage) pairs; the Arrow batch transfer, the
+    (doc_id, rrf, text) -> (doc_id, rrf, ce_raw) schema, and the
+    candidates-only batch shape are the production contract and are
+    exercised for real. The stand-in scorer is a deterministic
+    relevance feature over the SAME pair input a model would see:
+    coverage (matched query terms / |terms|) + 0.1 * sum_t ln(1+tf_t),
+    computed with the exact IEEE op order the DuckDB oracle replays
+    (left-to-right term folds; ln(1+tf) on exact integers)."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            cov, damp = [], []
+            for text in pdf["text"]:
+                toks = text.lower().split(" ")
+                matched, s = 0, 0.0
+                for t in terms:
+                    tf = toks.count(t)
+                    if tf:
+                        matched += 1
+                    s += float(np.log(1.0 + tf))
+                cov.append(matched / len(terms))
+                damp.append(s)
+            out = pdf[["doc_id", "rrf"]].copy()
+            out["ce_raw"] = [c + _CE_ALPHA * d for c, d in zip(cov, damp)]
+            yield out
+
+    return fn
+
+
+def _ce_rerank_oracle_sql() -> str:
+    """Full-replication oracle for search_crossencoder_rerank: the
+    registered search_hybrid_rrf oracle produces the candidate set, the
+    stand-in scorer replays as explicit per-term folds (same IEEE
+    order), tie-free 6dp quantization, rerank by (ce DESC, rrf DESC,
+    doc_id)."""
+    from bpspark.registry import _REGISTRY
+
+    rrf_sql = _REGISTRY["search_hybrid_rrf"].sql
+    tfs = ",\n           ".join(
+        f"len(list_filter(string_split(lower(d.text), ' '), x -> x = '{t}'))"
+        f" AS tf{i}"
+        for i, t in enumerate(_QUERY_TERMS)
+    )
+    matched = " + ".join(
+        f"CAST(tf{i} > 0 AS INT)" for i in range(len(_QUERY_TERMS))
+    )
+    lnsum = " + ".join(f"ln(1 + tf{i})" for i in range(len(_QUERY_TERMS)))
+    return f"""WITH cand AS ({rrf_sql}),
+feat AS (
+  SELECT c.doc_id, c.rrf,
+           {tfs}
+  FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+),
+ce AS (
+  SELECT doc_id, rrf,
+         floor((CAST(({matched}) AS DOUBLE) / {len(_QUERY_TERMS)}
+                + CAST(0.1 AS DOUBLE) * ({lnsum})) * 1e6 + 0.5) / 1e6
+           AS ce_score
+  FROM feat
+)
+SELECT doc_id, rrf, ce_score,
+       ROW_NUMBER() OVER (ORDER BY ce_score DESC, rrf DESC, doc_id)
+         AS rank_ce
+FROM ce
+ORDER BY rank_ce"""
+
+
+@op("search_crossencoder_rerank", sql=_ce_rerank_oracle_sql())
+def search_crossencoder_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve-then-rerank, the production serving ladder's last stage:
+    search_hybrid_rrf narrows the corpus to 10 candidates, then a
+    cross-encoder-shaped scorer reads each (query, passage) PAIR and
+    re-orders them. Retrievers are cheap and pair-blind; cross-encoders
+    are expensive and pair-aware — so the model only ever sees the
+    candidate set, never the corpus. The scorer is an Arrow-batched
+    mapInPandas stage (_ce_score_batches, the inference seam — swap the
+    body for a real model, keep the plumbing); candidates are BROADCAST
+    into the documents scan so passage text joins map-side and only 10
+    (doc_id, text, rrf) rows ever reach Python.
+
+    100 TB: rerank cost is O(candidates x model), independent of corpus
+    size; the text join is a broadcast-semi shape (no shuffle of the
+    documents table); at larger candidate sets the same plan fans the
+    pairs across executors in Arrow batches — exactly how GPU rerankers
+    are fed.
+
+    Oracle: full replication (_ce_rerank_oracle_sql) — candidates from
+    the certified RRF oracle, the deterministic scorer as explicit
+    same-order folds, tie-free 6dp quantization."""
+    from pyspark.sql.window import Window
+
+    cands = search_hybrid_rrf(spark, sf)  # 10 rows: (doc_id, rrf)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    paired = d.join(F.broadcast(cands), "doc_id")
+    scored = paired.mapInPandas(
+        _ce_score_batches(_QUERY_TERMS), "doc_id long, rrf double, ce_raw double"
+    )
+    ranked = scored.select(
+        "doc_id",
+        "rrf",
+        (F.floor(F.col("ce_raw") * 1e6 + F.lit(0.5)) / 1e6).alias("ce_score"),
+    )
+    w = Window.orderBy(F.col("ce_score").desc(), F.col("rrf").desc(), "doc_id")
+    return ranked.withColumn("rank_ce", F.row_number().over(w)).orderBy("rank_ce")

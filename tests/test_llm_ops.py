@@ -332,6 +332,35 @@ def test_doc_pack_greedy_invariants(spark):
     assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
 
 
+def test_doc_pack_tokenized_invariants(spark):
+    """Tokenizer-aware packing: same structural contract as
+    doc_pack_greedy (every doc in exactly one pack, budget respected
+    except one-doc oversize packs, dense contiguous pack ids), but the
+    budget is measured in BPE tokens — so packs hold FAR fewer docs than
+    whitespace packing (the whole point: whitespace counts under-
+    estimate model tokens ~5x on this corpus) and pack_tokens must sum
+    to the corpus BPE token total."""
+    from bpspark.llm_ops import _PACK_BUDGET_TOKENS
+
+    packs = OPS["doc_pack_tokenized"].fn(spark, SF_SMALL).collect()
+    tok = OPS["text_bpe_tokenize"].fn(spark, SF_SMALL).collect()
+    assert sum(p.n_docs for p in packs) == len(tok)
+    assert sum(p.pack_tokens for p in packs) == sum(r.n_tokens_bpe for r in tok)
+    by_src: dict = {}
+    for p in packs:
+        assert p.n_docs == 1 or p.pack_tokens <= _PACK_BUDGET_TOKENS, p
+        assert p.first_doc_id <= p.last_doc_id
+        by_src.setdefault(p.source, []).append(p)
+    for _src, ps in by_src.items():
+        ps.sort(key=lambda p: p.pack_id)
+        assert [p.pack_id for p in ps] == list(range(len(ps)))
+        for a, b in zip(ps, ps[1:]):
+            assert a.last_doc_id < b.first_doc_id
+    ws_packs = OPS["doc_pack_greedy"].fn(spark, SF_SMALL).collect()
+    # BPE budgets bite harder than whitespace budgets on the same corpus
+    assert len(packs) > len(ws_packs)
+
+
 def test_kmeans_lloyd_invariants(spark):
     """Every point is assigned exactly once, cluster ids stay in [0, k),
     and inertia is non-negative — the Lloyd-loop contract."""

@@ -257,6 +257,27 @@ def test_hybrid_rrf_fusion_invariants(spark):
     assert bm25_top in fused_ids or outcompeted
 
 
+def test_crossencoder_rerank_contract(spark):
+    """Retrieve-then-rerank: the reranker must score EXACTLY the hybrid
+    candidate set (never widen retrieval), rank_ce must be a dense
+    permutation ordered by (ce_score desc, rrf desc, doc_id), scores
+    must be bounded by the feature construction (coverage <= 1 plus the
+    dampened-tf term >= 0), and a doc containing ALL query terms must
+    outrank one containing none."""
+    cands = {r.doc_id: r.rrf for r in OPS["search_hybrid_rrf"].fn(spark, SF_SMALL).collect()}
+    rer = OPS["search_crossencoder_rerank"].fn(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rer} == set(cands)
+    assert [r.rank_ce for r in rer] == list(range(1, len(rer) + 1))
+    for r in rer:
+        assert abs(r.rrf - cands[r.doc_id]) < 1e-12
+        assert r.ce_score >= 0.0
+    keys = [(-r.ce_score, -r.rrf, r.doc_id) for r in rer]
+    assert keys == sorted(keys)
+    # determinism across runs (Arrow batch boundaries must not matter)
+    again = OPS["search_crossencoder_rerank"].fn(spark, SF_SMALL).collect()
+    assert rer == again
+
+
 def test_bm25_incremental_append_only_and_reuse(spark, tmp_path):
     """Segment model contract: appending segment 1 must not rewrite a
     byte of segment 0 (append-only index maintenance — the whole point
