@@ -61,23 +61,32 @@ _PRIORITY: tuple[str, ...] = (
     #    projection — shared-helper edit, manually treated as stale per
     #    the stale_ops.py limitation note), sim_knn_graph_ivf +
     #    sim_ivf_recall_eval (VERDICT item 4 oracle-upgrade candidates);
-    #  * slots 17-50: FRESH re-certification fillers in r7-window order
-    #    (ts_ewma first — displaced from two rounds' windows), all
-    #    oracle-backed q_*/analytics ops. 39/50 oracle-backed at pack
-    #    time (41 if both IVF oracle upgrades land).
+    #  * slots 18-50: FRESH re-certification fillers, all oracle-backed.
+    #    Fillers were re-timed with tools/time_sweep.py after the r9
+    #    edits landed: the needing set alone costs ~68 s at sf0.01, so
+    #    the heavy fresh re-certs the original pack carried
+    #    (pipeline_web_corpus, graph_pagerank, stream_er_resolve,
+    #    embedding_kcenter_coreset, dedup_near_minhash — unchanged this
+    #    round after the VERDICT-item-3 measurement said keep the
+    #    certified plan —, stream_heavy_hitters,
+    #    graph_community_modularity, dedup_recall_eval,
+    #    er_incremental_resolve, stream_stateful_counter; ~38 s
+    #    combined) were swapped for sub-second q_*/fn_* re-certs to keep
+    #    the whole window inside the ~90 s sweep budget. 41/50
+    #    oracle-backed.
     # New ops registered this round must evict a TAIL filler (never a
     # stale/edited op) in the same commit, per the standing rule above.
     "text_bpe_tokenize", "ts_interpolate_linear", "profile_partition_skew",
     "profile_distribution_drift", "stream_dedup_state", "stream_drop_folder",
-    "dedup_near_minhash", "agg_sketch_count_min",
+    "agg_sketch_count_min",
     "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_ingest_pipeline", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
-    "ts_ewma", "graph_pagerank", "embedding_kcenter_coreset",
-    "dedup_recall_eval", "doc_pack_bestfit", "ts_holt_winters",
-    "graph_community_modularity", "stream_heavy_hitters",
-    "er_incremental_resolve", "stream_er_resolve", "stream_stateful_counter",
-    "pipeline_web_corpus", "er_fellegi_sunter_em",
+    # slots 16-17: the two ops REGISTERED this round (standing rule: a
+    # new op lands only with a same-round driver row):
+    "doc_pack_tokenized", "search_crossencoder_rerank",
+    "ts_ewma", "doc_pack_bestfit", "ts_holt_winters",
+    "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
     "q_small_quantity_revenue", "q_large_volume_customers",
@@ -85,10 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_product_profit", "q_returned_items", "q_priority_shipping_mix",
     "q_top_supplier", "q_disjunctive_predicates", "q_waiting_orders",
     "q_revenue_forecast", "q_parts_supplier_counts", "q_basket_pairs",
-    # slots 49-50: the two ops REGISTERED this round (standing rule: a
-    # new op lands only with a same-round driver row) — each evicted a
-    # tail re-cert filler (q_percent_of_total, join_nearest_event):
-    "doc_pack_tokenized", "search_crossencoder_rerank",
+    "q_percent_of_total", "join_nearest_event", "q_repeat_purchase_30d",
+    "reshape_nest_unnest", "fn_string", "fn_date", "fn_math",
+    "fn_conditional", "fn_map", "fn_array",
     # --- tier B: the round-8 window (all FRESH after the r8 sweep),
     # kept in its r8 order for deterministic re-cert priority.
     # Historical r8 notes:
