@@ -1964,11 +1964,16 @@ def _ivf_portable_cte_sql() -> str:
            CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)))
          FROM e)
 )""",
+        # coalesce(nullif(·,0), 1.0) mirrors Spark's zero-norm centroid
+        # guard (_centroid_literal_from_rows `or 1.0`, r9 review): a
+        # zero seed/centroid must score csim 0.0, not NULL (DuckDB x/0.0
+        # is NULL and would sort NULLS LAST in the assignment window)
         """c0 AS MATERIALIZED (
   SELECT cent_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS c_norm
+         coalesce(nullif(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 1.0)
+           AS c_norm
   FROM seeds
 )""",
         """samp AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 3 = 0)""",
@@ -1997,7 +2002,8 @@ def _ivf_portable_cte_sql() -> str:
 )""")
         parts.append(f"""c{r} AS MATERIALIZED (
   SELECT cent_id, c_emb,
-         sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_norm
+         coalesce(nullif(sqrt(list_sum(list_transform(c_emb, x -> x * x))), 0),
+                  1.0) AS c_norm
   FROM (
     SELECT cent_id, array_agg(m ORDER BY pos) AS c_emb
     FROM m{r} GROUP BY cent_id

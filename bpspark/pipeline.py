@@ -102,15 +102,28 @@ def ingest_from_arrivals(spark: SparkSession, arrivals: DataFrame, ledgers: Ledg
     # now only ~100-byte path strings shuffle (the winners agg), and the
     # semi join is map-side. A drop-folder micro-batch is file-arrival
     # scale (10^3-10^5 paths), well inside broadcast range.
+    #
+    # Precondition (both entry points satisfy it by construction): the
+    # arrivals frame carries ONE row per path — scan_drop_folder and the
+    # streaming file source both emit file listings, where path is the
+    # row identity. A caller that unions overlapping listings would keep
+    # duplicate copies of the per-isbn winner path here (the semi join
+    # matches them all); deduplicating those would require shuffling
+    # content rows, which is exactly what this form exists to avoid.
+    # Unkeyed arrivals (isbn '' or NULL — NULL handled explicitly since
+    # the filters would otherwise silently DROP those rows, r9 review)
+    # are exempt: they are per-file quarantine candidates, never a
+    # workflow key, so every one must survive to q_missing/R15.
+    unkeyed = F.col("isbn").isNull() | (F.col("isbn") == "")
     winners = (
-        new_arrivals.filter(F.col("isbn") != "")
+        new_arrivals.filter(~unkeyed)
         .select("isbn", "path")
         .groupBy("isbn")
         .agg(F.min("path").alias("path"))
         .select("path")
     )
-    new_arrivals = new_arrivals.filter(F.col("isbn") == "").unionByName(
-        new_arrivals.filter(F.col("isbn") != "").join(
+    new_arrivals = new_arrivals.filter(unkeyed).unionByName(
+        new_arrivals.filter(~unkeyed).join(
             F.broadcast(winners), "path", "left_semi"
         )
     )

@@ -53,14 +53,15 @@ _PRIORITY: tuple[str, ...] = (
     #    profile_distribution_drift / stream_dedup_state /
     #    stream_drop_folder were staled by r8's late hardening commits
     #    (66dbd59/830e620/971bdea landed AFTER their rows' sweep rev);
-    #  * slots 7-16: ops this round EDITS (standing rule: an edit
-    #    re-enters the same round's window) — dedup_near_minhash
-    #    (VERDICT item 3 result-identical optimization),
-    #    agg_sketch_count_min (ADVICE key-cap), the 5 pipeline_* ops +
-    #    stream_ingest_pipeline (ADVICE pipeline.py:100 single-flight
-    #    projection — shared-helper edit, manually treated as stale per
-    #    the stale_ops.py limitation note), sim_knn_graph_ivf +
-    #    sim_ivf_recall_eval (VERDICT item 4 oracle-upgrade candidates);
+    #  * slots 7-15: the 9 ops this round EDITED (standing rule: an
+    #    edit re-enters the same round's window) — agg_sketch_count_min
+    #    (ADVICE key-cap), the 5 pipeline_* ops + stream_ingest_pipeline
+    #    (ADVICE pipeline.py single-flight projection — shared-helper
+    #    edit, manually treated as stale per the stale_ops.py limitation
+    #    note), sim_knn_graph_ivf + sim_ivf_recall_eval (VERDICT item 4
+    #    oracle upgrades). dedup_near_minhash was PLANNED here but left
+    #    the window untouched: the VERDICT-item-3 optimization measured
+    #    as a no-op and the certified plan stands (see docs/SCALE.md);
     #  * slots 18-50: FRESH re-certification fillers, all oracle-backed.
     #    Fillers were re-timed with tools/time_sweep.py after the r9
     #    edits landed: the needing set alone costs ~68 s at sf0.01, so
@@ -82,8 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_ingest_pipeline", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
-    # slots 16-17: the two ops REGISTERED this round (standing rule: a
-    # new op lands only with a same-round driver row):
+    # slots 16-17 hold the two ops REGISTERED this round (standing
+    # rule: a new op lands only with a same-round driver row):
     "doc_pack_tokenized", "search_crossencoder_rerank",
     "ts_ewma", "doc_pack_bestfit", "ts_holt_winters",
     "er_fellegi_sunter_em",

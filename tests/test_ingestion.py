@@ -197,3 +197,28 @@ def test_within_batch_duplicate_isbn_single_flight(spark, fixture_dir, tmp_path)
     assert rows[0]["isbn"] == src[:-4]
     kept = res.new_arrivals.select("path").collect()
     assert len(kept) == 1 and "/wave_a/" in kept[0]["path"]
+
+
+def test_null_isbn_arrivals_survive_the_single_flight_gate(spark, fixture_dir):
+    """r9 review fix: an arrivals row whose isbn is NULL (a caller that
+    bypasses with_zip_keys' regexp_extract, which returns '' on no
+    match) is UNKEYED — it must survive the single-flight gate like the
+    '' rows do, not be silently dropped by the keyed-branch filters
+    (R15: every file is accounted for). Downstream the parser
+    re-derives the business key from the path, so well-named parseable
+    files still ingest normally."""
+    from pyspark.sql import functions as F
+
+    from bpspark.pipeline import Ledgers, ingest_from_arrivals
+    from bpspark.sources import scan_drop_folder
+
+    arrivals = scan_drop_folder(spark, f"{fixture_dir}/drop").limit(2).withColumn(
+        "isbn", F.lit(None).cast("string")
+    )
+    n = arrivals.count()
+    assert n == 2
+    ledgers = Ledgers.load(spark, fixture_dir)
+    res = ingest_from_arrivals(spark, arrivals, ledgers)
+    # every NULL-keyed file survives the gate and is processed per-file
+    assert res.new_arrivals.count() == n
+    assert res.workflows_new.count() + res.quarantine.count() == n
