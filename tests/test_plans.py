@@ -882,6 +882,39 @@ def test_hybrid_rrf_no_cartesian_and_take_ordered(spark):
     assert "CartesianProduct" not in plan, "corpus-level cartesian leaked in"
 
 
+def test_doc_pack_tokenized_tokenize_is_map_only(spark):
+    """The BPE tokenize pass must add ZERO shuffles (merge table = plan
+    literals): the whole plan carries exactly two exchanges — the
+    applyInPandas group hash on source and the output orderBy range —
+    and one FlatMapGroupsInPandas node."""
+    plan = plan_of(spark, "doc_pack_tokenized")
+    args = exchange_args(plan)
+    assert len(args) == 2, args
+    assert "hashpartitioning(source" in args[0], args
+    assert "rangepartitioning" in args[1], args
+    import re
+
+    # formatted explain prints each node twice (tree line + detail
+    # header) — count only the numbered detail headers
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_crossencoder_rerank_broadcasts_candidates(spark):
+    """The rerank must never shuffle the documents table by itself: the
+    candidate set joins via broadcast, the only hash exchanges belong to
+    the bounded RRF candidate legs (doc_id/tok aggregates), and exactly
+    one Arrow MapInPandas stage feeds the scorer."""
+    plan = plan_of(spark, "search_crossencoder_rerank")
+    import re
+
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    for a in exchange_args(plan):
+        assert "hashpartitioning" in a or "SinglePartition" in a or "rangepartitioning" in a
+
+
 def test_weighted_reservoir_two_phase_windows(spark):
     """The salted two-phase top-K must appear as two window operators
     (phase 1 on (lang, salt), phase 2 on lang) with no global sort."""
