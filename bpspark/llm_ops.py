@@ -1518,6 +1518,86 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             return labels
 
 
+@op(
+    "split_leakage_safe",
+    # Oracle: brute-force jaccard >= 0.5 pairs (the dedup_near_minhash
+    # measured-equivalence ground truth) -> recursive-CTE transitive
+    # closure -> min-id cluster label -> md5 split bucket. Every step is
+    # integer/string-exact; the md5-hex-prefix bucket is the
+    # doc_span_corruption portable-hash pattern.
+    sql=f"""
+    WITH RECURSIVE docs AS ({_PLANTED_DOCS_SQL}
+    ),{_jaccard_pairs_sql("docs")},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+        UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+        UNION SELECT doc_id, doc_id FROM docs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    b AS (
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))
+                    AS INT) % 100 AS bucket
+        FROM cl
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign the split by NEAR-DUP
+    CLUSTER, not by document, so near-duplicates can never straddle the
+    train/test boundary (per-doc hash splits leak — a test doc's twin
+    in train inflates eval, the decontamination failure mode every
+    training pipeline guards against). Funnel: banded MinHash-LSH
+    candidate pairs (minhash_candidate_pairs — the certified
+    dedup_near_minhash generator) → distributed min-label connected
+    components (_min_label_cc) → deterministic 80/10/10 bucket from the
+    md5 hex prefix of the CLUSTER representative, so every member of a
+    component inherits the same split and re-runs are stable across
+    partitionings/engines.
+
+    100 TB: pairs are bucket-bounded (LSH), CC is diameter-many shuffle
+    joins (near-dup components are tiny — star/chain shaped), the split
+    assignment is map-side arithmetic on the label. No step touches
+    document text after shingling.
+
+    Oracle: full replication — exact-jaccard pair graph + recursive-CTE
+    closure + the same md5 bucket (sql above); the LSH candidate set ≡
+    jaccard ≥ 0.5 equivalence is the measured tripwire shared with
+    dedup_near_minhash."""
+    docs = _docs_with_planted_neardups(spark, sf)
+    pairs = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = _min_label_cc(docs.select(F.col("doc_id").alias("id")), pairs)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    return (
+        labels.select(F.col("id").alias("doc_id"), "cluster_id")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 N_PLANES = 8  # 256 LSH buckets; multi-probe widens recall
 
 

@@ -361,6 +361,29 @@ def test_doc_pack_tokenized_invariants(spark):
     assert len(packs) > len(ws_packs)
 
 
+def test_split_leakage_safe_invariants(spark):
+    """Leakage safety: every doc gets exactly one split; every planted
+    twin (doc<25, doc+1_000_000) shares its original's CLUSTER and hence
+    its split — near-dups never straddle train/test; buckets are the
+    md5-of-cluster prefix so re-runs are identical; proportions are
+    hash-binomial around 80/10/10."""
+    rows = {r.doc_id: r for r in OPS["split_leakage_safe"].fn(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    assert len(rows) == docs.count() + 25  # corpus + planted twins
+    for d in range(25):
+        assert rows[d].cluster_id == rows[d + 1_000_000].cluster_id
+        assert rows[d].split == rows[d + 1_000_000].split
+    from collections import Counter
+
+    by_split = Counter(r.split for r in rows.values())
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] and by_split["train"] > by_split["test"]
+    again = {r.doc_id: r for r in OPS["split_leakage_safe"].fn(spark, SF_SMALL).collect()}
+    assert {k: (v.cluster_id, v.split) for k, v in rows.items()} == {
+        k: (v.cluster_id, v.split) for k, v in again.items()
+    }
+
+
 def test_kmeans_lloyd_invariants(spark):
     """Every point is assigned exactly once, cluster ids stay in [0, k),
     and inertia is non-negative — the Lloyd-loop contract."""
