@@ -4211,19 +4211,13 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
     return decisions
 
 
-@op(
-    "dedup_incremental_minhash",
-    # Oracle (upgraded r7): brute-force shingle-Jaccard >= 0.5 between the
-    # batch (docs >= 400 plus +3M perturbed twins of every 20th indexed
-    # doc) and the indexed corpus (docs < 400) — the band-index probe at
-    # >= _INC_MIN_BANDS collisions MEASURES as exactly this relation at
-    # every test SF (r7 probe: lsh-only 0 / truth-only 0 at sf0.001/0.01/
-    # 0.1; min matched jaccard 0.889, ZERO single-band chance collisions,
-    # so the nearest miss is 2 full bands away). Like dedup_near_minhash,
-    # the hash row is an LSH regression tripwire: re-run the probe before
-    # touching N_HASHES/N_BANDS/_INC_MIN_BANDS.
-    sql=f"""
-    WITH docs AS (
+# Shared oracle CTE chain for the incremental LSH probe (r9: factored
+# out of dedup_incremental_minhash so split_incremental_assign replays
+# the same measured-equivalence ground truth): batch = docs >= 400 plus
+# +3M perturbed twins of every 20th indexed doc; `m` = per-batch-doc
+# (matched_doc = MIN matched index id, n_matches) over the brute-force
+# jaccard >= 0.5 relation against the indexed corpus (docs < 400).
+_INC_PROBE_ORACLE_CTES = f"""docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 3000000 AS doc_id, text || ' perturbed' AS text
@@ -4237,7 +4231,22 @@ def dedup_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
       SELECT batch_doc, MIN(index_doc) AS matched_doc,
              CAST(COUNT(*) AS BIGINT) AS n_matches
       FROM cm GROUP BY batch_doc
-    )
+    )"""
+
+
+@op(
+    "dedup_incremental_minhash",
+    # Oracle (upgraded r7): brute-force shingle-Jaccard >= 0.5 between the
+    # batch (docs >= 400 plus +3M perturbed twins of every 20th indexed
+    # doc) and the indexed corpus (docs < 400) — the band-index probe at
+    # >= _INC_MIN_BANDS collisions MEASURES as exactly this relation at
+    # every test SF (r7 probe: lsh-only 0 / truth-only 0 at sf0.001/0.01/
+    # 0.1; min matched jaccard 0.889, ZERO single-band chance collisions,
+    # so the nearest miss is 2 full bands away). Like dedup_near_minhash,
+    # the hash row is an LSH regression tripwire: re-run the probe before
+    # touching N_HASHES/N_BANDS/_INC_MIN_BANDS.
+    sql=f"""
+    WITH {_INC_PROBE_ORACLE_CTES}
     SELECT b.doc_id,
            (m.matched_doc IS NULL) AS is_novel,
            m.matched_doc,
@@ -4271,6 +4280,31 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
     on the INDEX side at build time (boilerplate-heavy buckets belong to
     the exact-dedup tier). Decisions stay pure per call — the index
     append is staged, mirroring dedup_incremental_exact."""
+    batch, best = _minhash_index_probe(spark, sf)
+    return (
+        batch.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_doc").isNull().alias("is_novel"),
+            "matched_doc",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_index_probe(spark: SparkSession, sf: str) -> tuple:
+    """The incremental-LSH probe shared by dedup_incremental_minhash and
+    split_incremental_assign: build/load the persisted (band, bucket,
+    doc_id) index of the existing corpus (docs < 400), form the arriving
+    batch (docs >= 400 plus +3M perturbed twins of every 20th indexed
+    doc), probe by (band, bucket) equi-join, and keep matches with
+    >= _INC_MIN_BANDS colliding bands. Returns (batch, best) where best
+    is (doc_id, matched_doc = MIN matched index id, n_matches) — both
+    functions of the match SET alone, which the r7 probe measured
+    identical to {jaccard >= 0.5} at every SF (the measured-equivalence
+    ground the shared oracle CTEs replay)."""
     import os as _os
 
     d = table(spark, sf, "documents")
@@ -4303,24 +4337,85 @@ def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= _INC_MIN_BANDS)
     )
-    # matched_doc = MIN index id over the match set and n_matches = its
-    # size: both are functions of the match SET alone, which the r7 probe
-    # measured identical to {jaccard >= 0.5} at every SF — unlike the old
-    # argmax-by-band-count representative and match_bands strength, whose
-    # values depended on Spark's private xxhash64 and could never be
-    # certified by an independent engine (re-grounded r7).
     best = hits.groupBy("doc_id").agg(
         F.min("index_doc").alias("matched_doc"),
         F.count(F.lit(1)).alias("n_matches"),
     )
-    return (
+    return batch, best
+
+
+@op(
+    "split_incremental_assign",
+    # Oracle: the shared incremental-probe ground truth (jaccard >= 0.5
+    # batch x index relation) + the same md5-prefix bucket arithmetic as
+    # split_leakage_safe, anchored on COALESCE(matched_doc, own doc_id).
+    sql=f"""
+    WITH {_INC_PROBE_ORACLE_CTES},
+    a AS (
+      SELECT b.doc_id,
+             (m.matched_doc IS NOT NULL) AS inherited,
+             COALESCE(m.matched_doc, b.doc_id) AS anchor_id
+      FROM (SELECT doc_id FROM docs WHERE doc_id >= 400) b
+      LEFT JOIN m ON m.batch_doc = b.doc_id
+    ),
+    bkt AS (
+      SELECT doc_id, inherited, anchor_id,
+             CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 4))
+                  AS INT) % 100 AS bucket
+      FROM a
+    )
+    SELECT doc_id, inherited, anchor_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt ORDER BY doc_id
+    """,
+)
+def split_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL leakage-safe split — split_leakage_safe's live form:
+    an arriving batch is assigned train/val/test WITHOUT recomputing the
+    corpus split. Each batch doc probes the persisted MinHash band index
+    (_minhash_index_probe, the dedup_incremental_minhash machinery); a
+    doc matching an indexed near-dup INHERITS the matched doc's split
+    anchor (min matched index id — deterministic), so a test doc's twin
+    arriving later can never land in train; a genuinely novel doc is
+    anchored on its own id. The split is the md5-prefix bucket of the
+    anchor (identical arithmetic to split_leakage_safe), so assignment
+    is stable across batches, re-runs, partitionings and engines. The
+    indexed corpus is assumed post-dedup (every index doc is its own
+    cluster representative — the standard state after the batch split
+    ran once).
+
+    100 TB: probe cost ∝ batch bands x matched buckets (never index
+    size), split arithmetic is map-side; the only state is the ~24 B/doc
+    band index the dedup tier already maintains.
+
+    Oracle: full replication via the shared probe ground truth
+    (_INC_PROBE_ORACLE_CTES — measured-equivalence tripwire) + the same
+    md5 bucket CASE."""
+    batch, best = _minhash_index_probe(spark, sf)
+    anchored = (
         batch.select("doc_id")
-        .join(best, "doc_id", "left")
+        .join(best.select("doc_id", "matched_doc"), "doc_id", "left")
         .select(
             "doc_id",
-            F.col("matched_doc").isNull().alias("is_novel"),
-            "matched_doc",
-            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.col("matched_doc").isNotNull().alias("inherited"),
+            F.coalesce("matched_doc", "doc_id").alias("anchor_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    return (
+        anchored.withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
         )
         .orderBy("doc_id")
     )

@@ -83,11 +83,14 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
     "stream_ingest_pipeline", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
-    # slots 16-18 hold the three ops REGISTERED this round (standing
-    # rule: a new op lands only with a same-round driver row);
-    # split_leakage_safe evicted the fn_array filler:
+    # slots 16-20 hold the four ops REGISTERED this round (standing
+    # rule: a new op lands only with a same-round driver row; the late
+    # additions evicted the fn_array/fn_map/fn_conditional fillers) plus
+    # dedup_incremental_minhash, whose body was refactored to share the
+    # probe helper with split_incremental_assign (edit -> re-window):
     "doc_pack_tokenized", "search_crossencoder_rerank",
-    "split_leakage_safe",
+    "split_leakage_safe", "split_incremental_assign",
+    "dedup_incremental_minhash",
     "ts_ewma", "doc_pack_bestfit", "ts_holt_winters",
     "er_fellegi_sunter_em",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
@@ -99,7 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_revenue_forecast", "q_parts_supplier_counts", "q_basket_pairs",
     "q_percent_of_total", "join_nearest_event", "q_repeat_purchase_30d",
     "reshape_nest_unnest", "fn_string", "fn_date", "fn_math",
-    "fn_conditional", "fn_map",
     # --- tier B: the round-8 window (all FRESH after the r8 sweep),
     # kept in its r8 order for deterministic re-cert priority.
     # Historical r8 notes:

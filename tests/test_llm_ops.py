@@ -384,6 +384,32 @@ def test_split_leakage_safe_invariants(spark):
     }
 
 
+def test_split_incremental_assign_inherits_twin_splits(spark):
+    """Incremental split stability: every planted twin (+3M of an
+    indexed doc) must INHERIT its original's anchor — so its split is
+    exactly the original's md5 bucket and a test doc's twin can never
+    land in train; genuinely novel batch docs anchor on themselves; the
+    whole assignment is deterministic across runs."""
+    rows = {r.doc_id: r for r in OPS["split_incremental_assign"].fn(spark, SF_SMALL).collect()}
+    twins = [r for r in rows.values() if r.doc_id >= 3_000_000]
+    assert twins, "fixture must plant twins"
+    for t in twins:
+        # a twin always matches at least its original, so it inherits;
+        # the anchor is the MIN matched index doc, which can be an even
+        # nearer neighbor than the original (the corpus has a few real
+        # near-dups) — but never a larger id than the original
+        assert t.inherited and t.anchor_id <= t.doc_id - 3_000_000, t
+    novel = [r for r in rows.values() if 400 <= r.doc_id < 3_000_000]
+    for r in novel:
+        if not r.inherited:
+            assert r.anchor_id == r.doc_id
+    assert {r.split for r in rows.values()} <= {"train", "val", "test"}
+    again = {r.doc_id: r for r in OPS["split_incremental_assign"].fn(spark, SF_SMALL).collect()}
+    assert {k: (v.anchor_id, v.split) for k, v in rows.items()} == {
+        k: (v.anchor_id, v.split) for k, v in again.items()
+    }
+
+
 def test_kmeans_lloyd_invariants(spark):
     """Every point is assigned exactly once, cluster ids stay in [0, k),
     and inertia is non-negative — the Lloyd-loop contract."""
