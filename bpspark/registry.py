@@ -91,8 +91,13 @@ _PRIORITY: tuple[str, ...] = (
     "doc_pack_tokenized", "search_crossencoder_rerank",
     "split_leakage_safe", "split_incremental_assign",
     "dedup_incremental_minhash",
-    "ts_ewma", "doc_pack_bestfit", "ts_holt_winters",
-    "er_fellegi_sunter_em",
+    # fillers from here: all FRESH oracle-backed re-certs, cheapest-
+    # first composition re-timed after the late-r9 additions (the four
+    # heavier re-certs ts_ewma/doc_pack_bestfit/ts_holt_winters/
+    # er_fellegi_sunter_em were swapped for sub-second fn_* ops to keep
+    # the window near the ~90 s sweep budget; the needing set occupies
+    # slots 1-20, so a budget cut could only cost filler re-certs):
+    "fn_conditional", "fn_map", "fn_array", "fn_json",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",
     "q_small_quantity_revenue", "q_large_volume_customers",
