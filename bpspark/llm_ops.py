@@ -578,6 +578,17 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
 
 
+def _with_norm_guarded(df: DataFrame) -> DataFrame:
+    """_with_norm with the zero-norm guard (ADVICE r9): a zero embedding
+    gets norm 1.0 so its cosine is 0.0 — not NULL, whose ordering in the
+    assignment/top-k tie-breaks differs between Spark's struct sort and
+    DuckDB's NULLS-LAST default. Used by the portable (oracle-replicated)
+    IVF pair; mirrored in _ivf_portable_cte_sql's ``e`` CTE as
+    coalesce(nullif(norm, 0), 1.0)."""
+    n = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return df.withColumn("norm", F.when(n == 0.0, F.lit(1.0)).otherwise(n))
+
+
 TOPK_SQL = """
 WITH q AS (
     SELECT vec_id, embedding,
@@ -2028,12 +2039,20 @@ def _ivf_portable_cte_sql() -> str:
     dot_ec = ("list_sum(list_transform(list_zip(s.embedding, c.c_emb),"
               " t -> CAST(t[1] AS DOUBLE) * t[2]))")
     parts = [
+        # vector-norm zero guard mirrors Spark's _with_norm_guarded
+        # (ADVICE r9): a zero embedding must score csim 0.0 in both
+        # engines, not NULL (whose tie-break placement differs), same
+        # rationale as the r9 centroid-norm guard in c0/c{r} below
         """e AS MATERIALIZED (
   SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         coalesce(nullif(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 1.0) AS norm
   FROM embeddings
 )""",
+        # k = clamp(isqrt(n)) INTEGER-EXACT (ADVICE r9): Spark computes
+        # math.isqrt(n); floor(sqrt(double)) can be off by one near
+        # large perfect squares, which would desynchronize the whole
+        # quantizer — correct the double-rounded s with one CASE
         f"""seeds AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cent_id,
@@ -2041,8 +2060,13 @@ def _ivf_portable_cte_sql() -> str:
   FROM e
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT (SELECT greatest(4, least({IVF_MAX_K},
-           CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)))
-         FROM e)
+           CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1
+                WHEN s * s > n THEN s - 1
+                ELSE s END))
+         FROM (SELECT COUNT(*) AS n,
+                      CAST(floor(sqrt(CAST(greatest(COUNT(*), 1) AS DOUBLE)))
+                           AS BIGINT) AS s
+               FROM e))
 )""",
         # coalesce(nullif(·,0), 1.0) mirrors Spark's zero-norm centroid
         # guard (_centroid_literal_from_rows `or 1.0`, r9 review): a
@@ -2186,8 +2210,9 @@ def sim_knn_graph_ivf(spark: SparkSession, sf: str) -> DataFrame:
     means — _ivf_centroid_literal portable=True), so the entire
     train→assign→probe→top-5 funnel replays in DuckDB
     (_ivf_knn_oracle_sql). The certified xxhash64 IVF ladder is
-    untouched — portable mode is this pair's own path."""
-    e = _with_norm(table(spark, sf, "embeddings"))
+    untouched — portable mode is this pair's own path. Vector norms are
+    zero-guarded on both engines (ADVICE r9, _with_norm_guarded)."""
+    e = _with_norm_guarded(table(spark, sf, "embeddings"))
     return _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE, portable=True)
 
 
@@ -2202,8 +2227,9 @@ def sim_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     r9): brute-force truth + the replayed portable-quantizer graph in
     DuckDB (_ivf_recall_oracle_sql) — the recall number itself is now
     hash-certified, turning this op into a cross-engine-verified ANN
-    quality tripwire."""
-    e = _with_norm(table(spark, sf, "embeddings"))
+    quality tripwire. Vector norms zero-guarded both engines (ADVICE
+    r9, _with_norm_guarded)."""
+    e = _with_norm_guarded(table(spark, sf, "embeddings"))
     approx = _ivf_knn_graph(e, nprobe=IVF_KNN_NPROBE, portable=True).filter(
         F.col("query_id") % 29 == 0
     )
@@ -3458,17 +3484,49 @@ _BPE_MERGES = 8
 _BPE_MERGE_CACHE: dict = {}
 
 
+def _corpus_fingerprint(sf: str) -> tuple:
+    """Cheap filesystem fingerprint of ``{sf}/documents.parquet`` —
+    (path, size, mtime_ns) per file. No Spark job; changes whenever the
+    corpus files are rewritten, so a memo keyed on it can never serve a
+    stale result after a test fixture / harness regenerates the data at
+    the same path (ADVICE r9)."""
+    import os as _os
+
+    path = _os.path.join(str(sf), "documents.parquet")
+    try:
+        if _os.path.isdir(path):
+            parts = []
+            for root, _dirs, files in _os.walk(path):
+                for f in sorted(files):
+                    st = _os.stat(_os.path.join(root, f))
+                    parts.append((f, st.st_size, st.st_mtime_ns))
+            return (path, tuple(parts))
+        st = _os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        # non-filesystem source (e.g. a registered temp view in tests):
+        # no stable fingerprint -> caller must not cache
+        return ()
+
+
 def _learn_bpe_merges(spark: SparkSession, sf: str) -> list:
     """Run the distributed BPE merge learning (see
     text_bpe_vocab_induction) and return [(rank, left, right, merged,
     weight)] — shared by the tokenizer apply op and the tokenizer-aware
-    packer. Memoized per (sf) within the process (r9): the merge table
+    packer. Memoized per corpus within the process (r9): the merge table
     is a pure deterministic function of the corpus (exact greedy over
     integer weights), and the two callers run back-to-back in the
     driver's sweep window — caching halves the learn cost there and in
-    every replica. The production analogue is persisting the trained
-    merge table next to the corpus (it IS the tokenizer model)."""
-    key = str(sf)
+    every replica. The memo key is (sf, file-level fingerprint of
+    documents.parquet), not the path alone (ADVICE r9): regenerating the
+    corpus at the same path invalidates the entry instead of silently
+    reusing a stale merge table. The production analogue is persisting
+    the trained merge table next to the corpus (it IS the tokenizer
+    model), keyed by corpus snapshot."""
+    fp = _corpus_fingerprint(sf)
+    if not fp:  # unfingerprintable corpus: learn fresh, never memoize
+        return _bpe_learn_impl(spark, sf)
+    key = (str(sf), fp)
     if key not in _BPE_MERGE_CACHE:
         _BPE_MERGE_CACHE[key] = _bpe_learn_impl(spark, sf)
     return _BPE_MERGE_CACHE[key]
@@ -4385,6 +4443,20 @@ def split_incremental_assign(spark: SparkSession, sf: str) -> DataFrame:
     indexed corpus is assumed post-dedup (every index doc is its own
     cluster representative — the standard state after the batch split
     ran once).
+
+    SCOPE OF THE GUARANTEE (ADVICE r9): "a test doc's twin never lands
+    in train" holds against the PERSISTED index only. Two near-dup docs
+    arriving in the SAME batch are each novel w.r.t. the index, anchor
+    on their own ids, and can straddle splits; likewise a batch doc
+    matching two index representatives takes MIN(matched_doc) and does
+    not re-bridge those representatives' clusters. The deployment
+    contract is therefore: fold each assigned batch into the index (and
+    run the batch through dedup first) before the next batch probes —
+    exactly how dedup_incremental_minhash maintains the same index. An
+    intra-batch candidate-pair CC pass (split_leakage_safe's machinery
+    scoped to the batch) would close the same-batch window at the cost
+    of a batch-local shuffle; kept out because the post-dedup
+    precondition already removes intra-batch twins.
 
     100 TB: probe cost ∝ batch bands x matched buckets (never index
     size), split arithmetic is map-side; the only state is the ~24 B/doc

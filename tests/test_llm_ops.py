@@ -2002,3 +2002,31 @@ def test_scene_cut_matches_driver_recompute(spark):
         assert g["n_scenes"] == len(cuts) + 1
         want = ",".join(str(c) for c in cuts)
         assert g["cut_frames"] == want, (r["doc_id"], g["cut_frames"], want)
+
+
+def test_bpe_merge_cache_invalidates_on_corpus_rewrite(tmp_path, monkeypatch):
+    """ADVICE r9: the per-process BPE merge memo must key on a corpus
+    fingerprint, not the sf path alone — regenerating documents.parquet
+    at the same path has to invalidate the entry."""
+    import bpspark.llm_ops as lo
+
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"v1")
+    calls = []
+    monkeypatch.setattr(lo, "_bpe_learn_impl", lambda s, sf: calls.append(sf) or [("m", len(calls))])
+    monkeypatch.setattr(lo, "_BPE_MERGE_CACHE", {})
+
+    assert lo._learn_bpe_merges(None, str(tmp_path)) == [("m", 1)]
+    assert lo._learn_bpe_merges(None, str(tmp_path)) == [("m", 1)]  # memo hit
+    assert len(calls) == 1
+
+    import os
+
+    doc.write_bytes(b"v2-regenerated")  # same path, new bytes
+    os.utime(doc, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    assert lo._learn_bpe_merges(None, str(tmp_path)) == [("m", 2)]
+    assert len(calls) == 2
+
+    # unfingerprintable corpus (no documents.parquet): learn fresh, no memo
+    assert lo._learn_bpe_merges(None, str(tmp_path / "missing")) == [("m", 3)]
+    assert lo._learn_bpe_merges(None, str(tmp_path / "missing")) == [("m", 4)]
