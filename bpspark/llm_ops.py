@@ -6128,6 +6128,130 @@ def dedup_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# video near-dup via per-scene keyframe fingerprint sets
+# ---------------------------------------------------------------------------
+
+_VFP_HAMMING_MAX = 7  # the _hamming_band_pairs lossless-banding bound
+_VFP_BUCKET_CAP = 32
+_VFP_MIN_SCENES = 2  # matched keyframes required to call two videos near-dup
+# scene_no packs into the low bits of the LSH row id: doc_id * 64 + scene_no
+_VFP_SCENE_PACK = 64
+
+
+def _scene_keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per video stream: parse frames, segment into scenes with the SAME
+    cut rule as multimodal_video_scene_cut (consecutive-frame dHash
+    Hamming > _SCENE_CUT_HAMMING), emit one row per scene carrying the
+    scene's KEYFRAME (first frame) dHash — the only Python stage of
+    dedup_video_fingerprint."""
+    for pdf in batches:
+        out = {"doc_id": [], "scene_no": [], "khash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = parse_ppm_stream(bytes(payload))
+            prev, scene = None, -1
+            for img in frames:
+                h = _dhash64(img)
+                if prev is None or bin((h ^ prev) & ((1 << 64) - 1)).count("1") > _SCENE_CUT_HAMMING:
+                    scene += 1
+                    out["doc_id"].append(doc_id)
+                    out["scene_no"].append(scene)
+                    out["khash"].append(h)
+                prev = h
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "scene_no": "int32", "khash": "int64"}
+        )
+
+
+@op("dedup_video_fingerprint", sql=None)  # binary-media op — property-verified
+def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO near-duplicate detection — the last leg of the multimodal
+    dedup matrix (text: minhash/simhash/substring; image:
+    dedup_image_phash; audio: dedup_audio_fingerprint; video: this op).
+    Standard video copy-detection shape: reduce each stream to its SET
+    of per-scene keyframe fingerprints (scene segmentation = exactly
+    multimodal_video_scene_cut's consecutive-dHash rule; keyframe =
+    first frame of the scene), surface near-identical keyframe pairs
+    through the SAME banded-Hamming-LSH machinery as the image/audio
+    ops (_hamming_band_pairs: 4 × 16-bit bands, capped buckets, 1-bit
+    multi-probe, exact bit_count screen ≤ 7), then TEMPORALLY aggregate
+    JVM-side: two videos are near-dups when ≥ _VFP_MIN_SCENES of their
+    keyframes match — content-based, scene-order-free, so a re-cut /
+    spliced copy still surfaces. Planted twins (same stream with a
+    short splice inside ONE frame's raster) perturb at most one scene's
+    keyframe by a few bits and must all surface.
+
+    Python touches ONLY the decode+segment+hash stage (Arrow-batched
+    mapInPandas, ≤ 4 rows of 8 B hashes out per stream); banding, the
+    bucket equi-join, popcount screening, and the per-video-pair scene
+    aggregation are all JVM. At 100 TB of video: the fingerprint pass
+    is map-only ∝ stream bytes; the shuffle carries band keys for
+    |scenes| ≈ minutes-of-video rows per stream (~2 KB/scene — nothing
+    next to the video bytes); pair work is bounded by capped bucket
+    sizes and the final aggregate groups on (video_a, video_b) — the
+    same scale contract as the text/image/audio LSH ops. Scene rows
+    pack (doc_id, scene_no) into one long for the shared LSH
+    (scene_no < _VFP_SCENE_PACK, asserted: streams here carry ≤ 4
+    frames, production re-packs at a wider stride)."""
+    import bpspark
+
+    bpspark.ensure_worker_imports(spark)
+    flen = _VID_W * _VID_H * 3
+    total = flen * _VID_FRAMES
+    # Tile the (printable-cleaned) text across ALL frames: a raw short
+    # document pads its tail frames with constant '.' rasters, whose
+    # keyframes collapse into one corpus-wide flat-frame bucket (the
+    # video twin of audio silence) that the LSH cap rightly drops —
+    # tiling keeps every frame informative so each stream carries a
+    # full scene set. rpad both pads and truncates to exactly ``total``;
+    # ppm_stream_payloads' own clean+rpad is then a no-op pass-through.
+    tiled = F.expr(
+        f"rpad(repeat(regexp_replace(text, '[^ -~]', ' '), "
+        f"CAST(ceil({total} / greatest(length(text), 1)) AS INT) + 1), "
+        f"{total}, '.')"
+    )
+    d = table(spark, sf, "documents").select("doc_id", tiled.alias("text"))
+    # twin plant: splice 6 chars at the start of frame 1's raster slice
+    # — at most that scene's keyframe drifts a few bits, every other
+    # scene keyframe stays byte-identical
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            f"concat(substring(text, 1, {flen}), '~~~~~~', substring(text, {flen + 7}))"
+        ).alias("text"),
+    )
+    sig = ppm_stream_payloads(d.unionByName(twins)).mapInPandas(
+        _scene_keyframe_batches, "doc_id long, scene_no int, khash long"
+    )
+    scene_rows = sig.select(
+        (F.col("doc_id") * _VFP_SCENE_PACK + F.col("scene_no")).alias("doc_id"),
+        "khash",
+    )
+    pairs = _hamming_band_pairs(
+        scene_rows, "khash", hamming_max=_VFP_HAMMING_MAX, bucket_cap=_VFP_BUCKET_CAP
+    )
+    video_pairs = (
+        pairs.select(
+            F.floor(F.col("doc_a") / _VFP_SCENE_PACK).cast("long").alias("va"),
+            F.floor(F.col("doc_b") / _VFP_SCENE_PACK).cast("long").alias("vb"),
+            "hamming",
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("video_a"),
+            F.greatest("va", "vb").alias("video_b"),
+            "hamming",
+        )
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_scenes"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_matched_scenes") >= _VFP_MIN_SCENES)
+    )
+    return video_pairs.orderBy("video_a", "video_b")
+
+
+# ---------------------------------------------------------------------------
 # Fellegi-Sunter match-weight learning (unsupervised EM)
 # ---------------------------------------------------------------------------
 

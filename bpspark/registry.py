@@ -43,60 +43,80 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the ROUND-9 driver window (50 ops; the grading sweep
+    # --- tier A: the ROUND-10 driver window (50 ops; the grading sweep
     # covers exactly this front). Manifest rebuilt with
-    # CORRECTNESS_r01..r08 (r8 snapshot rev 9f5c7c1); `stale` reported
-    # FRESH 371 / NEVER 0 / STALE 6. Composition:
-    #  * slots 1-6: the 6 STALE ops — text_bpe_tokenize leads (its r8
-    #    oracle upgrade missed the 50-slot r8 window; VERDICT r8 item 1);
-    #    ts_interpolate_linear / profile_partition_skew /
-    #    profile_distribution_drift / stream_dedup_state /
-    #    stream_drop_folder were staled by r8's late hardening commits
-    #    (66dbd59/830e620/971bdea landed AFTER their rows' sweep rev);
-    #  * slots 7-15: the 9 ops this round EDITED (standing rule: an
-    #    edit re-enters the same round's window) — agg_sketch_count_min
-    #    (ADVICE key-cap), the 5 pipeline_* ops + stream_ingest_pipeline
-    #    (ADVICE pipeline.py single-flight projection — shared-helper
-    #    edit, manually treated as stale per the stale_ops.py limitation
-    #    note), sim_knn_graph_ivf + sim_ivf_recall_eval (VERDICT item 4
-    #    oracle upgrades). dedup_near_minhash was PLANNED here but left
-    #    the window untouched: the VERDICT-item-3 optimization measured
-    #    as a no-op and the certified plan stands (see docs/SCALE.md);
-    #  * slots 18-50: FRESH re-certification fillers, all oracle-backed.
-    #    Fillers were re-timed with tools/time_sweep.py after the r9
-    #    edits landed: the needing set alone costs ~68 s at sf0.01, so
-    #    the heavy fresh re-certs the original pack carried
-    #    (pipeline_web_corpus, graph_pagerank, stream_er_resolve,
-    #    embedding_kcenter_coreset, dedup_near_minhash — unchanged this
-    #    round after the VERDICT-item-3 measurement said keep the
-    #    certified plan —, stream_heavy_hitters,
-    #    graph_community_modularity, dedup_recall_eval,
-    #    er_incremental_resolve, stream_stateful_counter; ~38 s
-    #    combined) were swapped for sub-second q_*/fn_* re-certs to keep
-    #    the whole window inside the ~90 s sweep budget. 41/50
-    #    oracle-backed.
-    # New ops registered this round must evict a TAIL filler (never a
-    # stale/edited op) in the same commit, per the standing rule above.
-    "text_bpe_tokenize", "ts_interpolate_linear", "profile_partition_skew",
+    # CORRECTNESS_r01..r09 (r9 snapshot rev dfc4c2d) under the NEW
+    # helper-closure hash scheme (tools/stale_ops.py op_closure_source,
+    # VERDICT r9 item 3); `stale` reported FRESH 369 / NEVER 0 /
+    # STALE 12. Composition:
+    #  * slots 1-5: the 5 oracle-backed ops staled by this round's
+    #    ADVICE fixes (BPE merge-cache fingerprint → text_bpe_tokenize,
+    #    doc_pack_tokenized; integer-exact isqrt + zero-norm vector
+    #    guard in the portable IVF oracle → sim_knn_graph_ivf,
+    #    sim_ivf_recall_eval; within-batch scope docstring →
+    #    split_incremental_assign);
+    #  * slots 6-12: the 7 rows-only ops the closure scheme newly
+    #    exposed as STALE — their shared helpers (IVF quantizer portable
+    #    flag, sources.py single-flight) were edited in r4-r9 after
+    #    their rows, which the old fn-body hash could not see:
+    #    sim_ivfpq_search, ingest_properties_zip, scan_binary_zip,
+    #    sink_append_parquet, sink_control_table, sim_adaptive_route,
+    #    sim_ivf_index_persist;
+    #  * slot 13: dedup_video_fingerprint, REGISTERED this round
+    #    (standing rule: same-round driver row) — completes the
+    #    text/image/audio/video dedup matrix;
+    #  * slots 14-26: the deliberate HEAVYWEIGHT re-cert rotation
+    #    (VERDICT r9 item 4): the >1 s oracle ops whose rows date from
+    #    r6-r7 because the r7-r9 windows kept trading them for
+    #    sub-second fillers;
+    #  * slots 27-29: the rows-only rotation (VERDICT r9 item 5,
+    #    ~10/round cadence): the 3 oldest rows-only rows (r4-r5) —
+    #    with the 7 newly-stale rows-only ops and the new video op the
+    #    window carries 11 rows-only rows;
+    #  * slots 30-50: cheap re-cert fillers, all oracle-backed, oldest
+    #    rows first — the r1-certified relational core re-certifies at
+    #    the current rev for the first time since round 1.
+    # 39/50 oracle-backed. New ops registered this round must evict a
+    # TAIL filler (never a stale/needing op) in the same commit, per the
+    # standing rule above.
+    "text_bpe_tokenize", "doc_pack_tokenized", "sim_knn_graph_ivf",
+    "sim_ivf_recall_eval", "split_incremental_assign",
+    "sim_ivfpq_search", "ingest_properties_zip", "scan_binary_zip",
+    "sink_append_parquet", "sink_control_table", "sim_adaptive_route",
+    "sim_ivf_index_persist",
+    "dedup_video_fingerprint",
+    "pipeline_llm_corpus", "graph_pagerank", "pipeline_web_corpus",
+    "stream_er_resolve", "embedding_kcenter_coreset",
+    "dedup_recall_eval",
+    "er_incremental_resolve", "stream_stateful_counter", "ts_ewma",
+    "doc_pack_bestfit", "ts_holt_winters", "er_fellegi_sunter_em",
+    "dedup_near_minhash",
+    "sim_cosine_ivf", "rag_retrieval_eval", "dedup_semdedup",
+    "scan_parquet", "project_rename_cast", "filter_comparison",
+    "join_broadcast_dim", "join_shuffle_inner", "join_asof_latest_prior",
+    "agg_group_sums", "agg_rollup", "win_row_number_topk",
+    "win_moving_avg_range", "sort_multi_key", "topk_global",
+    "set_intersect", "distinct_rows", "agg_having", "join_anti_dedup",
+    "limit_n", "fn_string", "fn_date", "fn_math", "fn_conditional",
+    # Window cost re-timed after composition (tools/time_sweep.py,
+    # /tmp/sweep_times_r10.json): needing set (slots 1-13) ~45 s, whole
+    # window ~102 s at sf0.01 — deliberately above the ~90 s historical
+    # envelope because VERDICT r9 item 4 ordered the heavyweight
+    # rotation; stream_heavy_hitters / graph_community_modularity
+    # (r7 rows, 7.9 s) and pipeline_multimodal/audio_corpus (r6
+    # rows-only, 5.2 s) were the trims. A driver budget cut can only
+    # cost tail re-certs: the needing set sweeps first.
+    # --- (former tier A) the round-9 window in r9 order; names already
+    # listed above keep their tier-A slot (first occurrence wins in
+    # _ordered — later duplicates are inert).
+    "ts_interpolate_linear", "profile_partition_skew",
     "profile_distribution_drift", "stream_dedup_state", "stream_drop_folder",
     "agg_sketch_count_min",
     "pipeline_ingest_batch", "pipeline_quarantine", "pipeline_chapters",
     "pipeline_idempotent_rerun", "pipeline_observe_metrics",
-    "stream_ingest_pipeline", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
-    # slots 16-20 hold the four ops REGISTERED this round (standing
-    # rule: a new op lands only with a same-round driver row; the late
-    # additions evicted the fn_array/fn_map/fn_conditional fillers) plus
-    # dedup_incremental_minhash, whose body was refactored to share the
-    # probe helper with split_incremental_assign (edit -> re-window):
-    "doc_pack_tokenized", "search_crossencoder_rerank",
-    "split_leakage_safe", "split_incremental_assign",
+    "stream_ingest_pipeline",
+    "search_crossencoder_rerank", "split_leakage_safe",
     "dedup_incremental_minhash",
-    # fillers from here: all FRESH oracle-backed re-certs, cheapest-
-    # first composition re-timed after the late-r9 additions (the four
-    # heavier re-certs ts_ewma/doc_pack_bestfit/ts_holt_winters/
-    # er_fellegi_sunter_em were swapped for sub-second fn_* ops to keep
-    # the window near the ~90 s sweep budget; the needing set occupies
-    # slots 1-20, so a budget cut could only cost filler re-certs):
     "fn_conditional", "fn_map", "fn_array", "fn_json",
     "q_order_fulfillment_funnel", "agg_corr_regr", "q_order_priority_exists",
     "q_customer_order_distribution", "q_promo_revenue_share",

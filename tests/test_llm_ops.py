@@ -2030,3 +2030,50 @@ def test_bpe_merge_cache_invalidates_on_corpus_rewrite(tmp_path, monkeypatch):
     # unfingerprintable corpus (no documents.parquet): learn fresh, no memo
     assert lo._learn_bpe_merges(None, str(tmp_path / "missing")) == [("m", 3)]
     assert lo._learn_bpe_merges(None, str(tmp_path / "missing")) == [("m", 4)]
+
+
+def test_video_fingerprint_twin_recall_and_invariants(spark):
+    """All 20 planted video twins (6-char splice inside ONE frame's
+    raster — at most one scene keyframe drifts a few bits) must surface
+    through the shared banded-LSH machinery + scene-set aggregation;
+    output is canonical (video_a < video_b), duplicate-free, and every
+    matched pair carries >= the scene-agreement floor."""
+    pdf = all_ops()["dedup_video_fingerprint"].fn(spark, SF_SMALL).toPandas()
+    twins = pdf[(pdf["video_b"] - pdf["video_a"]) == 1_000_000]
+    twins = twins[twins["video_a"] < 20]
+    assert len(twins) == 20, f"twin recall {len(twins)}/20"
+    assert (pdf["min_hamming"] <= 7).all()
+    assert (pdf["n_matched_scenes"] >= 2).all()
+    assert (pdf["video_a"] < pdf["video_b"]).all()
+    assert not pdf.duplicated(["video_a", "video_b"]).any()
+
+
+def test_video_fingerprint_matches_driver_recompute(spark):
+    """The scene-keyframe extraction must agree exactly with a
+    driver-side recompute from the raw streams (same parser, same cut
+    rule as multimodal_video_scene_cut)."""
+    from bpspark.llm_ops import (
+        _SCENE_CUT_HAMMING,
+        _dhash64,
+        _scene_keyframe_batches,
+        parse_ppm_stream,
+        ppm_stream_payloads,
+    )
+    import pandas as pd
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(40)
+    rows = ppm_stream_payloads(d).collect()
+    pdf = pd.DataFrame({"doc_id": [r["doc_id"] for r in rows],
+                        "payload": [bytes(r["payload"]) for r in rows]})
+    got = pd.concat(list(_scene_keyframe_batches(iter([pdf]))))
+    for r in rows:
+        frames = parse_ppm_stream(bytes(r["payload"]))
+        keys, prev = [], None
+        for img in frames:
+            h = _dhash64(img)
+            if prev is None or bin((h ^ prev) & ((1 << 64) - 1)).count("1") > _SCENE_CUT_HAMMING:
+                keys.append(h)
+            prev = h
+        mine = got[got["doc_id"] == r["doc_id"]].sort_values("scene_no")
+        assert list(mine["khash"]) == keys, r["doc_id"]
+        assert list(mine["scene_no"]) == list(range(len(keys)))

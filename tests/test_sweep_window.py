@@ -35,20 +35,20 @@ def _window():
 def test_window_ops_all_need_a_row():
     manifest = json.load(open(MANIFEST))
     manifest.pop("__ingested_correctness__", None)
-    import inspect
     import sys
 
     # the ONE hash definition, shared with the manifest builder (ADVICE r5:
     # an inline re-implementation here would silently stop matching if
-    # tools/stale_ops.py ever changed its scheme)
+    # tools/stale_ops.py ever changed its scheme). r10: the scheme hashes
+    # the transitive same-module helper closure, not just the fn body.
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from stale_ops import op_source_hash
+    from stale_ops import op_closure_source, op_source_hash
 
     def needs_row(o):
         row = manifest.get(o.name)
         if row is None:
             return True  # NEVER swept
-        return op_source_hash(inspect.getsource(o.fn), o.sql) != row["source_hash"]
+        return op_source_hash(op_closure_source(o.fn), o.sql) != row["source_hash"]
 
     ops = all_ops()
     window = _window()
@@ -88,3 +88,48 @@ def test_window_is_mostly_hash_certifiable():
     # hash-certifiable.
     n_oracle = sum(1 for o in _window() if o.sql is not None)
     assert n_oracle >= 30, f"only {n_oracle}/50 windowed ops are oracle-backed"
+
+
+def test_helper_edit_flags_caller_stale(tmp_path):
+    """VERDICT r9 item 3: the staleness hash must cover the transitive
+    same-module helper closure — editing ONLY a helper body (op function
+    byte-identical) must change every caller's hash."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import op_closure_source, op_source_hash
+
+    def load(version: str, body: str):
+        p = tmp_path / f"fakemod_{version}.py"
+        p.write_text(
+            "K_CONST = 7\n\n"
+            "def _inner(x):\n"
+            f"    {body}\n\n"
+            "def _helper(x):\n"
+            "    return _inner(x) + K_CONST\n\n"
+            "def the_op(x):\n"
+            "    return _helper(x) * 2\n"
+        )
+        spec = importlib.util.spec_from_file_location(f"fakemod_{version}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    import inspect
+
+    m1 = load("v1", "return x + 1")
+    m2 = load("v2", "return x - 1")  # ONLY the 2nd-level helper differs
+    assert inspect.getsource(m1.the_op) == inspect.getsource(m2.the_op)
+    assert inspect.getsource(m1._helper) == inspect.getsource(m2._helper)
+    c1, c2 = op_closure_source(m1.the_op), op_closure_source(m2.the_op)
+    assert "K_CONST = 7" in c1 and "_inner" in c1  # closure includes both
+    assert op_source_hash(c1, None) != op_source_hash(c2, None)
+
+    # a module-level constant edit must flag too
+    p3 = tmp_path / "fakemod_v3.py"
+    p3.write_text((tmp_path / "fakemod_v1.py").read_text().replace("K_CONST = 7", "K_CONST = 8"))
+    spec = importlib.util.spec_from_file_location("fakemod_v3", p3)
+    m3 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m3)
+    assert op_source_hash(op_closure_source(m3.the_op), None) != op_source_hash(c1, None)

@@ -20,11 +20,16 @@ to join_asof_latest_prior in round 2). This tool makes that mechanical:
       STALE + NEVER union, in registry priority order, is the next sweep
       window candidate set.
 
-Limitation: the hash covers the op FUNCTION body + oracle SQL, not shared
-helpers it calls — an op whose behavior changed purely through a helper
-edit (e.g. _ivf_centroid_literal) won't flag unless its own body changed
-too. When editing a shared helper, grep its callers and treat their rows
-as stale manually.
+The hash covers the op function body + oracle SQL + the TRANSITIVE
+same-module helper closure (r10, VERDICT r9 item 3): every function or
+class the op body references that lives in the same module is included
+(recursively), along with simple module-level constants it reads — so an
+op whose behavior changed purely through a helper edit (e.g.
+_ivf_centroid_literal, _minhash_index_probe, _pack_greedy_group) now
+flags STALE mechanically instead of relying on the builder grepping
+callers. Cross-module helpers (bpspark.io.table etc.) remain outside the
+closure — they are engine plumbing whose regressions the test suite
+catches, not op semantics.
 
 Usage:
   python tools/stale_ops.py                    # report staleness
@@ -47,10 +52,81 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, "tools", "driver_row_manifest.json")
 
 def op_source_hash(src: str, sql: str | None) -> str:
-    """THE op staleness hash: function source + oracle SQL. Single shared
+    """THE op staleness hash: closure source + oracle SQL. Single shared
     definition — tests/test_sweep_window.py imports this so the window gate
-    can never silently fork from the manifest's scheme (ADVICE r5)."""
+    can never silently fork from the manifest's scheme (ADVICE r5). ``src``
+    should be ``op_closure_source(op.fn)`` (r10 scheme), which degrades to
+    plain ``inspect.getsource`` when the function has no same-module refs."""
     return hashlib.sha256((src + "\x00" + (sql or "")).encode()).hexdigest()
+
+
+def _const_repr(v) -> str | None:
+    """Deterministic repr for module-level constants worth hashing: plain
+    scalars and (nested) tuples/frozensets of them. Anything else (dicts
+    built at import, function tables, objects — whose reprs can carry
+    memory addresses) returns None and stays out of the hash."""
+    if isinstance(v, (bool, int, float, str, bytes)) or v is None:
+        return repr(v)
+    if isinstance(v, (tuple, frozenset)):
+        items = list(v) if isinstance(v, tuple) else sorted(v, key=repr)
+        parts = [_const_repr(x) for x in items]
+        if any(p is None for p in parts):
+            return None
+        return "(" + ", ".join(parts) + ")"  # type: ignore[arg-type]
+    return None
+
+
+def op_closure_source(fn) -> str:
+    """The op's source PLUS its transitive same-module helper closure
+    (VERDICT r9 item 3): AST-walk the function body for referenced names,
+    resolve them in the function's globals, and recursively append the
+    source of every same-module function/class plus the repr of every
+    simple module-level constant. Deterministic: helpers are visited DFS
+    in sorted-name order, each emitted once. A helper-body edit thereby
+    changes every caller's hash, flagging all its certified callers STALE."""
+    import ast
+    import inspect
+    import textwrap
+
+    mod = inspect.getmodule(fn)
+    seen: set[str] = set()
+    out: list[str] = []
+
+    def visit(obj, label: str) -> None:
+        if label in seen:
+            return
+        seen.add(label)
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            return
+        out.append(src)
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return
+        refs = sorted(
+            {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+        )
+        g = getattr(obj, "__globals__", None)
+        if g is None:  # classes don't carry __globals__
+            g = vars(mod) if mod else {}
+        for r in refs:
+            if r == label or r not in g:
+                continue
+            v = g[r]
+            if (inspect.isfunction(v) or inspect.isclass(v)) and inspect.getmodule(v) is mod:
+                visit(v, r)
+            else:
+                rep = _const_repr(v)
+                if rep is not None and not inspect.ismodule(v):
+                    const_line = f"{r} = {rep}"
+                    if const_line not in seen:
+                        seen.add(const_line)
+                        out.append(const_line)
+
+    visit(fn, getattr(fn, "__name__", "<fn>"))
+    return "\n".join(out)
 
 
 # Runs inside a worktree checkout (old revs included) — keep it compatible
@@ -58,15 +134,15 @@ def op_source_hash(src: str, sql: str | None) -> str:
 # THIS file (the current repo's tools dir), not the worktree's copy, so
 # every hash in the manifest uses the one shared definition above.
 _HASH_SNIPPET = r"""
-import inspect, json, sys
+import json, sys
 sys.path.insert(0, {repo!r})
 sys.path.insert(1, {tools!r})
-from stale_ops import op_source_hash
+from stale_ops import op_source_hash, op_closure_source
 from bpspark.registry import all_ops
 out = {{}}
 for name, op in all_ops().items():
     try:
-        src = inspect.getsource(op.fn)
+        src = op_closure_source(op.fn)
     except OSError:
         src = ""
     out[name] = op_source_hash(src, op.sql)
