@@ -131,7 +131,7 @@ def main() -> None:
 
     # ingestion throughput (BASELINE.md contract): ~10k properties records
     # through scan_binary_zip -> mapInPandas parse -> exploded entries
-    ingest_rps = _ingest_throughput(spark)
+    ingest_rps, ingest_floor_rps = _ingest_throughput(spark)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     value = round(sum(timings.values()), 3)
@@ -148,6 +148,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_records_per_s": ingest_rps,
+        # Ingest noise evidence (VERDICT r9 item 2): the 3-sample
+        # ingest_records_per_s swung 22k->16k across artifacts with
+        # byte-identical parse code — these two fields let a reader
+        # separate host drift from a parse-path regression inside the
+        # artifact itself, like the query floor probes do for the
+        # headline set. ingest_floor_8rep_rps uses 8 fresh dedicated
+        # samples (floor-probe protocol); ingest_rps_per_calib divides
+        # by the same min-calibration the headline normalization uses.
+        "ingest_floor_8rep_rps": ingest_floor_rps,
+        "ingest_rps_per_calib": round(ingest_floor_rps * calib) if calib else None,
         "calib_sec": calib,
         "value_per_calib": round(value / calib, 1) if calib else None,
         "floor_probe_8rep": floor_probe,
@@ -171,9 +181,12 @@ def _machine_calibration(spark) -> float:
     return round(best, 3)
 
 
-def _ingest_throughput(spark) -> int:
+def _ingest_throughput(spark) -> tuple[int, int]:
     """Parse-rate of the ZIP→properties pipeline over a 1000-ZIP staged
-    drop folder (~10k records), records/second."""
+    drop folder (~10k records). Returns (records/s best-of-3 — the
+    BASELINE.md-comparable statistic, protocol unchanged since v1 —,
+    records/s best-of-8 — the dedicated floor probe, VERDICT r9
+    item 2)."""
     import io as _io
     import random
     import zipfile
@@ -203,7 +216,16 @@ def _ingest_throughput(spark) -> int:
         parsed.count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return int(n / best)
+    # dedicated floor probe: exactly 8 FRESH samples (not seeded from the
+    # 3 above, mirroring floor_probe_8rep's fixed-sample-count rule so
+    # cross-round floor comparisons stay like-for-like)
+    floor = None
+    for _ in range(8):
+        t0 = time.perf_counter()
+        parsed.count()
+        dt = time.perf_counter() - t0
+        floor = dt if floor is None else min(floor, dt)
+    return int(n / best), int(n / floor)
 
 
 if __name__ == "__main__":
