@@ -6183,7 +6183,12 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     Python touches ONLY the decode+segment+hash stage (Arrow-batched
     mapInPandas, ≤ 4 rows of 8 B hashes out per stream); banding, the
     bucket equi-join, popcount screening, and the per-video-pair scene
-    aggregation are all JVM. At 100 TB of video: the fingerprint pass
+    aggregation are all JVM. Like the certified image/audio LSH ops,
+    the hash stage physically runs once per LSH side (probe + exact
+    both derive from sig — a 2× decode constant, plan-pinned in
+    tests/test_plans.py); a production run over real video would
+    materialize the ~32 B/scene signature table first, exactly like
+    sim_ivf_index_persist does for embeddings. At 100 TB of video: the fingerprint pass
     is map-only ∝ stream bytes; the shuffle carries band keys for
     |scenes| ≈ minutes-of-video rows per stream (~2 KB/scene — nothing
     next to the video bytes); pair work is bounded by capped bucket

@@ -1185,3 +1185,22 @@ def test_basket_pairs_dedup_materialized_once(spark):
     assert not any(
         a.startswith("hashpartitioning(o, brand") for a in hash_exchanges(plan)
     ), hash_exchanges(plan)
+
+
+def test_video_fingerprint_python_only_in_hash_stage(spark):
+    """dedup_video_fingerprint's Python boundary must be exactly the
+    Arrow-batched decode+segment+keyframe-hash stage — one logical
+    stage, physically instantiated once per LSH side (probe + exact
+    re-derive from sig, the same 2x-decode constant the certified
+    image/audio ops carry); banding, the bucket join, the popcount
+    screen and the scene aggregation must all be JVM, with no cartesian
+    anywhere (the shared LSH contract)."""
+    import re
+
+    plan = plan_of(spark, "dedup_video_fingerprint")
+    nodes = set(re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert len(nodes) == 2, f"expected the 2-side hash stage, got {sorted(nodes)}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair screen's bit_count must be JVM-side, not Python
+    assert "bit_count" in plan
