@@ -154,10 +154,12 @@ def main() -> None:
         # separate host drift from a parse-path regression inside the
         # artifact itself, like the query floor probes do for the
         # headline set. ingest_floor_8rep_rps uses 8 fresh dedicated
-        # samples (floor-probe protocol); ingest_rps_per_calib divides
-        # by the same min-calibration the headline normalization uses.
+        # samples (floor-probe protocol); ingest_floor_rps_x_calib
+        # MULTIPLIES the rate by the min-calibration seconds (a rate
+        # normalizes inversely to a duration — value_per_calib divides
+        # because it is a duration), giving a ~host-independent number.
         "ingest_floor_8rep_rps": ingest_floor_rps,
-        "ingest_rps_per_calib": round(ingest_floor_rps * calib) if calib else None,
+        "ingest_floor_rps_x_calib": round(ingest_floor_rps * calib) if calib else None,
         "calib_sec": calib,
         "value_per_calib": round(value / calib, 1) if calib else None,
         "floor_probe_8rep": floor_probe,

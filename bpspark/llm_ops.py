@@ -3496,10 +3496,15 @@ def _corpus_fingerprint(sf: str) -> tuple:
     try:
         if _os.path.isdir(path):
             parts = []
-            for root, _dirs, files in _os.walk(path):
+            for root, dirs, files in _os.walk(path):
+                dirs.sort()  # deterministic walk order across hosts/calls
                 for f in sorted(files):
                     st = _os.stat(_os.path.join(root, f))
-                    parts.append((f, st.st_size, st.st_mtime_ns))
+                    # key by path RELATIVE to the dataset root, not
+                    # basename: a rewrite that moves a part file between
+                    # subdirs must change the fingerprint (r10 review)
+                    rel = _os.path.relpath(_os.path.join(root, f), path)
+                    parts.append((rel, st.st_size, st.st_mtime_ns))
             return (path, tuple(parts))
         st = _os.stat(path)
         return (path, st.st_size, st.st_mtime_ns)
@@ -6138,25 +6143,41 @@ _VFP_MIN_SCENES = 2  # matched keyframes required to call two videos near-dup
 _VFP_SCENE_PACK = 64
 
 
+def _frame_hash_stream(payload: bytes) -> list:
+    """THE shared per-frame signature walk under
+    multimodal_video_scene_cut and dedup_video_fingerprint: one
+    (dhash64, hamming_vs_prev_or_None) tuple per frame, same parser,
+    same hash, same adjacency. Both ops' cut decisions derive from this
+    single definition, so a threshold-adjacent tweak cannot silently
+    fork them (r10 review)."""
+    out, prev = [], None
+    for img in parse_ppm_stream(payload):
+        h = _dhash64(img)
+        out.append(
+            (h, None if prev is None else bin((h ^ prev) & ((1 << 64) - 1)).count("1"))
+        )
+        prev = h
+    return out
+
+
 def _scene_keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per video stream: parse frames, segment into scenes with the SAME
-    cut rule as multimodal_video_scene_cut (consecutive-frame dHash
+    """Per video stream: segment into scenes with the SAME cut rule as
+    multimodal_video_scene_cut (shared _frame_hash_stream walk, cut at
     Hamming > _SCENE_CUT_HAMMING), emit one row per scene carrying the
     scene's KEYFRAME (first frame) dHash — the only Python stage of
     dedup_video_fingerprint."""
     for pdf in batches:
         out = {"doc_id": [], "scene_no": [], "khash": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            frames = parse_ppm_stream(bytes(payload))
-            prev, scene = None, -1
-            for img in frames:
-                h = _dhash64(img)
-                if prev is None or bin((h ^ prev) & ((1 << 64) - 1)).count("1") > _SCENE_CUT_HAMMING:
+            scene = -1
+            for h, d in _frame_hash_stream(bytes(payload)):
+                if d is None or d > _SCENE_CUT_HAMMING:
                     scene += 1
+                    # the packing precondition the op's docstring states
+                    assert scene < _VFP_SCENE_PACK, "scene_no overflows id packing"
                     out["doc_id"].append(doc_id)
                     out["scene_no"].append(scene)
                     out["khash"].append(h)
-                prev = h
         yield pd.DataFrame(out).astype(
             {"doc_id": "int64", "scene_no": "int32", "khash": "int64"}
         )
@@ -6174,8 +6195,10 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     through the SAME banded-Hamming-LSH machinery as the image/audio
     ops (_hamming_band_pairs: 4 × 16-bit bands, capped buckets, 1-bit
     multi-probe, exact bit_count screen ≤ 7), then TEMPORALLY aggregate
-    JVM-side: two videos are near-dups when ≥ _VFP_MIN_SCENES of their
-    keyframes match — content-based, scene-order-free, so a re-cut /
+    JVM-side: two videos are near-dups when ≥ _VFP_MIN_SCENES DISTINCT
+    keyframes match on EACH side (least of the two per-side distinct
+    counts — a repeated intro card matching twice is one matched
+    keyframe, not two) — content-based, scene-order-free, so a re-cut /
     spliced copy still surfaces. Planted twins (same stream with a
     short splice inside ONE frame's raster) perturb at most one scene's
     keyframe by a few bits and must all surface.
@@ -6234,21 +6257,26 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     pairs = _hamming_band_pairs(
         scene_rows, "khash", hamming_max=_VFP_HAMMING_MAX, bucket_cap=_VFP_BUCKET_CAP
     )
+    # unpack (video, scene) per side — doc_a < doc_b (canonical) implies
+    # video_a <= video_b since packing is monotone in video id, so sides
+    # stay aligned without re-canonicalizing. n_matched_scenes counts
+    # DISTINCT matched keyframes on the weaker side (r10 review): a
+    # video whose single intro card matches two repeated intro scenes
+    # of another video has 1 matched keyframe, not 2.
     video_pairs = (
         pairs.select(
-            F.floor(F.col("doc_a") / _VFP_SCENE_PACK).cast("long").alias("va"),
-            F.floor(F.col("doc_b") / _VFP_SCENE_PACK).cast("long").alias("vb"),
+            F.expr(f"doc_a div {_VFP_SCENE_PACK}").alias("video_a"),
+            F.expr(f"doc_a % {_VFP_SCENE_PACK}").alias("scene_a"),
+            F.expr(f"doc_b div {_VFP_SCENE_PACK}").alias("video_b"),
+            F.expr(f"doc_b % {_VFP_SCENE_PACK}").alias("scene_b"),
             "hamming",
         )
-        .filter(F.col("va") != F.col("vb"))
-        .select(
-            F.least("va", "vb").alias("video_a"),
-            F.greatest("va", "vb").alias("video_b"),
-            "hamming",
-        )
+        .filter(F.col("video_a") != F.col("video_b"))
         .groupBy("video_a", "video_b")
         .agg(
-            F.count(F.lit(1)).alias("n_matched_scenes"),
+            F.least(
+                F.count_distinct("scene_a"), F.count_distinct("scene_b")
+            ).alias("n_matched_scenes"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_matched_scenes") >= _VFP_MIN_SCENES)
@@ -7052,20 +7080,16 @@ _SCENE_CUT_HAMMING = 10
 
 def _scene_hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per frame: dHash + Hamming distance to the PREVIOUS frame (NULL
-    for frame 0) — the only Python stage of the scene-cut op."""
+    for frame 0) — the only Python stage of the scene-cut op. Shares
+    _frame_hash_stream with dedup_video_fingerprint so the two ops'
+    "same cut rule" claim is structural, not copy-paste (r10 review)."""
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "frame_no", "hamming_prev")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            frames = parse_ppm_stream(bytes(payload))
-            prev = None
-            for fno, img in enumerate(frames):
-                h = _dhash64(img)
+            for fno, (_h, d) in enumerate(_frame_hash_stream(bytes(payload))):
                 out["doc_id"].append(doc_id)
                 out["frame_no"].append(fno)
-                out["hamming_prev"].append(
-                    None if prev is None else bin((h ^ prev) & ((1 << 64) - 1)).count("1")
-                )
-                prev = h
+                out["hamming_prev"].append(d)
         yield pd.DataFrame(out).astype({"doc_id": "int64", "frame_no": "int32"})
 
 

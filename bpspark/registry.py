@@ -97,7 +97,12 @@ _PRIORITY: tuple[str, ...] = (
     "agg_group_sums", "agg_rollup", "win_row_number_topk",
     "win_moving_avg_range", "sort_multi_key", "topk_global",
     "set_intersect", "distinct_rows", "agg_having", "join_anti_dedup",
-    "limit_n", "fn_string", "fn_date", "fn_math", "fn_conditional",
+    "limit_n", "fn_string", "fn_date", "fn_math",
+    # multimodal_video_scene_cut re-windows (standing rule): its Python
+    # stage now consumes the shared _frame_hash_stream walk extracted
+    # for dedup_video_fingerprint (r10 review) — behavior-identical,
+    # replica-tested, but the closure hash rightly flags it.
+    "multimodal_video_scene_cut",
     # Window cost re-timed after composition (tools/time_sweep.py,
     # /tmp/sweep_times_r10.json): needing set (slots 1-13) ~45 s, whole
     # window ~102 s at sf0.01 — deliberately above the ~90 s historical

@@ -21,15 +21,25 @@ to join_asof_latest_prior in round 2). This tool makes that mechanical:
       window candidate set.
 
 The hash covers the op function body + oracle SQL + the TRANSITIVE
-same-module helper closure (r10, VERDICT r9 item 3): every function or
-class the op body references that lives in the same module is included
-(recursively), along with simple module-level constants it reads — so an
-op whose behavior changed purely through a helper edit (e.g.
-_ivf_centroid_literal, _minhash_index_probe, _pack_greedy_group) now
-flags STALE mechanically instead of relying on the builder grepping
-callers. Cross-module helpers (bpspark.io.table etc.) remain outside the
-closure — they are engine plumbing whose regressions the test suite
-catches, not op semantics.
+package-wide helper closure (r10, VERDICT r9 item 3): every function or
+class the op body references that lives anywhere in the op's package
+(same module OR a sibling module — quality.py ops import llm_ops
+shingle/CC helpers, pipeline.py imports sources.parse_zip_entries) is
+included recursively, along with simple module-level constants it reads
+(scalars and scalar-only tuples/frozensets/lists/dicts) — so an op whose
+behavior changed purely through a helper edit (e.g. _ivf_centroid_literal,
+_word_shingles, parse_zip_entries) flags STALE mechanically instead of
+relying on the builder grepping callers.
+
+Remaining blind spots, kept OUT of the closure deliberately:
+ - the _CLOSURE_PLUMBING modules (io/session/registry/config/errors):
+   engine plumbing shared by every op — including them would make one
+   io.py comment-adjacent edit stale all 380+ ops at once, which no
+   50-slot window can absorb. When editing those, grep callers and judge
+   staleness manually (the pre-r10 discipline).
+ - module-level constants that are not scalar-composed (objects, compiled
+   regexes, function tables): no deterministic repr. When editing one,
+   treat its readers as stale manually.
 
 Usage:
   python tools/stale_ops.py                    # report staleness
@@ -62,33 +72,65 @@ def op_source_hash(src: str, sql: str | None) -> str:
 
 def _const_repr(v) -> str | None:
     """Deterministic repr for module-level constants worth hashing: plain
-    scalars and (nested) tuples/frozensets of them. Anything else (dicts
-    built at import, function tables, objects — whose reprs can carry
-    memory addresses) returns None and stays out of the hash."""
+    scalars and (nested) tuples/frozensets/lists/dicts composed only of
+    them (dict items sorted by key repr, set items by repr — order-free).
+    Anything else (function tables, objects, compiled regexes — whose
+    reprs can carry memory addresses) returns None and stays out of the
+    hash; see the module docstring's blind-spot list."""
     if isinstance(v, (bool, int, float, str, bytes)) or v is None:
         return repr(v)
-    if isinstance(v, (tuple, frozenset)):
-        items = list(v) if isinstance(v, tuple) else sorted(v, key=repr)
+    if isinstance(v, (tuple, list, frozenset, set)):
+        items = sorted(v, key=repr) if isinstance(v, (frozenset, set)) else list(v)
         parts = [_const_repr(x) for x in items]
         if any(p is None for p in parts):
             return None
         return "(" + ", ".join(parts) + ")"  # type: ignore[arg-type]
+    if isinstance(v, dict):
+        entries = []
+        for k in sorted(v, key=repr):
+            kr, vr = _const_repr(k), _const_repr(v[k])
+            if kr is None or vr is None:
+                return None
+            entries.append(f"{kr}: {vr}")
+        return "{" + ", ".join(entries) + "}"
     return None
 
 
+# Modules whose helpers are EXCLUDED from the closure: engine plumbing
+# imported by essentially every op — including them would let one io.py
+# edit stale the entire registry at once (see module docstring).
+_CLOSURE_PLUMBING = frozenset({"io", "session", "registry", "config", "errors"})
+
+
+def _in_closure_scope(v, pkg: str) -> bool:
+    """True when ``v`` is a function/class defined in the op's package
+    and not in a plumbing module."""
+    import inspect
+
+    if not (inspect.isfunction(v) or inspect.isclass(v)):
+        return False
+    vmod = getattr(v, "__module__", "") or ""
+    if not (vmod == pkg or vmod.startswith(pkg + ".")):
+        return False
+    return vmod.rsplit(".", 1)[-1] not in _CLOSURE_PLUMBING
+
+
 def op_closure_source(fn) -> str:
-    """The op's source PLUS its transitive same-module helper closure
-    (VERDICT r9 item 3): AST-walk the function body for referenced names,
-    resolve them in the function's globals, and recursively append the
-    source of every same-module function/class plus the repr of every
-    simple module-level constant. Deterministic: helpers are visited DFS
-    in sorted-name order, each emitted once. A helper-body edit thereby
-    changes every caller's hash, flagging all its certified callers STALE."""
+    """The op's source PLUS its transitive package-wide helper closure
+    (VERDICT r9 item 3, widened r10 after review): AST-walk the function
+    body for referenced names, resolve them in the enclosing globals, and
+    recursively append the source of every package-local (non-plumbing)
+    function/class plus the repr of every scalar-composed module-level
+    constant. Deterministic: helpers are visited DFS in sorted-name
+    order, each emitted once, labeled module-qualified so same-named
+    helpers in sibling modules don't shadow each other. A helper-body or
+    data-constant edit thereby changes every caller's hash, flagging all
+    its certified callers STALE."""
     import ast
     import inspect
     import textwrap
 
-    mod = inspect.getmodule(fn)
+    pkg = (getattr(fn, "__module__", "") or "").split(".", 1)[0]
     seen: set[str] = set()
     out: list[str] = []
 
@@ -110,22 +152,23 @@ def op_closure_source(fn) -> str:
         )
         g = getattr(obj, "__globals__", None)
         if g is None:  # classes don't carry __globals__
-            g = vars(mod) if mod else {}
+            omod = inspect.getmodule(obj)
+            g = vars(omod) if omod else {}
         for r in refs:
-            if r == label or r not in g:
+            if r not in g:
                 continue
             v = g[r]
-            if (inspect.isfunction(v) or inspect.isclass(v)) and inspect.getmodule(v) is mod:
-                visit(v, r)
-            else:
+            if _in_closure_scope(v, pkg):
+                visit(v, f"{getattr(v, '__module__', '')}.{getattr(v, '__qualname__', r)}")
+            elif not inspect.ismodule(v):
                 rep = _const_repr(v)
-                if rep is not None and not inspect.ismodule(v):
-                    const_line = f"{r} = {rep}"
+                if rep is not None:
+                    const_line = f"{getattr(obj, '__module__', '')}:{r} = {rep}"
                     if const_line not in seen:
                         seen.add(const_line)
                         out.append(const_line)
 
-    visit(fn, getattr(fn, "__name__", "<fn>"))
+    visit(fn, f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', '<fn>')}")
     return "\n".join(out)
 
 
