@@ -133,3 +133,41 @@ def test_helper_edit_flags_caller_stale(tmp_path):
     m3 = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m3)
     assert op_source_hash(op_closure_source(m3.the_op), None) != op_source_hash(c1, None)
+
+
+def test_mutable_constant_hash_is_runtime_stable_but_edit_sensitive(tmp_path):
+    """r10 review follow-up: dict/list module constants are hashed by
+    ASSIGNMENT SOURCE, so (a) runtime mutation (module caches filling up
+    mid-process) must NOT change an op's hash, while (b) editing the
+    constant's source must."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import op_closure_source
+
+    def load(version: str, src: str):
+        p = tmp_path / f"fakemut_{version}.py"
+        p.write_text(src)
+        spec = importlib.util.spec_from_file_location(f"fakemut_{version}", p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod  # inspect.getmodule needs the registry
+        spec.loader.exec_module(mod)
+        return mod
+
+    base = (
+        "_CACHE = {}\n"
+        "MARKERS = {'en': 'the', 'de': 'der'}\n\n"
+        "def the_op(x):\n"
+        "    _CACHE[x] = MARKERS.get(x)\n"
+        "    return _CACHE[x]\n"
+    )
+    m = load("v1", base)
+    h1 = op_closure_source(m.the_op)
+    m._CACHE["runtime"] = "junk"  # cache fills mid-process
+    assert op_closure_source(m.the_op) == h1, "runtime mutation changed the hash"
+    # both constants' assignment sources are in the closure
+    assert "_CACHE = {}" in h1 and "MARKERS = {'en': 'the', 'de': 'der'}" in h1
+
+    m2 = load("v2", base.replace("'de': 'der'", "'de': 'und'"))
+    assert op_closure_source(m2.the_op) != h1, "constant edit did not flag"

@@ -71,29 +71,60 @@ def op_source_hash(src: str, sql: str | None) -> str:
 
 
 def _const_repr(v) -> str | None:
-    """Deterministic repr for module-level constants worth hashing: plain
-    scalars and (nested) tuples/frozensets/lists/dicts composed only of
-    them (dict items sorted by key repr, set items by repr — order-free).
-    Anything else (function tables, objects, compiled regexes — whose
-    reprs can carry memory addresses) returns None and stays out of the
-    hash; see the module docstring's blind-spot list."""
+    """Deterministic repr for IMMUTABLE module-level constants worth
+    hashing by value: plain scalars and (nested) tuples/frozensets of
+    them. MUTABLE containers (dicts/lists/sets) are deliberately NOT
+    hashed by value — a runtime-populated module cache (e.g.
+    _BPE_MERGE_CACHE) would make an op's hash depend on what ran earlier
+    in the process (found the hard way: the window gate flaked when the
+    full suite ran BPE ops first). They are hashed by their top-level
+    ASSIGNMENT SOURCE instead (see _module_assign_sources), which is
+    stable under runtime mutation but still changes when the constant is
+    edited. Anything else (function tables, objects, compiled regexes —
+    whose reprs can carry memory addresses) stays out of the hash; see
+    the module docstring's blind-spot list."""
     if isinstance(v, (bool, int, float, str, bytes)) or v is None:
         return repr(v)
-    if isinstance(v, (tuple, list, frozenset, set)):
-        items = sorted(v, key=repr) if isinstance(v, (frozenset, set)) else list(v)
+    if isinstance(v, (tuple, frozenset)):
+        items = sorted(v, key=repr) if isinstance(v, frozenset) else list(v)
         parts = [_const_repr(x) for x in items]
         if any(p is None for p in parts):
             return None
         return "(" + ", ".join(parts) + ")"  # type: ignore[arg-type]
-    if isinstance(v, dict):
-        entries = []
-        for k in sorted(v, key=repr):
-            kr, vr = _const_repr(k), _const_repr(v[k])
-            if kr is None or vr is None:
-                return None
-            entries.append(f"{kr}: {vr}")
-        return "{" + ", ".join(entries) + "}"
     return None
+
+
+_ASSIGN_SRC_CACHE: dict = {}
+
+
+def _module_assign_sources(mod) -> dict:
+    """name -> top-level assignment source text for a module (cached).
+    Lets the closure hash cover mutable-container constants (dicts,
+    lists, module caches) by their SOURCE, immune to runtime mutation."""
+    import ast
+    import inspect
+
+    key = getattr(mod, "__name__", None) if mod else None
+    if key in _ASSIGN_SRC_CACHE:
+        return _ASSIGN_SRC_CACHE[key]
+    out: dict = {}
+    try:
+        src = inspect.getsource(mod)
+        tree = ast.parse(src)
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                targets = [node.target.id]
+            else:
+                continue
+            seg = ast.get_source_segment(src, node)
+            for t in targets:
+                out[t] = seg
+    except (OSError, SyntaxError, TypeError):
+        pass
+    _ASSIGN_SRC_CACHE[key] = out
+    return out
 
 
 # Modules whose helpers are EXCLUDED from the closure: engine plumbing
@@ -162,6 +193,10 @@ def op_closure_source(fn) -> str:
                 visit(v, f"{getattr(v, '__module__', '')}.{getattr(v, '__qualname__', r)}")
             elif not inspect.ismodule(v):
                 rep = _const_repr(v)
+                if rep is None and isinstance(v, (dict, list, set)):
+                    # mutable container: hash its assignment SOURCE from
+                    # the referrer's module (runtime-mutation-proof)
+                    rep = _module_assign_sources(inspect.getmodule(obj)).get(r)
                 if rep is not None:
                     const_line = f"{getattr(obj, '__module__', '')}:{r} = {rep}"
                     if const_line not in seen:
