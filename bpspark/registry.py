@@ -65,52 +65,61 @@ _PRIORITY: tuple[str, ...] = (
     #  * slot 13: dedup_video_fingerprint, REGISTERED this round
     #    (standing rule: same-round driver row) — completes the
     #    text/image/audio/video dedup matrix;
-    #  * slots 14-26: the deliberate HEAVYWEIGHT re-cert rotation
-    #    (VERDICT r9 item 4): the >1 s oracle ops whose rows date from
-    #    r6-r7 because the r7-r9 windows kept trading them for
-    #    sub-second fillers;
-    #  * slots 27-29: the rows-only rotation (VERDICT r9 item 5,
-    #    ~10/round cadence): the 3 oldest rows-only rows (r4-r5) —
-    #    with the 7 newly-stale rows-only ops and the new video op the
-    #    window carries 11 rows-only rows;
-    #  * slots 30-50: cheap re-cert fillers, all oracle-backed, oldest
+    #  * slots 14-23: ops staled by the r10 self-review fixes (see the
+    #    inline notes below);
+    #  * slots 24-31: the HEAVYWEIGHT re-cert rotation (VERDICT r9
+    #    item 4), flagship subset;
+    #  * slots 32-50: cheap re-cert fillers, all oracle-backed, oldest
     #    rows first — the r1-certified relational core re-certifies at
     #    the current rev for the first time since round 1.
-    # 39/50 oracle-backed. New ops registered this round must evict a
-    # TAIL filler (never a stale/needing op) in the same commit, per the
-    # standing rule above.
+    # 32/50 oracle-backed, 18 rows-only (the review-staled
+    # ingestion/streaming harnesses are rows-only by design). New ops
+    # registered this round must evict a TAIL filler (never a
+    # stale/needing op) in the same commit, per the standing rule above.
     "text_bpe_tokenize", "doc_pack_tokenized", "sim_knn_graph_ivf",
     "sim_ivf_recall_eval", "split_incremental_assign",
     "sim_ivfpq_search", "ingest_properties_zip", "scan_binary_zip",
     "sink_append_parquet", "sink_control_table", "sim_adaptive_route",
     "sim_ivf_index_persist",
     "dedup_video_fingerprint",
-    "pipeline_llm_corpus", "graph_pagerank", "pipeline_web_corpus",
-    "stream_er_resolve", "embedding_kcenter_coreset",
-    "dedup_recall_eval",
-    "er_incremental_resolve", "stream_stateful_counter", "ts_ewma",
-    "doc_pack_bestfit", "ts_holt_winters", "er_fellegi_sunter_em",
-    "dedup_near_minhash",
-    "sim_cosine_ivf", "rag_retrieval_eval", "dedup_semdedup",
-    "scan_parquet", "project_rename_cast", "filter_comparison",
-    "join_broadcast_dim", "join_shuffle_inner", "join_asof_latest_prior",
-    "agg_group_sums", "agg_rollup", "win_row_number_topk",
-    "win_moving_avg_range", "sort_multi_key", "topk_global",
-    "set_intersect", "distinct_rows", "agg_having", "join_anti_dedup",
-    "limit_n", "fn_string", "fn_date", "fn_math",
     # multimodal_video_scene_cut re-windows (standing rule): its Python
     # stage now consumes the shared _frame_hash_stream walk extracted
     # for dedup_video_fingerprint (r10 review) — behavior-identical,
     # replica-tested, but the closure hash rightly flags it.
     "multimodal_video_scene_cut",
-    # Window cost re-timed after composition (tools/time_sweep.py,
-    # /tmp/sweep_times_r10.json): needing set (slots 1-13) ~45 s, whole
-    # window ~102 s at sf0.01 — deliberately above the ~90 s historical
-    # envelope because VERDICT r9 item 4 ordered the heavyweight
-    # rotation; stream_heavy_hitters / graph_community_modularity
-    # (r7 rows, 7.9 s) and pipeline_multimodal/audio_corpus (r6
-    # rows-only, 5.2 s) were the trims. A driver budget cut can only
-    # cost tail re-certs: the needing set sweeps first.
+    # slots 15-23: the ingestion/streaming ops staled by the r10
+    # review fixes (case-insensitive ZIP_GLOB at every entry point;
+    # \z key-rule anchor; key derivation folded onto with_zip_keys;
+    # stream_ingest_pipeline now refreshes the R9 ledger from the
+    # control table per batch and sinks the R15 quarantine channel):
+    "stream_dedup_state", "stream_drop_folder", "pipeline_ingest_batch",
+    "pipeline_quarantine", "pipeline_chapters", "pipeline_idempotent_rerun",
+    "stream_ingest_pipeline", "stream_dedup_within_watermark",
+    "stream_static_join",
+    # slots 24-31: the heavyweight re-cert rotation (VERDICT r9 item 4),
+    # trimmed to the flagship subset after the review-fix staleness
+    # claimed nine extra needing slots — deferred to the r11 rotation:
+    # stream_er_resolve, embedding_kcenter_coreset, stream_heavy_hitters,
+    # graph_community_modularity, er_incremental_resolve,
+    # stream_stateful_counter, er_fellegi_sunter_em,
+    # pipeline_multimodal_corpus, pipeline_audio_corpus, sim_cosine_ivf,
+    # rag_retrieval_eval, dedup_semdedup (r4-r7 rows):
+    "pipeline_llm_corpus", "graph_pagerank", "pipeline_web_corpus",
+    "dedup_recall_eval", "dedup_near_minhash", "ts_ewma",
+    "doc_pack_bestfit", "ts_holt_winters",
+    # slots 32-50: cheap oracle re-cert fillers, oldest (r1) rows first.
+    "scan_parquet", "project_rename_cast", "filter_comparison",
+    "join_broadcast_dim", "join_shuffle_inner", "join_asof_latest_prior",
+    "agg_group_sums", "agg_rollup", "win_row_number_topk",
+    "win_moving_avg_range", "sort_multi_key", "topk_global",
+    "set_intersect", "distinct_rows", "agg_having", "join_anti_dedup",
+    "limit_n", "fn_string", "fn_date",
+    # Window cost re-timed after the review fixes: needing set (slots
+    # 1-23, incl. the ~11 s stream_ingest_pipeline harness) ~86 s, whole
+    # window ~114 s at sf0.01 — above the ~90 s historical envelope
+    # because the review-fix staleness is non-negotiable and the
+    # flagship heavy re-certs were worth keeping. Needing ops occupy the
+    # front, so a driver budget cut can only cost tail re-certs.
     # --- (former tier A) the round-9 window in r9 order; names already
     # listed above keep their tier-A slot (first occurrence wins in
     # _ordered — later duplicates are inert).

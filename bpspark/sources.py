@@ -48,7 +48,19 @@ PARSED_SCHEMA = StructType(
 # ('x9780000000123.zip' → ''), matching the strict worker rule. The
 # (?:^|/) anchor enforces stem-start on full paths and bare names alike;
 # (?i:zip) mirrors the worker's case-insensitive extension check.
-ISBN_ZIP_KEY_RE = r"(?:^|/)([0-9]{13})\.(?i:zip)$"
+# \z, not $ (r10 review): Java's $ also matches before a FINAL LINE
+# TERMINATOR, so a POSIX-legal 'x.zip\n' filename would key on the Spark
+# side while the worker's endswith('.zip') returns '' — the exact
+# two-keys-for-one-file fork this single definition exists to prevent.
+ISBN_ZIP_KEY_RE = r"(?:^|/)([0-9]{13})\.(?i:zip)\z"
+
+# THE drop-folder file filter, shared by every batch and streaming entry
+# point (r10 review): Hadoop pathGlobFilter is case-SENSITIVE, so a bare
+# "*.zip" silently excluded '...ISBN.ZIP' files that the key rule above
+# and the worker parser both accept — the file was neither ingested nor
+# quarantined, violating R15's every-file-accounted contract. The
+# character-class glob matches any case mix, exactly like (?i:zip).
+ZIP_GLOB = "*.[zZ][iI][pP]"
 
 
 def with_zip_keys(df: DataFrame) -> DataFrame:
@@ -67,7 +79,7 @@ def scan_drop_folder(spark: SparkSession, drop_dir: str) -> DataFrame:
     MetadataIngestionExecuter.java:56-62)."""
     return with_zip_keys(
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.zip")
+        .option("pathGlobFilter", ZIP_GLOB)
         .load(drop_dir)
     )
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from bpspark.io import table
 from bpspark.registry import op
-from bpspark.sources import ISBN_ZIP_KEY_RE
+from bpspark.sources import ZIP_GLOB, with_zip_keys
 from bpspark.search import _bm25_oracle as _search_mod_bm25_oracle
 
 
@@ -327,10 +327,10 @@ def stream_dedup_state(spark: SparkSession, sf: str) -> DataFrame:
     stream = (
         spark.readStream.format("binaryFile")
         .schema(BINFILE_SCHEMA)
-        .option("pathGlobFilter", "*.zip")
+        .option("pathGlobFilter", ZIP_GLOB)
         .option("maxFilesPerTrigger", 1)
         .load(f"{stage}/*")
-        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
+        .transform(with_zip_keys)
         .withWatermark("modificationTime", "1 hour")
         .dropDuplicates(["isbn"])
         .select("isbn", "length")
@@ -352,7 +352,7 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
     arrivals = (
         spark.readStream.format("binaryFile")
         .schema(BINFILE_SCHEMA)
-        .option("pathGlobFilter", "*.zip")
+        .option("pathGlobFilter", ZIP_GLOB)
         .load(f"{fx}/drop")
     )
     parsed = parse_zip_entries(arrivals)
@@ -483,49 +483,77 @@ def stream_stateful_counter(spark: SparkSession, sf: str) -> DataFrame:
 @op("stream_ingest_pipeline", sql=None)
 def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's whole loop in streaming form (R1→R17, SURVEY §3.4.2):
-    drop-folder stream → per-micro-batch R1→R14 pipeline (idempotency
-    anti-joins, parse, validation, typed projection) → idempotent control
-    sink. Checkpointed offsets = R16 single-flight; the second run (same
-    checkpoint, no new files) processes nothing — exactly-once end to end.
-    Wave 2 re-delivers one wave-1 ZIP under a NEW path (a fresh stream
-    offset), so the control sink's isbn anti-join is load-bearing, not
-    just the checkpoint (r8: the previous fixture's waves were disjoint
-    and the claimed cross-wave suppression was never exercised).
-    Returns the control table after two runs + a replay."""
+    drop-folder stream → per-micro-batch R1→R15 pipeline (idempotency
+    anti-joins, parse, validation, typed projection, quarantine sink) →
+    idempotent control sink. Checkpointed offsets = R16 single-flight;
+    the THIRD run (same checkpoint, no new files) processes nothing —
+    exactly-once end to end. Wave 2 re-delivers one wave-1 ZIP under a
+    NEW path (a fresh stream offset) — the R9 workflow ledger, refreshed
+    from the control table per batch (r10 review), drops it BEFORE the
+    parse (cheap-predicate-first, the reference's stance; the control
+    sink's anti-join remains the backstop) — plus one keyed-but-corrupt
+    ZIP that must land in the R15 quarantine sink, not vanish (r10
+    review: res.quarantine was previously discarded in-stream).
+    Returns the control table after two runs + a replay; the test drives
+    _stream_ingest_run directly to inspect the quarantine/control dirs."""
+    return _stream_ingest_run(spark, tempfile.mkdtemp(prefix="bpspark_stream_ingest_"))
+
+
+def _stream_ingest_run(spark: SparkSession, stage: str) -> DataFrame:
+    import glob as _glob
     import shutil
 
     from bpspark.fixtures import default_dir
     from bpspark.pipeline import Ledgers, ingest_from_arrivals, sink_control_table
-    from bpspark.sources import with_zip_keys
 
     fx = default_dir()
-    stage = tempfile.mkdtemp(prefix="bpspark_stream_ingest_")
     drop = f"{stage}/drop"
     os.makedirs(drop)
     control = f"{stage}/control"
+    quarantine_dir = f"{stage}/quarantine"
     ckpt = f"{stage}/ckpt"
     # first wave: 5 ZIPs; second wave: 3 more + one RE-DELIVERED wave-1
-    # ZIP in a subfolder (new offset, same ISBN → the sink anti-join
-    # must drop it)
+    # ZIP in a subfolder (new offset, same ISBN → the refreshed workflow
+    # ledger must drop it BEFORE the parse) + one CORRUPT ZIP (exercises
+    # the R15 quarantine channel in-stream, r10 review — it was silently
+    # discarded before)
     names = sorted(os.listdir(f"{fx}/drop"))[:8]
     for n in names[:5]:
         shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
 
-    ledgers = Ledgers.load(spark, fx)
+    base_ledgers = Ledgers.load(spark, fx)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # run the R1→R14 graph over this micro-batch's arrivals only,
-        # keyed by THE shared R2 rule (with_zip_keys)
+        # keyed by THE shared R2 rule (with_zip_keys). The workflow
+        # ledger is REFRESHED from the control table per batch (r10
+        # review): a cross-batch duplicate delivery is then dropped by
+        # the cheap R9 anti-join BEFORE the ZIP parse — the reference's
+        # cheap-predicate-first stance — instead of being fully parsed
+        # and only discarded at the control sink.
+        ledgers = base_ledgers
+        if _glob.glob(os.path.join(control, "*.parquet")):
+            sunk = spark.read.parquet(control).select("workflow_id", "isbn")
+            ledgers = Ledgers(
+                valid_genres=base_ledgers.valid_genres,
+                ingested_zips=base_ledgers.ingested_zips,
+                workflows=base_ledgers.workflows.select("workflow_id", "isbn")
+                .unionByName(sunk),
+                completed_books=base_ledgers.completed_books,
+            )
         res = ingest_from_arrivals(spark, with_zip_keys(batch_df), ledgers)
         sink_control_table(res.workflows_new, control)
+        # R15: rejected files get a durable record too (r10 review — the
+        # quarantine frame was computed and thrown away before)
+        res.quarantine.write.mode("append").parquet(quarantine_dir)
 
     def run_once() -> None:
         stream = (
             spark.readStream.format("binaryFile")
             .schema(BINFILE_SCHEMA)
-            .option("pathGlobFilter", "*.zip")
+            .option("pathGlobFilter", ZIP_GLOB)
             .option("recursiveFileLookup", "true")
             .load(drop)
         )
@@ -542,9 +570,14 @@ def stream_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     for n in names[5:]:
         shutil.copy(f"{fx}/drop/{n}", f"{drop}/{n}")
     # re-deliver one wave-1 file at a new path: fresh offset, known ISBN —
-    # only the control sink's anti-join stands between it and a duplicate
+    # the refreshed R9 ledger (control-table contents) must drop it
+    # pre-parse; the control sink's anti-join remains the backstop
     os.makedirs(f"{drop}/redelivery")
     shutil.copy(f"{fx}/drop/{names[0]}", f"{drop}/redelivery/{names[0]}")
+    # a keyed-but-corrupt arrival: must produce a QUARANTINE row (R15),
+    # never a control row, and never abort the batch
+    with open(f"{drop}/9780999999999.zip", "wb") as fh:
+        fh.write(b"this is not a zip archive")
     run_once()
     run_once()  # replay with no new files — must be a no-op
     return spark.read.parquet(control).select("workflow_id", "isbn").orderBy("isbn")
@@ -562,9 +595,9 @@ def stream_drop_folder(spark: SparkSession, sf: str) -> DataFrame:
     arrivals = (
         spark.readStream.format("binaryFile")
         .schema(BINFILE_SCHEMA)
-        .option("pathGlobFilter", "*.zip")
+        .option("pathGlobFilter", ZIP_GLOB)
         .load(f"{fx}/drop")
-        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
+        .transform(with_zip_keys)
         .select("isbn", "length", "modificationTime")
     )
     return run_to_memory(arrivals)
@@ -643,10 +676,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
     stream = (
         spark.readStream.format("binaryFile")
         .schema(BINFILE_SCHEMA)
-        .option("pathGlobFilter", "*.zip")
+        .option("pathGlobFilter", ZIP_GLOB)
         .option("maxFilesPerTrigger", 1)
         .load(f"{stage}/*")
-        .withColumn("isbn", F.regexp_extract("path", ISBN_ZIP_KEY_RE, 1))
+        .transform(with_zip_keys)
         .withWatermark("modificationTime", "1 hour")
         .dropDuplicatesWithinWatermark(["isbn"])
         .select("isbn", "length")

@@ -134,6 +134,11 @@ def test_key_rule_single_definition(spark):
         "٠١٢٣٤٥٦٧٨٩٠١٢.zip",  # non-ASCII digits
         "9780000000123",                   # no extension
         "/drop/redelivery/9780000000123.zip",
+        "9780000000123.zip\n",             # trailing newline: Java '$'
+        # matched before the final line terminator while the worker's
+        # endswith() did not — \z closes the fork (r10 review)
+        "9780000000123.zip\nx",            # newline mid-name
+        "9780000000123.Zip",               # mixed-case extension
     ]
     df = spark.createDataFrame([(p,) for p in paths], "path string")
     got = {
@@ -222,3 +227,29 @@ def test_null_isbn_arrivals_survive_the_single_flight_gate(spark, fixture_dir):
     # every NULL-keyed file survives the gate and is processed per-file
     assert res.new_arrivals.count() == n
     assert res.workflows_new.count() + res.quarantine.count() == n
+
+
+def test_uppercase_zip_extension_is_ingested(spark, fixture_dir, tmp_path):
+    """R1/R15 (r10 review): the drop-folder glob must accept any case mix
+    of the .zip extension — pathGlobFilter is case-sensitive, so the old
+    bare '*.zip' made a '.ZIP' file invisible (neither ingested nor
+    quarantined) while the key rule and the worker parser both accept it."""
+    import os
+    import shutil
+
+    from bpspark.sources import scan_drop_folder
+
+    src = sorted((fixture_dir + "/drop/" + n) for n in os.listdir(f"{fixture_dir}/drop"))[0]
+    drop = tmp_path / "drop_case"
+    drop.mkdir()
+    shutil.copy(src, drop / "9780000000001.ZIP")
+    shutil.copy(src, drop / "9780000000002.Zip")
+    shutil.copy(src, drop / "9780000000003.zip")
+
+    got = scan_drop_folder(spark, str(drop)).select("zip_name", "isbn").collect()
+    assert sorted(r["zip_name"] for r in got) == [
+        "9780000000001.ZIP", "9780000000002.Zip", "9780000000003.zip",
+    ]
+    assert sorted(r["isbn"] for r in got) == [
+        "9780000000001", "9780000000002", "9780000000003",
+    ]

@@ -92,15 +92,24 @@ def test_stateful_counter_matches_batch(spark):
     assert not compare_frames(res, batch, "stateful_counter")
 
 
-def test_stream_ingest_pipeline_exactly_once(spark):
-    """Two file waves + an empty replay through the checkpointed R1→R14
-    pipeline: every ZIP ingested exactly once, replay adds nothing."""
-    from bpspark.registry import all_ops
+def test_stream_ingest_pipeline_exactly_once(spark, tmp_path):
+    """Two file waves + an empty replay through the checkpointed R1→R15
+    pipeline: every ZIP ingested exactly once, replay adds nothing, the
+    corrupt wave-2 arrival lands in the quarantine sink (r10 review: it
+    was silently discarded in-stream before) and never in control."""
+    from bpspark import errors
+    from bpspark.streaming import _stream_ingest_run
 
-    res = all_ops()["stream_ingest_pipeline"].fn(spark, SF_SMALL).toPandas()
+    stage = str(tmp_path / "stage")
+    __import__("os").makedirs(stage)
+    res = _stream_ingest_run(spark, stage).toPandas()
     assert len(res) == 8
     assert res["isbn"].is_unique
     assert (res["workflow_id"] == "wf-" + res["isbn"]).all()
+    assert "9780999999999" not in set(res["isbn"])  # corrupt: no control row
+    q = spark.read.parquet(f"{stage}/quarantine").toPandas()
+    byfile = dict(zip(q["path"].str.rsplit("/", n=1).str[-1], q["error_code"]))
+    assert byfile["9780999999999.zip"] == errors.EXTRACT_ZIP
 
 
 def test_stream_mv_refresh_versions_and_monotone_groups(spark):
