@@ -9,8 +9,10 @@ reference validates each record against a dimension before ingest
 ops are the corpus-statistics generalisation of that gate: score every
 document against a model *trained on the corpus itself*, then filter.
 
-All three are pure DataFrame plans (no Python in the scalar path) with
-DuckDB oracles.
+The module has since grown the Lee-et-al substring dedup, boilerplate
+n-gram mining, and the dq_* audit ops (Benford digits, referential
+integrity). All are pure DataFrame plans (no Python in the scalar path)
+with DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -25,10 +27,11 @@ from bpspark.llm_ops import _word_shingles
 from bpspark.registry import op
 
 
-@op(
-    "text_perplexity_ngram",
-    sql="""
-    WITH big AS (
+# THE bigram-LM scoring CTE chain — shared by this op's oracle AND
+# sample_perplexity_buckets' (bpspark/selection.py), which previously
+# carried a drift-prone verbatim copy (r10 review). Ends in `scored`
+# (doc_id, n_bigrams, avg_nll).
+_PPL_SCORE_CTES = """big AS (
         SELECT doc_id,
                unnest(list_transform(range(1, len(ws)),
                                      i -> ws[i] || ' ' || ws[i+1])) AS bigram
@@ -36,15 +39,23 @@ from bpspark.registry import op
     ),
     c2 AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
     c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS c1
-           FROM big GROUP BY w1)
-    SELECT b.doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(SUM(-ln(CAST(x.c2 AS DOUBLE) / y.c1)), 6) / COUNT(*) AS avg_nll
-    FROM big b
-    JOIN c2 x USING (bigram)
-    JOIN c1 y ON string_split(b.bigram, ' ')[1] = y.w1
-    GROUP BY b.doc_id
-    ORDER BY doc_id
+           FROM big GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(SUM(-ln(CAST(x.c2 AS DOUBLE) / y.c1)), 6) / COUNT(*) AS avg_nll
+        FROM big b
+        JOIN c2 x USING (bigram)
+        JOIN c1 y ON string_split(b.bigram, ' ')[1] = y.w1
+        GROUP BY b.doc_id
+    )"""
+
+
+@op(
+    "text_perplexity_ngram",
+    sql=f"""
+    WITH {_PPL_SCORE_CTES}
+    SELECT doc_id, n_bigrams, avg_nll FROM scored ORDER BY doc_id
     """,
 )
 def text_perplexity_ngram(spark: SparkSession, sf: str) -> DataFrame:
@@ -580,7 +591,9 @@ def _fk_edge_audit(child_keys: DataFrame, parent_keys: DataFrame, label: str) ->
     p = parent_keys.filter(F.col("k").isNotNull()).distinct()
     key_hist = child_keys.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     totals = key_hist.agg(
-        F.sum("n").alias("n_child_rows"),
+        # coalesce like the other two columns (r10 review): an empty
+        # child frame sums to NULL, while the oracle's COUNT(*) reads 0
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_child_rows"),
         F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("n"))), F.lit(0)).alias(
             "n_null_keys"
         ),

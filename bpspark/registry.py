@@ -96,30 +96,41 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_quarantine", "pipeline_chapters", "pipeline_idempotent_rerun",
     "stream_ingest_pipeline", "stream_dedup_within_watermark",
     "stream_static_join",
-    # slots 24-31: the heavyweight re-cert rotation (VERDICT r9 item 4),
-    # trimmed to the flagship subset after the review-fix staleness
-    # claimed nine extra needing slots — deferred to the r11 rotation:
+    # slots 24-31: ops staled by the second self-review pass (selection/
+    # quality): the scalable two-phase cumsum replacing the single-
+    # partition tertile window (sample_perplexity_buckets +
+    # pipeline_web_corpus), the shared PPL/URL-canon oracle fragments
+    # (text_perplexity_ngram, dedup_url_canonicalized — host NULL guard
+    # mirrored), the _fk_edge_audit empty-child coalesce
+    # (dq_referential_audit), semdedup's zero-norm guard +
+    # localCheckpoint (dedup_semdedup), the dead NB model frame
+    # (ml_naive_bayes_langid), and the shard range-repartition
+    # (sink_training_shards):
+    "pipeline_web_corpus", "dq_referential_audit", "text_perplexity_ngram",
+    "sample_perplexity_buckets", "dedup_url_canonicalized",
+    "ml_naive_bayes_langid", "sink_training_shards", "dedup_semdedup",
+    # slots 32-37: the heavyweight re-cert rotation (VERDICT r9 item 4),
+    # squeezed to the two oldest flagship rows + the cheap sub-2 s ones
+    # after two review passes claimed 17 needing slots; deferred to r11:
     # stream_er_resolve, embedding_kcenter_coreset, stream_heavy_hitters,
     # graph_community_modularity, er_incremental_resolve,
-    # stream_stateful_counter, er_fellegi_sunter_em,
+    # stream_stateful_counter, er_fellegi_sunter_em, dedup_recall_eval,
     # pipeline_multimodal_corpus, pipeline_audio_corpus, sim_cosine_ivf,
-    # rag_retrieval_eval, dedup_semdedup (r4-r7 rows):
-    "pipeline_llm_corpus", "graph_pagerank", "pipeline_web_corpus",
-    "dedup_recall_eval", "dedup_near_minhash", "ts_ewma",
-    "doc_pack_bestfit", "ts_holt_winters",
-    # slots 32-50: cheap oracle re-cert fillers, oldest (r1) rows first.
+    # rag_retrieval_eval (r4-r7 rows):
+    "pipeline_llm_corpus", "graph_pagerank", "dedup_near_minhash",
+    "ts_ewma", "doc_pack_bestfit", "ts_holt_winters",
+    # slots 38-50: cheap oracle re-cert fillers, oldest (r1) rows first.
     "scan_parquet", "project_rename_cast", "filter_comparison",
     "join_broadcast_dim", "join_shuffle_inner", "join_asof_latest_prior",
     "agg_group_sums", "agg_rollup", "win_row_number_topk",
     "win_moving_avg_range", "sort_multi_key", "topk_global",
-    "set_intersect", "distinct_rows", "agg_having", "join_anti_dedup",
-    "limit_n", "fn_string", "fn_date",
-    # Window cost re-timed after the review fixes: needing set (slots
-    # 1-23, incl. the ~11 s stream_ingest_pipeline harness) ~86 s, whole
-    # window ~114 s at sf0.01 — above the ~90 s historical envelope
-    # because the review-fix staleness is non-negotiable and the
-    # flagship heavy re-certs were worth keeping. Needing ops occupy the
-    # front, so a driver budget cut can only cost tail re-certs.
+    "set_intersect",
+    # Window cost after both review passes: needing set (slots 1-31,
+    # incl. the ~11 s stream_ingest_pipeline and ~6 s semdedup
+    # harnesses) ~107 s, whole window ~120 s at sf0.01 — above the
+    # ~90 s historical envelope because review-fix staleness is
+    # non-negotiable; needing ops occupy the front, so a driver budget
+    # cut can only cost tail re-certs.
     # --- (former tier A) the round-9 window in r9 order; names already
     # listed above keep their tier-A slot (first occurrence wins in
     # _ordered — later duplicates are inert).

@@ -141,25 +141,50 @@ def sample_importance_dsir(spark: SparkSession, sf: str) -> DataFrame:
 # CCNet perplexity buckets
 # ---------------------------------------------------------------------------
 
-_PPL_SCORE_SQL = """
-    big AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(ws)),
-                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-    ),
-    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM big GROUP BY bigram),
-    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS c1
-           FROM big GROUP BY w1),
-    scored AS (
-        SELECT b.doc_id,
-               ROUND(SUM(-ln(CAST(x.c2 AS DOUBLE) / y.c1)), 6) / COUNT(*) AS avg_nll
-        FROM big b
-        JOIN c2 x USING (bigram)
-        JOIN c1 y ON string_split(b.bigram, ' ')[1] = y.w1
-        GROUP BY b.doc_id
+# the bigram-LM scoring CTEs are shared with text_perplexity_ngram's own
+# oracle (r10 review: this module carried a verbatim copy that could
+# silently drift from the Spark plan it replays, since the Spark side
+# already calls quality.text_perplexity_ngram directly)
+from bpspark.quality import _PPL_SCORE_CTES as _PPL_SCORE_SQL
+
+
+def _ordered_cumsum(hist: DataFrame, val_col: str, cnt_col: str) -> DataFrame:
+    """Exact value-ordered running sum over a histogram WITHOUT a
+    single-partition global window (r10 review: avg_nll is a per-doc
+    quotient, so the histogram is effectively CORPUS-sized — distinct
+    values ≈ one per document, not 'bounded by the rounding grid' as the
+    old docstrings claimed, and `Window.orderBy(v)` alone collapses it
+    onto one task). Two-phase exact scan instead: range-repartition by
+    value, per-partition running sum (window PARTITIONED by the range
+    id), plus each range's prefix total cumulated over ≤64 tiny rows and
+    broadcast back. The result is partition-boundary-independent (prefix
+    + within-range sum = the global value-ordered sum for any split);
+    the repartitioned frame is localCheckpoint()ed so the psums pass and
+    the window pass read the SAME materialized boundaries (range
+    boundaries come from sampling, and the two subtrees of one action
+    must not resample independently)."""
+    h = (
+        hist.repartitionByRange(64, val_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-"""
+    wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        h.groupBy("_pid")
+        .agg(F.sum(cnt_col).alias("_psum"))
+        .withColumn("_prefix", F.coalesce(F.sum("_psum").over(wprev), F.lit(0)))
+        .select("_pid", "_prefix")
+    )
+    wpart = (
+        Window.partitionBy("_pid")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        h.join(F.broadcast(prefix), "_pid")
+        .withColumn("cum", F.col("_prefix") + F.sum(cnt_col).over(wpart))
+        .drop("_pid", "_prefix")
+    )
 
 
 @op(
@@ -191,14 +216,16 @@ def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     sampled, 'tail' is dropped.
 
     The tertile boundaries are exact order statistics computed the
-    scale-safe way: aggregate to DISTINCT score values first (bounded by
-    the 6-dp rounding grid, not by corpus size), running-sum the value
-    histogram with one window over that small table, and take the first
-    value whose cumulative count crosses n/3 and 2n/3. The 2-row bounds
-    frame re-enters as a broadcast cross join — no global sort of the
-    corpus, no single-partition window. Value-based boundaries mean ties
-    straddle a boundary into the lower bucket in both engines
-    identically (multiset semantics, no tie-break needed)."""
+    scale-safe way: aggregate to DISTINCT score values (avg_nll is a
+    per-doc quotient, so this histogram is ~corpus-sized — r10 review
+    corrected the old 'bounded by the rounding grid' claim), then
+    running-sum it with the two-phase range-partitioned scan
+    (_ordered_cumsum: no single-partition window anywhere), and take the
+    first value whose cumulative count crosses n/3 and 2n/3. The 2-row
+    bounds frame re-enters as a broadcast cross join — no global sort of
+    the corpus. Value-based boundaries mean ties straddle a boundary
+    into the lower bucket in both engines identically (multiset
+    semantics, no tie-break needed)."""
     from bpspark.quality import text_perplexity_ngram
 
     scored = text_perplexity_ngram(spark, sf).select("doc_id", "avg_nll")
@@ -206,10 +233,7 @@ def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     n = scored.agg(F.count(F.lit(1)).alias("n"))
-    cum = hist.crossJoin(F.broadcast(n)).withColumn(
-        "cum",
-        F.sum("cnt").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    cum = _ordered_cumsum(hist, "v", "cnt").crossJoin(F.broadcast(n))
     bounds = cum.agg(
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias("b1"),
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))).alias("b2"),
@@ -272,16 +296,25 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         _embeddings_with_planted_twins,
         _ivf_centroid_literal,
         _min_label_cc,
-        _with_norm,
+        _with_norm_guarded,
     )
 
-    e = _with_norm(_embeddings_with_planted_twins(spark, sf))
+    # _with_norm_guarded, not _with_norm (r10 review): an all-zero
+    # embedding has norm 0, its cosines are 0/0 = NaN, and Spark sorts
+    # NaN LARGEST — NaN >= 0.9 is true, so the zero vector would link to
+    # every cluster member and min-label CC would collapse the whole
+    # cluster into one "duplicate" component. The guard scores it 0.0.
+    e = _with_norm_guarded(_embeddings_with_planted_twins(spark, sf))
     cent_lit, _k = _ivf_centroid_literal(e)
     assigned = _assign_home(e, cent_lit).select(
         "vec_id", "embedding", "norm", F.col("home_cent").alias("cluster_id")
     )
     wcl = Window.partitionBy("cluster_id")
-    assigned = assigned.withColumn("csize", F.count(F.lit(1)).over(wcl))
+    # localCheckpoint (the llm_ops lineage pattern): assigned feeds the
+    # pair join's BOTH sides AND the final output projection — without
+    # it the map-side k×d centroid scoring re-runs three times (r10
+    # review); dup_pairs likewise feeds members + the CC edge set.
+    assigned = assigned.withColumn("csize", F.count(F.lit(1)).over(wcl)).localCheckpoint()
     capped = assigned.filter(F.col("csize") <= SEMDEDUP_CLUSTER_CAP)
     a = capped.select(
         F.col("cluster_id").alias("ca"),
@@ -300,7 +333,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.9)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    )
+    ).localCheckpoint()
     # Resolve duplicate CHAINS (B→A, C→B with cos(A,C) below threshold)
     # to the component's kept root: min-label CC over the pair graph —
     # the component min has no earlier close neighbor, so it is kept,
@@ -535,45 +568,53 @@ def privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@op(
-    "dedup_url_canonicalized",
-    sql="""
-    WITH raw AS (
-        SELECT doc_id,
-               'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
-               || CASE WHEN doc_id % 3 = 0
-                       THEN '?utm_source=feed&utm_campaign=x' || doc_id || '&id=' || (doc_id % 50)
-                       ELSE '?id=' || (doc_id % 50) END
-               || CASE WHEN doc_id % 2 = 0 THEN '#section' || doc_id ELSE '' END
-                   AS url
-        FROM documents
+def _url_canon_cte_sql(split_name: str = "splitu", out_col: str = "canonical_url") -> str:
+    """THE raw→parts→split→canon oracle CTE chain, shared by
+    dedup_url_canonicalized and pipeline_web_corpus (r10 review: the
+    pipeline carried a verbatim copy that a rule change — e.g. the utm_
+    regex — would silently desync). The host is NULL-guarded with
+    COALESCE(..., '') mirroring Spark's try_element_at + coalesce: for
+    a scheme-less URL DuckDB's split[2] is NULL and the whole
+    concatenation would go NULL while Spark emits 'scheme://path'."""
+    return f"""raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?utm_source=feed&utm_campaign=x' || doc_id
+                          || '&id=' || (doc_id % 50)
+                     ELSE '?id=' || (doc_id % 50) END
+             || CASE WHEN doc_id % 2 = 0 THEN '#section' || doc_id ELSE '' END
+               AS url
+      FROM documents
     ),
-    parts AS (
-        SELECT doc_id,
-               regexp_replace(url, '#.*$', '') AS nofrag
-        FROM raw
-    ),
-    split AS (
-        SELECT doc_id,
-               lower(string_split(nofrag, '://')[1]) AS scheme,
-               lower(string_split(string_split(nofrag, '://')[2], '/')[1]) AS host,
-               regexp_replace(string_split(nofrag, '?')[1],
-                              '^[a-zA-Z]+://[^/]+', '') AS path,
-               COALESCE(string_split(nofrag, '?')[2], '') AS query
-        FROM parts
+    parts AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+    {split_name} AS (
+      SELECT doc_id,
+             lower(string_split(nofrag, '://')[1]) AS scheme,
+             COALESCE(lower(string_split(string_split(nofrag, '://')[2], '/')[1]),
+                      '') AS host,
+             regexp_replace(string_split(nofrag, '?')[1],
+                            '^[a-zA-Z]+://[^/]+', '') AS path,
+             COALESCE(string_split(nofrag, '?')[2], '') AS query
+      FROM parts
     ),
     canon AS (
-        SELECT doc_id,
-               scheme || '://' || host || path ||
-               CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
-        FROM (
-            SELECT doc_id, scheme, host, path,
-                   array_to_string(list_sort(list_filter(
-                       string_split(query, '&'),
-                       p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS cq
-            FROM split
-        )
-    )
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS {out_col}
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS cq
+        FROM {split_name})
+    )"""
+
+
+@op(
+    "dedup_url_canonicalized",
+    sql=f"""
+    WITH {_url_canon_cte_sql()}
     SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
     FROM canon
     GROUP BY canonical_url
@@ -668,38 +709,7 @@ def _canonicalize_url(url) -> F.Column:
 from bpspark.llm_ops import _jaccard_pairs_sql as _jps
 
 _WEB_CORPUS_SQL = rf"""
-    WITH raw AS (
-      SELECT doc_id,
-             'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 50)
-             || CASE WHEN doc_id % 3 = 0
-                     THEN '?utm_source=feed&utm_campaign=x' || doc_id
-                          || '&id=' || (doc_id % 50)
-                     ELSE '?id=' || (doc_id % 50) END
-             || CASE WHEN doc_id % 2 = 0 THEN '#section' || doc_id ELSE '' END
-               AS url
-      FROM documents
-    ),
-    parts AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
-    splitp AS (
-      SELECT doc_id,
-             lower(string_split(nofrag, '://')[1]) AS scheme,
-             lower(string_split(string_split(nofrag, '://')[2], '/')[1]) AS host,
-             regexp_replace(string_split(nofrag, '?')[1],
-                            '^[a-zA-Z]+://[^/]+', '') AS path,
-             COALESCE(string_split(nofrag, '?')[2], '') AS query
-      FROM parts
-    ),
-    canon AS (
-      SELECT doc_id,
-             scheme || '://' || host || path ||
-             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS curl
-      FROM (
-        SELECT doc_id, scheme, host, path,
-               array_to_string(list_sort(list_filter(
-                   string_split(query, '&'),
-                   p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS cq
-        FROM splitp)
-    ),
+    WITH {_url_canon_cte_sql("splitp", "curl")},
     url_stage AS (
       SELECT d.* FROM documents d
       JOIN (SELECT min(doc_id) AS doc_id FROM canon GROUP BY curl) k
@@ -869,12 +879,7 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     n = scored.agg(F.count(F.lit(1)).alias("n"))
-    cum = hist.crossJoin(F.broadcast(n)).withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    cum = _ordered_cumsum(hist, "v", "cnt").crossJoin(F.broadcast(n))
     b2 = cum.agg(
         F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))).alias("b2")
     )
@@ -1002,12 +1007,10 @@ def ml_naive_bayes_langid(spark: SparkSession, sf: str) -> DataFrame:
     prior = tr.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
     vocab = tr.agg(F.count_distinct("tok").alias("v"))
     n_train = tr.agg(F.count_distinct("doc_id").alias("n"))
-    model = (
-        counts.join(lang_tot, "lang")
-        .join(prior, "lang")
-        .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(n_train))
-    )
+    # scoring consumes `langs` (per-language totals) + a broadcast of the
+    # sparse `counts` directly — there is deliberately NO joined "model"
+    # frame (a counts⋈totals join would materialize |vocab|×|langs| rows
+    # for nothing; r10 review removed a dead copy of exactly that)
     langs = lang_tot.join(prior, "lang").crossJoin(F.broadcast(vocab)).crossJoin(
         F.broadcast(n_train)
     )
@@ -1099,7 +1102,13 @@ def sink_training_shards(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "text", (F.col("doc_id") % N_SHARDS).alias("shard")
     )
     (
-        docs.repartition(N_SHARDS, "shard")
+        # repartitionByRange, not hash repartition (r10 review): hashing
+        # 8 shard values into 8 partitions almost surely collides
+        # (birthday bound) — some tasks then gzip 2-3 shards serially
+        # while others sit idle. Range partitioning on the already-
+        # uniform shard id gives one shard per task; output is identical
+        # either way (partitionBy dictates file layout).
+        docs.repartitionByRange(N_SHARDS, "shard")
         .sortWithinPartitions("doc_id")
         .select("shard", F.to_json(F.struct("doc_id", "text")).alias("line"))
         .write.partitionBy("shard")
