@@ -43,12 +43,52 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the ROUND-10 driver window (50 ops; the grading sweep
+    # --- tier A: the ROUND-11 driver window (50 ops; the grading sweep
     # covers exactly this front). Manifest rebuilt with
-    # CORRECTNESS_r01..r09 (r9 snapshot rev dfc4c2d) under the NEW
-    # helper-closure hash scheme (tools/stale_ops.py op_closure_source,
-    # VERDICT r9 item 3); `stale` reported FRESH 369 / NEVER 0 /
-    # STALE 12. Composition:
+    # CORRECTNESS_r01..r10 (r10 artifact rev 42999e6) under the
+    # local-import-aware closure scheme (ADVICE r10 medium, fixed this
+    # round: function-local `from bpspark.X import h` now joins the
+    # closure hash). Composition:
+    #  * slots 1-4: the 4 ops the closure fix newly exposed as STALE —
+    #    their function-locally-imported IVF/datasource helpers were
+    #    edited r6-r9 AFTER their rows, invisible to the old
+    #    globals-only walk;
+    #  * slot 5: dedup_semdedup (VERDICT r10 item 3: oracle upgrade via
+    #    the portable quantizer lands this round — same-round row);
+    #  * slots 6-17: the DEFERRED 12-op heavyweight rotation (VERDICT
+    #    r10 item 2) — the oldest driver rows in the repo (r4-r7);
+    #  * slots 18-21: rows-only rotation, oldest rows first (VERDICT
+    #    r10 item 5; with the IVF trio and the deferred rows-only this
+    #    window carries 11 rows-only re-runs);
+    #  * remaining slots: review-hunt-staled ops (inserted in front of
+    #    the fillers as the hunts land) + cheap oracle re-cert fillers,
+    #    oldest (r1) rows first.
+    "scan_python_datasource", "sim_ivf_index_compact",
+    "stream_ivf_index_append", "sim_ivf_index_retrain",
+    "dedup_semdedup",
+    "stream_er_resolve", "embedding_kcenter_coreset", "stream_heavy_hitters",
+    "graph_community_modularity", "er_incremental_resolve",
+    "stream_stateful_counter", "er_fellegi_sunter_em", "dedup_recall_eval",
+    "pipeline_multimodal_corpus", "pipeline_audio_corpus", "sim_cosine_ivf",
+    "rag_retrieval_eval",
+    "agg_approx_distinct", "meta_query_profile", "multimodal_columns",
+    "stream_scd_join",
+    # slots 22-50: oracle re-cert fillers, oldest (r1) rows first (the
+    # half of the r1 relational/function core the r10 window did not
+    # reach). Review-hunt-staled ops evict from the BACK of this list.
+    "agg_count_distinct", "agg_cube", "agg_global", "agg_grouping_sets",
+    "agg_having", "agg_min_by_max_by", "agg_percentile_exact", "agg_pivot",
+    "agg_stddev_stable", "agg_string_concat_ordered", "distinct_rows",
+    "filter_between_range", "filter_boolean_logic", "filter_isin",
+    "filter_like_regex", "filter_null_required", "fn_bitwise",
+    "fn_date_arith", "fn_hash_encode", "gen_calendar_dim",
+    "join_cross_small", "join_full_outer", "join_left_outer",
+    "join_semi_validate", "join_theta_range", "limit_n",
+    "project_map_keys", "set_intersect_all", "set_union_all",
+    # --- (former tier A) the ROUND-10 driver window, kept in r10 order
+    # for deterministic re-cert priority (names already listed above
+    # keep their tier-A slot — first occurrence wins in _ordered).
+    # Historical r10 notes:
     #  * slots 1-5: the 5 oracle-backed ops staled by this round's
     #    ADVICE fixes (BPE merge-cache fingerprint → text_bpe_tokenize,
     #    doc_pack_tokenized; integer-exact isqrt + zero-norm vector

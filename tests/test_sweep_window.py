@@ -171,3 +171,69 @@ def test_mutable_constant_hash_is_runtime_stable_but_edit_sensitive(tmp_path):
 
     m2 = load("v2", base.replace("'de': 'der'", "'de': 'und'"))
     assert op_closure_source(m2.the_op) != h1, "constant edit did not flag"
+
+
+def test_function_local_import_flags_caller_stale(tmp_path):
+    """ADVICE r10 (medium): a helper bound by ``from pkg.mod import h``
+    INSIDE the op body is a local name — the globals walk can't see it.
+    Editing ONLY that helper (op byte-identical) must still change the
+    caller's closure hash; same for a function-locally-imported mutable
+    constant. Mirrors the real pattern (selection.py imports llm_ops
+    helpers inside op bodies)."""
+    import importlib
+    import inspect
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import op_closure_source, op_source_hash
+
+    def build(version: str, helper_body: str, cache_init: str = "{}"):
+        pkgdir = tmp_path / f"fakepkg_{version}"
+        pkgdir.mkdir()
+        (pkgdir / "__init__.py").write_text("")
+        (pkgdir / "helpers.py").write_text(
+            f"_LOCAL_CACHE = {cache_init}\n\n"
+            "def _deep(x):\n"
+            f"    {helper_body}\n\n"
+            "def imported_helper(x):\n"
+            "    return _deep(x) + len(_LOCAL_CACHE)\n"
+        )
+        (pkgdir / "ops.py").write_text(
+            "def the_op(x):\n"
+            f"    from fakepkg_{version}.helpers import _LOCAL_CACHE, imported_helper\n"
+            "    return imported_helper(x)\n"
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            mod = importlib.import_module(f"fakepkg_{version}.ops")
+        finally:
+            sys.path.remove(str(tmp_path))
+        return mod
+
+    m1 = build("v1", "return x + 1")
+    m2 = build("v2", "return x - 1")  # ONLY the 2nd-level helper differs
+    # op bodies are identical up to the package name
+    s1 = inspect.getsource(m1.the_op).replace("fakepkg_v1", "PKG")
+    s2 = inspect.getsource(m2.the_op).replace("fakepkg_v2", "PKG")
+    assert s1 == s2
+    c1 = op_closure_source(m1.the_op).replace("fakepkg_v1", "PKG")
+    c2 = op_closure_source(m2.the_op).replace("fakepkg_v2", "PKG")
+    # the transitive closure through the local import is present
+    assert "imported_helper" in c1 and "_deep" in c1 and "_LOCAL_CACHE = {}" in c1
+    assert op_source_hash(c1, None) != op_source_hash(c2, None)
+
+    # a function-locally-imported mutable constant edit must flag too —
+    # and runtime mutation of it must NOT
+    m3 = build("v3", "return x + 1", cache_init="{'seed': 1}")
+    c3 = op_closure_source(m3.the_op).replace("fakepkg_v3", "PKG")
+    assert op_source_hash(c3, None) != op_source_hash(c1, None)
+    helpers3 = sys.modules["fakepkg_v3.helpers"]
+    helpers3._LOCAL_CACHE["runtime"] = "junk"
+    assert op_closure_source(m3.the_op).replace("fakepkg_v3", "PKG") == c3
+
+    for v in ("v1", "v2", "v3"):
+        sys.modules.pop(f"fakepkg_{v}.ops", None)
+        sys.modules.pop(f"fakepkg_{v}.helpers", None)
+        sys.modules.pop(f"fakepkg_{v}", None)
+        shutil.rmtree(tmp_path / f"fakepkg_{v}", ignore_errors=True)

@@ -156,8 +156,20 @@ def op_closure_source(fn) -> str:
     order, each emitted once, labeled module-qualified so same-named
     helpers in sibling modules don't shadow each other. A helper-body or
     data-constant edit thereby changes every caller's hash, flagging all
-    its certified callers STALE."""
+    its certified callers STALE.
+
+    FUNCTION-LOCAL imports are part of the closure too (ADVICE r10): a
+    name bound by ``from bpspark.X import helper`` INSIDE the op body is
+    a local, not a global, so the Name walk alone cannot resolve it —
+    each visited body's ``ast.ImportFrom`` nodes are therefore resolved
+    via importlib into the same function/class-visit or constant-hash
+    paths. Plumbing modules stay excluded here exactly as in the globals
+    path. Remaining (documented) gap: ``import bpspark.X`` + attribute
+    access inside a body — a pattern the package does not use (grep
+    shows zero sites); if one ever lands, treat its readers as stale
+    manually, as with non-scalar constants."""
     import ast
+    import importlib
     import inspect
     import textwrap
 
@@ -181,6 +193,24 @@ def op_closure_source(fn) -> str:
         refs = sorted(
             {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
         )
+        def handle(v, name: str, const_mod, const_modname: str) -> None:
+            """Shared resolution: package-local function/class → recurse;
+            anything else → constant hash (by value, or by assignment
+            source from ``const_mod`` for mutable containers)."""
+            if _in_closure_scope(v, pkg):
+                visit(v, f"{getattr(v, '__module__', '')}.{getattr(v, '__qualname__', name)}")
+            elif not inspect.ismodule(v):
+                rep = _const_repr(v)
+                if rep is None and isinstance(v, (dict, list, set)):
+                    # mutable container: hash its assignment SOURCE
+                    # (runtime-mutation-proof)
+                    rep = _module_assign_sources(const_mod).get(name)
+                if rep is not None:
+                    const_line = f"{const_modname}:{name} = {rep}"
+                    if const_line not in seen:
+                        seen.add(const_line)
+                        out.append(const_line)
+
         g = getattr(obj, "__globals__", None)
         if g is None:  # classes don't carry __globals__
             omod = inspect.getmodule(obj)
@@ -188,20 +218,28 @@ def op_closure_source(fn) -> str:
         for r in refs:
             if r not in g:
                 continue
-            v = g[r]
-            if _in_closure_scope(v, pkg):
-                visit(v, f"{getattr(v, '__module__', '')}.{getattr(v, '__qualname__', r)}")
-            elif not inspect.ismodule(v):
-                rep = _const_repr(v)
-                if rep is None and isinstance(v, (dict, list, set)):
-                    # mutable container: hash its assignment SOURCE from
-                    # the referrer's module (runtime-mutation-proof)
-                    rep = _module_assign_sources(inspect.getmodule(obj)).get(r)
-                if rep is not None:
-                    const_line = f"{getattr(obj, '__module__', '')}:{r} = {rep}"
-                    if const_line not in seen:
-                        seen.add(const_line)
-                        out.append(const_line)
+            handle(g[r], r, inspect.getmodule(obj), getattr(obj, "__module__", ""))
+        # Function-local imports (ADVICE r10): ``from bpspark.X import h``
+        # inside the body binds a LOCAL name the globals lookup above
+        # cannot see — resolve the imported module and route each alias
+        # through the same handler. Only absolute package-local,
+        # non-plumbing modules participate (mirrors _in_closure_scope).
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom) or node.level:
+                continue
+            modname = node.module or ""
+            if not (modname == pkg or modname.startswith(pkg + ".")):
+                continue
+            if modname.rsplit(".", 1)[-1] in _CLOSURE_PLUMBING:
+                continue
+            try:
+                mod = importlib.import_module(modname)
+            except ImportError:
+                continue
+            for alias in node.names:
+                v = getattr(mod, alias.name, None)
+                if v is not None:
+                    handle(v, alias.name, mod, modname)
 
     visit(fn, f"{getattr(fn, '__module__', '')}.{getattr(fn, '__qualname__', '<fn>')}")
     return "\n".join(out)
