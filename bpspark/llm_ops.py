@@ -6173,8 +6173,18 @@ def _scene_keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             for h, d in _frame_hash_stream(bytes(payload)):
                 if d is None or d > _SCENE_CUT_HAMMING:
                     scene += 1
-                    # the packing precondition the op's docstring states
-                    assert scene < _VFP_SCENE_PACK, "scene_no overflows id packing"
+                    # the packing precondition the op's docstring states.
+                    # A real raise, not assert (ADVICE r10): under
+                    # python -O an assert is stripped and scene 64 of
+                    # video N would silently alias scene 0 of video N+1
+                    # in the packed id — wrong dedup pairs, no error.
+                    if scene >= _VFP_SCENE_PACK:
+                        raise ValueError(
+                            f"doc {doc_id}: scene_no {scene} overflows the "
+                            f"{_VFP_SCENE_PACK}-slot id packing — raise "
+                            "_VFP_SCENE_PACK (and the div/mod unpack) for "
+                            "longer streams"
+                        )
                     out["doc_id"].append(doc_id)
                     out["scene_no"].append(scene)
                     out["khash"].append(h)
@@ -6218,8 +6228,10 @@ def dedup_video_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     sizes and the final aggregate groups on (video_a, video_b) — the
     same scale contract as the text/image/audio LSH ops. Scene rows
     pack (doc_id, scene_no) into one long for the shared LSH
-    (scene_no < _VFP_SCENE_PACK, asserted: streams here carry ≤ 4
-    frames, production re-packs at a wider stride)."""
+    (scene_no < _VFP_SCENE_PACK, enforced with a real ValueError — an
+    assert dies under python -O and the overflow would silently alias
+    packed ids across videos; streams here carry ≤ 4 frames, production
+    re-packs at a wider stride)."""
     import bpspark
 
     bpspark.ensure_worker_imports(spark)

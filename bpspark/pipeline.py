@@ -240,6 +240,22 @@ def sink_control_table(workflows_new: DataFrame, control_dir: str) -> None:
     to_write.write.mode("append").parquet(control_dir)
 
 
+def sink_quarantine_table(quarantine: DataFrame, quarantine_dir: str) -> None:
+    """R15 sink, same idempotency contract as the control sink (ADVICE
+    r10): foreachBatch is at-least-once, so a bare append would duplicate
+    quarantine rows on a batch retry or a harness re-run over an existing
+    stage dir. Anti-join on ``path`` — the arrival's unique identity —
+    against the existing table, so a replayed batch adds zero rows."""
+    import glob
+    import os
+
+    spark = quarantine.sparkSession
+    if os.path.isdir(quarantine_dir) and glob.glob(os.path.join(quarantine_dir, "*.parquet")):
+        existing = spark.read.parquet(quarantine_dir).select("path")
+        quarantine = quarantine.join(existing, "path", "left_anti")
+    quarantine.write.mode("append").parquet(quarantine_dir)
+
+
 # ---------------------------------------------------------------------------
 # registered ops (rows-only: binary fixtures)
 # ---------------------------------------------------------------------------

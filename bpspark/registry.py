@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     #    oldest (r1) rows first.
     "scan_python_datasource", "sim_ivf_index_compact",
     "stream_ivf_index_append", "sim_ivf_index_retrain",
+    # staled by the two ADVICE r10 low fixes (idempotent quarantine
+    # sink; scene-pack assert → ValueError):
+    "stream_ingest_pipeline", "dedup_video_fingerprint",
     "dedup_semdedup",
     "stream_er_resolve", "embedding_kcenter_coreset", "stream_heavy_hitters",
     "graph_community_modularity", "er_incremental_resolve",
@@ -84,7 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_arith", "fn_hash_encode", "gen_calendar_dim",
     "join_cross_small", "join_full_outer", "join_left_outer",
     "join_semi_validate", "join_theta_range", "limit_n",
-    "project_map_keys", "set_intersect_all", "set_union_all",
+    "project_map_keys",
     # --- (former tier A) the ROUND-10 driver window, kept in r10 order
     # for deterministic re-cert priority (names already listed above
     # keep their tier-A slot — first occurrence wins in _ordered).

@@ -504,7 +504,12 @@ def _stream_ingest_run(spark: SparkSession, stage: str) -> DataFrame:
     import shutil
 
     from bpspark.fixtures import default_dir
-    from bpspark.pipeline import Ledgers, ingest_from_arrivals, sink_control_table
+    from bpspark.pipeline import (
+        Ledgers,
+        ingest_from_arrivals,
+        sink_control_table,
+        sink_quarantine_table,
+    )
 
     fx = default_dir()
     drop = f"{stage}/drop"
@@ -546,8 +551,10 @@ def _stream_ingest_run(spark: SparkSession, stage: str) -> DataFrame:
         res = ingest_from_arrivals(spark, with_zip_keys(batch_df), ledgers)
         sink_control_table(res.workflows_new, control)
         # R15: rejected files get a durable record too (r10 review — the
-        # quarantine frame was computed and thrown away before)
-        res.quarantine.write.mode("append").parquet(quarantine_dir)
+        # quarantine frame was computed and thrown away before). The sink
+        # anti-joins on path (ADVICE r10): foreachBatch is at-least-once,
+        # so a batch retry must not duplicate quarantine rows.
+        sink_quarantine_table(res.quarantine, quarantine_dir)
 
     def run_once() -> None:
         stream = (

@@ -97,6 +97,28 @@ def test_idempotent_rerun(spark, fixture_dir, result):
     assert rerun.quarantine.count() == 3
 
 
+def test_sink_quarantine_table_replay_is_noop(spark, tmp_path):
+    """ADVICE r10: the R15 quarantine sink must carry the same
+    idempotency contract as the control sink — a replayed (at-least-once)
+    batch appends zero rows; a genuinely new path still lands."""
+    from bpspark.pipeline import sink_quarantine_table
+
+    qdir = str(tmp_path / "quarantine")
+    q = spark.createDataFrame(
+        [("/drop/a.zip", "EXTRACT_ZIP", "bad archive")],
+        "path string, error_code string, error_msg string",
+    )
+    sink_quarantine_table(q, qdir)
+    sink_quarantine_table(q, qdir)  # retry of the same batch: no-op
+    assert spark.read.parquet(qdir).count() == 1
+    q2 = spark.createDataFrame(
+        [("/drop/b.zip", "EXTRACT_ZIP", "bad archive")],
+        "path string, error_code string, error_msg string",
+    )
+    sink_quarantine_table(q2, qdir)
+    assert spark.read.parquet(qdir).count() == 2
+
+
 def test_observe_metrics_match_direct_aggregation(spark):
     """observe() accumulators must equal a direct aggregation pass."""
     from bpspark.registry import all_ops

@@ -2077,3 +2077,24 @@ def test_video_fingerprint_matches_driver_recompute(spark):
         mine = got[got["doc_id"] == r["doc_id"]].sort_values("scene_no")
         assert list(mine["khash"]) == keys, r["doc_id"]
         assert list(mine["scene_no"]) == list(range(len(keys)))
+
+
+def test_video_scene_pack_overflow_raises(monkeypatch):
+    """ADVICE r10: the scene-pack precondition must be a real raise, not
+    an assert — under python -O an assert is stripped and scene 64 of
+    video N would silently alias scene 0 of video N+1 in the packed id.
+    A stream segmenting into >_VFP_SCENE_PACK scenes must ValueError."""
+    import pandas as pd
+    import pytest
+
+    import bpspark.llm_ops as llm
+
+    def fake_stream(payload):
+        # every frame is a cut: alternate far-apart hashes
+        for i in range(llm._VFP_SCENE_PACK + 1):
+            yield (0 if i % 2 == 0 else (1 << 64) - 1, None if i == 0 else 64)
+
+    monkeypatch.setattr(llm, "_frame_hash_stream", fake_stream)
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"x"]})
+    with pytest.raises(ValueError, match="overflows"):
+        list(llm._scene_keyframe_batches(iter([pdf])))

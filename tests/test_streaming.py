@@ -110,6 +110,10 @@ def test_stream_ingest_pipeline_exactly_once(spark, tmp_path):
     q = spark.read.parquet(f"{stage}/quarantine").toPandas()
     byfile = dict(zip(q["path"].str.rsplit("/", n=1).str[-1], q["error_code"]))
     assert byfile["9780999999999.zip"] == errors.EXTRACT_ZIP
+    # ADVICE r10: the quarantine sink is idempotent on path — an
+    # at-least-once batch retry (or a harness re-run over the same stage
+    # dir) must not duplicate rows
+    assert q["path"].is_unique
 
 
 def test_stream_mv_refresh_versions_and_monotone_groups(spark):
