@@ -96,15 +96,48 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 STATE_VERSION = "v3"  # r3: fixed-k IVF quantizer changes persisted index content
 
 
+def _sf_data_fingerprint(sf_dir: str) -> str:
+    """Cheap filesystem fingerprint of every parquet table under
+    ``sf_dir`` — (relative path, size, mtime_ns) per file, md5-folded.
+    The _corpus_fingerprint idea (llm_ops, ADVICE r9) applied to the
+    whole dataset: it changes whenever ANY table is rewritten."""
+    import glob
+    import hashlib
+    import os
+
+    parts: list[str] = []
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            if os.path.isdir(p):
+                for root, dirs, files in os.walk(p):
+                    dirs.sort()
+                    for f in sorted(files):
+                        full = os.path.join(root, f)
+                        st = os.stat(full)
+                        rel = os.path.relpath(full, sf_dir)
+                        parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+            else:
+                st = os.stat(p)
+                parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            continue
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:10]
+
+
 def state_dir(tag: str, sf_dir: str) -> str:
     """Process-independent state directory for op ``tag`` at ``sf_dir``,
-    versioned so stale state from older code revisions is never reused."""
+    versioned two ways so stale state is never reused: STATE_VERSION
+    (older CODE revisions) and a dataset fingerprint (older DATA — a
+    harness that regenerates the corpus at the same path must not be
+    served state derived from the previous files; the r10 BPE-memo bug
+    class, closed here for every state-dir-guarded op at once)."""
     import os
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(),
-        f"bpspark_{tag}_{STATE_VERSION}_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"bpspark_{tag}_{STATE_VERSION}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_sf_data_fingerprint(sf_dir)}",
     )
 
 

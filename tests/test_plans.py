@@ -1204,3 +1204,37 @@ def test_video_fingerprint_python_only_in_hash_stage(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the pair screen's bit_count must be JVM-side, not Python
     assert "bit_count" in plan
+
+
+def test_state_dir_invalidates_on_data_change(tmp_path):
+    """state_dir must key on the DATASET CONTENT, not just the sf-dir
+    basename (r11 review: the r10 BPE-memo bug class generalized — a
+    harness that regenerates the corpus at the same path must never be
+    served state derived from the previous files). Touching any table
+    file must yield a different state directory."""
+    import os
+    import time
+
+    from bpspark.io import state_dir
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    tbl = sf / "orders.parquet"
+    tbl.write_bytes(b"v1-bytes")
+    d1 = state_dir("probe", str(sf))
+    # same data -> same dir (stable across calls)
+    assert state_dir("probe", str(sf)) == d1
+    # rewrite the table (size change) -> different dir
+    tbl.write_bytes(b"v2-bytes-longer")
+    d2 = state_dir("probe", str(sf))
+    assert d2 != d1
+    # same size, newer mtime -> still invalidates
+    time.sleep(0.01)
+    tbl.write_bytes(b"v3-bytes-longer")
+    os.utime(tbl)
+    assert state_dir("probe", str(sf)) not in (d1, d2)
+    # partitioned-directory tables participate too
+    part = sf / "events.parquet"
+    part.mkdir()
+    (part / "part-0.parquet").write_bytes(b"p")
+    assert state_dir("probe", str(sf)) not in (d1, d2)
