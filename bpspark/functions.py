@@ -739,7 +739,9 @@ def fn_struct_field_surgery(spark: SparkSession, sf: str) -> DataFrame:
     # the drop is structural: 'status' must be gone from the schema, not
     # just nulled — asserted here so the op self-checks the surgery
     fields = [f.name for f in surgically.schema["order_doc"].dataType.fields]
-    assert "status" not in fields and "adjusted" in fields, fields
+    if "status" in fields or "adjusted" not in fields:
+        # survives python -O (r11 review: bare asserts are stripped)
+        raise RuntimeError(f"struct surgery failed: {fields}")
     return surgically.select(
         "o_orderkey",
         F.col("order_doc.price").alias("original_price"),

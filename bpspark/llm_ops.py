@@ -4033,7 +4033,13 @@ def decode_wav(payload: bytes):
     import numpy as np
 
     with wave.open(_io.BytesIO(payload), "rb") as wf:
-        assert wf.getsampwidth() == 2 and wf.getnchannels() == 1
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            # executor code: must survive python -O (r11 review — under
+            # optimized mode a stereo/24-bit payload would be misparsed
+            # as garbage int16 samples instead of failing loudly)
+            raise ValueError(
+                f"unsupported WAV: width={wf.getsampwidth()} ch={wf.getnchannels()}"
+            )
         frames = wf.readframes(wf.getnframes())
         return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
 

@@ -76,6 +76,20 @@ _PRIORITY: tuple[str, ...] = (
     "rag_retrieval_eval",
     "agg_approx_distinct", "meta_query_profile", "multimodal_columns",
     "stream_scd_join",
+    # r11 legacy-module review hunt (this round): ops staled by the hunt
+    # fixes — the distributed exact NTILE (win_ntile_bucketize: the old
+    # plan was an unpartitioned global window, the r10 tertile class),
+    # the six bare-assert gates converted to explicit raises so they
+    # survive python -O (fn_struct_field_surgery, sink shards/manifests,
+    # SCD snapshot, state-metadata, WAV decode — the decode edit also
+    # stales the audio family via the shared helper), and the plumbing-
+    # adjacent state_dir fingerprint (judged, not mechanical). Evicted
+    # the 10 BACK fillers per the standing rule:
+    "win_ntile_bucketize", "maintenance_delete_where_cow",
+    "sink_compression_codecs", "fn_struct_field_surgery",
+    "sink_python_datasource", "sink_python_datasource_stream",
+    "stream_mv_refresh", "stream_state_introspection",
+    "multimodal_audio_decode", "dedup_audio_fingerprint",
     # slots 22-50: oracle re-cert fillers, oldest (r1) rows first (the
     # half of the r1 relational/function core the r10 window did not
     # reach). Review-hunt-staled ops evict from the BACK of this list.
@@ -84,10 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_stddev_stable", "agg_string_concat_ordered", "distinct_rows",
     "filter_between_range", "filter_boolean_logic", "filter_isin",
     "filter_like_regex", "filter_null_required", "fn_bitwise",
-    "fn_date_arith", "fn_hash_encode", "gen_calendar_dim",
-    "join_cross_small", "join_full_outer", "join_left_outer",
-    "join_semi_validate", "join_theta_range", "limit_n",
-    "project_map_keys",
     # --- (former tier A) the ROUND-10 driver window, kept in r10 order
     # for deterministic re-cert priority (names already listed above
     # keep their tier-A slot — first occurrence wins in _ordered).

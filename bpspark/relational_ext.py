@@ -685,18 +685,50 @@ def agg_bool_and_or(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def win_ntile_bucketize(spark: SparkSession, sf: str) -> DataFrame:
-    """Decile bucketization via NTILE with a deterministic tie-break
-    (feature discretization / quantile binning). NOTE the scale caveat:
-    an unpartitioned NTILE collapses to a single-partition sort — fine as
-    the exact-semantics demo, but at 100 TB the right plan is
-    approxQuantile boundaries broadcast into a width-bucket expression
-    (see agg_histogram_fixed for the scan-local shape)."""
-    from pyspark.sql.window import Window
+    """Decile bucketization with exact NTILE semantics and a deterministic
+    tie-break (feature discretization / quantile binning), computed the
+    scale-safe way (r11 review: the old plan was
+    `F.ntile(10).over(Window.orderBy(...))` — an unpartitioned window
+    that collapses the whole table onto ONE task, the same class as the
+    r10 CCNet tertile scale-killer).
 
-    o = table(spark, sf, "orders")
-    t = o.select(
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
-        "o_totalprice",
+    Exact distributed form: two-phase global rank (range-repartition by
+    the sort key, per-range row_number, ≤64-row prefix-count broadcast —
+    the _ordered_cumsum shape from selection.py applied to unique-keyed
+    rows), then SQL NTILE's closed form on the 0-indexed position i:
+    the first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
+    pure integer arithmetic, bit-identical to the oracle's NTILE. The
+    localCheckpoint pins the sampled range boundaries so the prefix pass
+    and the rank pass read the same split."""
+    o = table(spark, sf, "orders").select("o_totalprice", "o_orderkey")
+    h = (
+        o.repartitionByRange(64, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        h.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_prefix", F.coalesce(F.sum("_c").over(wprev), F.lit(0)))
+    )
+    n = prefix.agg(F.sum("_c").alias("n"))
+    wpart = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    q, r = F.expr("n DIV 10"), F.expr("n % 10")
+    i = F.col("_prefix") + F.row_number().over(wpart) - 1
+    t = (
+        h.join(F.broadcast(prefix.select("_pid", "_prefix")), "_pid")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_i", i)
+        # i < r*(q+1): one of the r "tall" buckets of q+1 rows (covers all
+        # rows when n < k, so the q=0 division-by-zero branch is dead)
+        .withColumn(
+            "bucket",
+            F.when(F.col("_i") < r * (q + 1), F.expr("_i DIV (n DIV 10 + 1)"))
+            .otherwise(r + F.expr("(_i - (n % 10) * (n DIV 10 + 1)) DIV (n DIV 10)"))
+            .cast("int")
+            + 1,
+        )
     )
     return t.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),

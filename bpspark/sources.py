@@ -629,7 +629,9 @@ def sink_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
 
     with open(_os.path.join(out, "_MANIFEST.json")) as fh:
         shards = _json.load(fh)
-    assert len(shards) == 4, f"expected 4 shard tasks, got {len(shards)}"
+    if len(shards) != 4:
+        # survives python -O (r11 review: bare asserts are stripped)
+        raise RuntimeError(f"expected 4 shard tasks, got {len(shards)}")
     return (
         spark.read.schema("c_custkey bigint, c_acctbal double")
         .json([_os.path.join(out, s) for s in shards])
@@ -862,7 +864,9 @@ def sink_python_datasource_stream(spark: SparkSession, sf: str) -> DataFrame:
     q.awaitTermination()
 
     manifests = sorted(_glob.glob(f"{out}/_MANIFEST-*.json"))
-    assert len(manifests) == 2, f"expected 2 per-batch manifests, got {manifests}"
+    if len(manifests) != 2:
+        # survives python -O (r11 review: bare asserts are stripped)
+        raise RuntimeError(f"expected 2 per-batch manifests, got {manifests}")
     shards = [s for m in manifests for s in _json.load(open(m))]
     return (
         spark.read.schema("c_custkey bigint, c_acctbal double")
