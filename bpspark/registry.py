@@ -90,6 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     "sink_python_datasource", "sink_python_datasource_stream",
     "stream_mv_refresh", "stream_state_introspection",
     "multimodal_audio_decode", "dedup_audio_fingerprint",
+    # hunt-2 (analytics/timeseries/sql_features/graph/udfs — all clean
+    # except ONE latent fork): udf_sql_registered's oracle digit-sum
+    # unroll covered only 8 digit positions, silently dropping digits of
+    # any key >= 1e8; extended to the full 19 int64 positions. Evicts
+    # the back filler per the standing rule:
+    "udf_sql_registered",
     # slots 22-50: oracle re-cert fillers, oldest (r1) rows first (the
     # half of the r1 relational/function core the r10 window did not
     # reach). Review-hunt-staled ops evict from the BACK of this list.

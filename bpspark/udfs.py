@@ -272,13 +272,15 @@ def _digit_sum_body(s: pd.Series) -> pd.Series:
 
 @op(
     "udf_sql_registered",
+    # unrolled over all 19 possible int64 digit positions (r11 review: the
+    # old 8-term unroll silently dropped digits of any key >= 1e8 — fine at
+    # test SFs, a latent op-vs-oracle fork at production key ranges)
     sql="""
     SELECT o_orderkey,
            CAST(
-             (o_orderkey % 10) + (o_orderkey // 10 % 10) + (o_orderkey // 100 % 10)
-             + (o_orderkey // 1000 % 10) + (o_orderkey // 10000 % 10)
-             + (o_orderkey // 100000 % 10) + (o_orderkey // 1000000 % 10)
-             + (o_orderkey // 10000000 % 10)
+             """
+    + " + ".join(f"(o_orderkey // {10**i} % 10)" for i in range(19))
+    + """
            AS BIGINT) AS digit_sum
     FROM orders WHERE o_orderkey % 7 = 0
     """,
