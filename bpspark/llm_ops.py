@@ -2023,10 +2023,12 @@ def _ivf_knn_graph(
     )
 
 
-def _ivf_portable_cte_sql() -> str:
+def _ivf_portable_cte_sql(src: str = "embeddings") -> str:
     """DuckDB CTE chain replaying the PORTABLE IVF quantizer + probe
     assignment end-to-end (the sim_knn_graph_ivf / sim_ivf_recall_eval
-    funnel): md5-ordered seeds with k = clamp(isqrt(n)), the vec_id%3
+    funnel; ``src`` names the (vec_id, embedding) relation to quantize —
+    dedup_semdedup passes its twin-planted CTE, r11 oracle upgrade):
+    md5-ordered seeds with k = clamp(isqrt(n)), the vec_id%3
     training sample, IVF_TRAIN_ITERS unrolled Lloyd rounds with tie-free
     floor-quantized means, then nearest-IVF_KNN_NPROBE probe assignment
     of the FULL corpus against the final quantized centroids. Every dot
@@ -2047,8 +2049,8 @@ def _ivf_portable_cte_sql() -> str:
   SELECT vec_id, embedding,
          coalesce(nullif(sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 1.0) AS norm
-  FROM embeddings
-)""",
+  FROM {src}
+)""".format(src=src),
         # k = clamp(isqrt(n)) INTEGER-EXACT (ADVICE r9): Spark computes
         # math.isqrt(n); floor(sqrt(double)) can be off by one near
         # large perfect squares, which would desynchronize the whole

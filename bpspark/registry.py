@@ -96,6 +96,11 @@ _PRIORITY: tuple[str, ...] = (
     # any key >= 1e8; extended to the full 19 int64 positions. Evicts
     # the back filler per the standing rule:
     "udf_sql_registered",
+    # staled by the dedup_semdedup oracle upgrade's helper edit
+    # (_ivf_portable_cte_sql gained the src parameter; their SQL text is
+    # byte-identical and parity re-verified, but the closure hash
+    # rightly flags them). Evict two more back fillers:
+    "sim_knn_graph_ivf", "sim_ivf_recall_eval",
     # slots 22-50: oracle re-cert fillers, oldest (r1) rows first (the
     # half of the r1 relational/function core the r10 window did not
     # reach). Review-hunt-staled ops evict from the BACK of this list.
@@ -103,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_having", "agg_min_by_max_by", "agg_percentile_exact", "agg_pivot",
     "agg_stddev_stable", "agg_string_concat_ordered", "distinct_rows",
     "filter_between_range", "filter_boolean_logic", "filter_isin",
-    "filter_like_regex", "filter_null_required", "fn_bitwise",
     # --- (former tier A) the ROUND-10 driver window, kept in r10 order
     # for deterministic re-cert priority (names already listed above
     # keep their tier-A slot — first occurrence wins in _ordered).

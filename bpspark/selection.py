@@ -263,9 +263,77 @@ def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
 # cap means the quantizer is under-provisioned — its members skip pairwise
 # (stay kept) and the skip is the audit signal.
 SEMDEDUP_CLUSTER_CAP = 512
+# cosine threshold above which two cluster-mates are duplicates; shared
+# by the Spark plan and the oracle via interpolation (never hard-coded
+# twice, so an edit moves both engines)
+SEMDEDUP_COS_THRESHOLD = 0.9
 
 
-@op("dedup_semdedup", sql=None)  # k-means clustering — rows + invariant tests
+def _semdedup_oracle_sql() -> str:
+    """Full-replication oracle for dedup_semdedup (r11, VERDICT r10
+    item 3 — the last rows-only op whose every stage had a certified
+    pattern): twin planting (the _lsh_oracle_sql REAL-round-trip CTE),
+    the PORTABLE IVF quantizer funnel (_ivf_portable_cte_sql over the
+    twinned corpus — md5 seeds, vec_id%3 sample, floor-quantized Lloyd
+    means; rn=1 of ``pa`` is the home cluster, the same comparator as
+    _assign_home's reverse(array_sort)), within-cluster pairwise cosine
+    as list_sum folds over identical doubles (the TOPK_SQL pattern) with
+    the cap filter, and min-label connected components as the recursive
+    reach CTE (the split_leakage_safe / dedup_cluster_canonicalize
+    pattern — provably the same min-label fixpoint as _min_label_cc)."""
+    from bpspark.llm_ops import _ivf_portable_cte_sql, _plane_weights
+
+    noise = "[" + ",".join(str(int(w)) for w in _plane_weights(99)) + "]"
+    return f"""
+    WITH RECURSIVE twinned AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(
+               list_zip(embedding,
+                        list_transform({noise}, b -> b * CAST(0.03 AS DOUBLE))),
+               z -> CAST(CAST(z[1] AS DOUBLE) + z[2] AS REAL))
+      FROM embeddings WHERE vec_id < 25
+    ),
+    {_ivf_portable_cte_sql(src="twinned")},
+    home AS MATERIALIZED (
+      SELECT vec_id, embedding, norm, cent_id AS cluster_id FROM pa WHERE rn = 1
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS csize FROM home
+    ),
+    capped AS MATERIALIZED (
+      SELECT * FROM sized WHERE csize <= {SEMDEDUP_CLUSTER_CAP}
+    ),
+    dup_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM capped a JOIN capped b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+              / (a.norm * b.norm) >= CAST({SEMDEDUP_COS_THRESHOLD} AS DOUBLE)
+    ),
+    members AS (SELECT src AS id FROM dup_pairs UNION SELECT dst FROM dup_pairs),
+    edges AS (
+      SELECT src, dst FROM dup_pairs
+      UNION SELECT dst, src FROM dup_pairs
+      UNION SELECT id, id FROM members
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    roots AS (SELECT src AS vec_id, MIN(dst) AS root FROM reach GROUP BY src)
+    SELECT h.vec_id, h.cluster_id,
+           (r.root IS NULL OR r.root = h.vec_id) AS kept,
+           CASE WHEN r.root <> h.vec_id THEN r.root END AS dup_of
+    FROM home h LEFT JOIN roots r ON r.vec_id = h.vec_id
+    ORDER BY h.vec_id
+    """
+
+
+@op("dedup_semdedup", sql=_semdedup_oracle_sql())
 def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
     then compare pairs ONLY within a cluster and drop all but one of any
@@ -305,7 +373,10 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # every cluster member and min-label CC would collapse the whole
     # cluster into one "duplicate" component. The guard scores it 0.0.
     e = _with_norm_guarded(_embeddings_with_planted_twins(spark, sf))
-    cent_lit, _k = _ivf_centroid_literal(e)
+    # portable quantizer (r11 oracle upgrade): md5 seeds + %3 sample +
+    # floor-quantized Lloyd means replay exactly in the DuckDB oracle;
+    # the certified xxhash64 IVF ladder keeps its own default path
+    cent_lit, _k = _ivf_centroid_literal(e, portable=True)
     assigned = _assign_home(e, cent_lit).select(
         "vec_id", "embedding", "norm", F.col("home_cent").alias("cluster_id")
     )
@@ -331,7 +402,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     dup_pairs = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= SEMDEDUP_COS_THRESHOLD)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     ).localCheckpoint()
     # Resolve duplicate CHAINS (B→A, C→B with cos(A,C) below threshold)
