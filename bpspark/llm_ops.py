@@ -3925,10 +3925,12 @@ def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
 
     d = table(spark, sf, "documents").select("doc_id", "text")
     starts = F.sequence(F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150))
+    # carry text through the explode (the doc_split_chunks shape) — the
+    # old explode-then-rejoin form paid a corpus-sized shuffle join on
+    # doc_id for rows the map-only generator already had (r11 review)
     chunks = d.select(
-        "doc_id",
-        F.explode(starts).alias("gs"),
-    ).join(d, "doc_id").select(
+        "doc_id", "text", F.explode(starts).alias("gs")
+    ).select(
         "doc_id",
         (F.col("gs") / 150).cast("long").alias("chunk_idx"),
         F.col("text").substr(F.col("gs") + 1, F.lit(200)).alias("chunk_text"),
