@@ -237,3 +237,84 @@ def test_function_local_import_flags_caller_stale(tmp_path):
         sys.modules.pop(f"fakepkg_{v}.helpers", None)
         sys.modules.pop(f"fakepkg_{v}", None)
         shutil.rmtree(tmp_path / f"fakepkg_{v}", ignore_errors=True)
+
+
+def test_closure_hash_excludes_path_dunders(tmp_path):
+    """VERDICT r11 What's-wrong 1: a body referencing ``__file__`` (the
+    addPyFile zip helper pattern) must NOT pull the checkout's absolute
+    path into the closure hash — otherwise a manifest row built via a
+    temp git worktree can never match the live tree and the op reports
+    perpetually STALE. Loading byte-identical source from two different
+    directories must produce byte-identical closure source."""
+    import importlib
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import op_closure_source
+
+    PKG_SRC = {
+        "__init__.py": (
+            "import pathlib\n\n"
+            "def zip_helper():\n"
+            "    return pathlib.Path(__file__).parent\n"
+        ),
+        "ops.py": (
+            "def the_op(x):\n"
+            "    from {pkg} import zip_helper\n"
+            "    return (zip_helper(), x)\n"
+        ),
+    }
+
+    def build(version: str, root) -> object:
+        pkg = f"fakepath_{version}"
+        pkgdir = root / pkg
+        pkgdir.mkdir(parents=True)
+        for fname, src in PKG_SRC.items():
+            (pkgdir / fname).write_text(src.format(pkg=pkg))
+        sys.path.insert(0, str(root))
+        try:
+            return importlib.import_module(f"{pkg}.ops")
+        finally:
+            sys.path.remove(str(root))
+
+    # same package NAME and bytes, two different checkout locations
+    m1 = build("vA", tmp_path / "checkout_one")
+    m2 = build("vB", tmp_path / "checkout_two" / "nested" / "deep")
+    c1 = op_closure_source(m1.the_op).replace("fakepath_vA", "PKG")
+    c2 = op_closure_source(m2.the_op).replace("fakepath_vB", "PKG")
+    assert "zip_helper" in c1                 # the helper itself IS hashed
+    assert "__file__ = " not in c1            # but not the absolute path
+    assert str(tmp_path) not in c1
+    assert c1 == c2, "closure source depends on checkout location"
+
+    for v in ("vA", "vB"):
+        sys.modules.pop(f"fakepath_{v}.ops", None)
+        sys.modules.pop(f"fakepath_{v}", None)
+    shutil.rmtree(tmp_path / "checkout_one", ignore_errors=True)
+    shutil.rmtree(tmp_path / "checkout_two", ignore_errors=True)
+
+
+def test_registry_hashes_are_checkout_location_independent(tmp_path):
+    """End-to-end second-checkout regression (VERDICT r11 next-round
+    item 1's done-criterion): hashing the FULL live registry from a copy
+    of the tree at a different absolute path must give byte-identical
+    hashes for every op. This is exactly what build-manifest does via a
+    temp git worktree, so equality here is what makes `stale_ops.py
+    stale` reproducible (FRESH == all certified, STALE 0 reachable)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import REPO, hash_ops_at
+
+    second = tmp_path / "second_checkout"
+    second.mkdir()
+    shutil.copytree(os.path.join(REPO, "bpspark"), second / "bpspark",
+                    ignore=shutil.ignore_patterns("__pycache__"))
+
+    live = hash_ops_at(REPO)
+    other = hash_ops_at(str(second))
+    assert set(live) == set(other)
+    diff = sorted(n for n in live if live[n] != other[n])
+    assert diff == [], f"checkout-location-dependent hashes: {diff}"

@@ -132,6 +132,19 @@ def _module_assign_sources(mod) -> dict:
 # edit stale the entire registry at once (see module docstring).
 _CLOSURE_PLUMBING = frozenset({"io", "session", "registry", "config", "errors"})
 
+# Import-machinery module attributes EXCLUDED from the constant hash
+# (VERDICT r11 What's-wrong 1): ``__file__`` is an ABSOLUTE path, so a
+# body that references it (e.g. the addPyFile zip helper in
+# bpspark/__init__.py, pulled into scan_python_datasource's closure via
+# its function-local import) hashes differently from every checkout
+# location — the manifest row, built via a temp git worktree, could then
+# NEVER match the live tree and the op reported perpetually STALE. These
+# attributes carry environment identity, not op semantics; edits to code
+# that USES them still flag through the function-source hash.
+_ENV_DUNDERS = frozenset(
+    {"__file__", "__path__", "__cached__", "__spec__", "__loader__", "__builtins__"}
+)
+
 
 def _in_closure_scope(v, pkg: str) -> bool:
     """True when ``v`` is a function/class defined in the op's package
@@ -196,7 +209,11 @@ def op_closure_source(fn) -> str:
         def handle(v, name: str, const_mod, const_modname: str) -> None:
             """Shared resolution: package-local function/class → recurse;
             anything else → constant hash (by value, or by assignment
-            source from ``const_mod`` for mutable containers)."""
+            source from ``const_mod`` for mutable containers). Path-class
+            module dunders are skipped (``_ENV_DUNDERS``) — they encode
+            WHERE the tree is checked out, not what the op computes."""
+            if name in _ENV_DUNDERS:
+                return
             if _in_closure_scope(v, pkg):
                 visit(v, f"{getattr(v, '__module__', '')}.{getattr(v, '__qualname__', name)}")
             elif not inspect.ismodule(v):
