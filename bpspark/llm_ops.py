@@ -3904,8 +3904,10 @@ def _rag_tf_vec(text: str):
 def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     """RAG retrieval self-evaluation: documents are chunked (size 200 /
     stride 150, the doc_split_chunks shape) and each excerpt query (180
-    chars of every 10th document) must retrieve a chunk of ITS OWN
-    source document at rank 1 — the needle eval. Scoring is an
+    chars of every 10th document among the first 5000 ids — an id-capped
+    sample, so the collected query matrix is O(500) at any corpus size)
+    must retrieve a chunk of ITS OWN source document at rank 1 — the
+    needle eval. Scoring is an
     Arrow-batched numpy matmul inside mapInPandas: the (tiny) query
     matrix rides the closure, each chunk batch computes
     (batch × dim) · (dim × queries) with BLAS and emits only its
@@ -3935,10 +3937,17 @@ def rag_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("gs") / 150).cast("long").alias("chunk_idx"),
         F.col("text").substr(F.col("gs") + 1, F.lit(200)).alias("chunk_text"),
     )
+    # Query set = every 10th doc of the FIRST 5000 ids. The id cap bounds
+    # the driver-side collect at ≤500 rows INDEPENDENT of corpus size
+    # (the dedup_recall_eval capped-sample pattern, VERDICT r11): the
+    # uncapped 1-in-10 rule grew the broadcast query matrix linearly with
+    # the corpus — a driver OOM at 100 TB. At every test SF (max doc_id
+    # 4999) the cap admits the identical query set, so small-SF behavior
+    # is byte-unchanged while scale-out cost is O(cap).
     q_rows = (
-        d.filter(F.col("doc_id") % 10 == 0)
+        d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 5000))
         .select("doc_id", F.col("text").substr(61, 180).alias("qtext"))
-        .collect()  # bounded query set (1-in-10 docs) — the broadcast side
+        .collect()  # bounded query set — the broadcast side
     )
     q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
     qm = np.stack([_rag_tf_vec(r["qtext"]) for r in q_rows])
