@@ -2050,13 +2050,36 @@ def _binned_lineitem(spark: SparkSession, sf: str):
     return li.select("y", bin_col(0).alias("b0"), bin_col(1).alias("b1")), edges
 
 
+def _q6(x: float) -> float:
+    """Tie-free 1e-6 quantization of a float projection —
+    ``floor(x*1e6 + 0.5)/1e6`` is the SAME IEEE op sequence in Python,
+    Spark, and DuckDB (the cross-engine standard; ROUND is not: three
+    different tie/repr behaviors)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _grow_hist_tree(df):
     """Histogram tree-grow over a binned frame (columns: y int64-exact,
     b0, b1) — the shared core of ml_decision_tree_hist and ml_gbdt_hist.
-    One map-side-combined (node, b0, b1) DECIMAL-moment aggregate per
+    One map-side-combined (node, b0, b1) exact-count/sum aggregate per
     level, split argmax on the collected ≤ nodes×256-cell histogram
     (a bounded model literal), assignment as a pure column expression.
-    Returns (nodes dict, frame with the final ``node`` column)."""
+    Returns (nodes dict, frame with the final ``node`` column).
+
+    Split selection maximizes ``gain = ls²/ln + rs²/rn`` (strictly above
+    the no-split baseline ``sy²/n``) — algebraically the same argmin of
+    child SSE as the classic ``syy - gain`` objective, but Σy² cancels
+    out of every comparison, so the histogram needs only (count, Σy).
+    The gain is computed as ``float(ls)*float(ls)/float(ln)`` — every
+    operand is an exact integer < 2⁵³, so the int→double conversions are
+    exact and the 3-op IEEE sequence is bit-identical in any engine
+    (DuckDB replays it verbatim in the full-replication oracle; above
+    2⁵³ — corpus Σ|y| beyond ~9e15 centi-units — conversions round and
+    split choice degrades gracefully to the same approximate argmax
+    every float-histogram GBDT makes). Ties break deterministically to
+    (smaller feature, smaller bin)."""
     df = df.withColumn("node", F.lit(0))
     nodes: dict[int, dict] = {}
     active = [0]
@@ -2067,7 +2090,6 @@ def _grow_hist_tree(df):
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
-                F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
             )
             .collect()
         )
@@ -2079,31 +2101,32 @@ def _grow_hist_tree(df):
             cells = by_node.get(nid, [])
             n_tot = sum(r["n"] for r in cells)
             sy_tot = sum(int(r["sy"]) for r in cells)
-            syy_tot = sum(int(r["syy"]) for r in cells)
             nodes[nid] = {
                 "depth": depth, "n": n_tot, "sy": sy_tot,
                 "feature": None, "split_bin": None,
             }
             if depth == _TREE_DEPTH or n_tot < 2 * _TREE_MIN_LEAF:
                 continue
-            sse_parent = syy_tot - (sy_tot * sy_tot) / n_tot if n_tot else 0.0
+            gain_parent = float(sy_tot) * float(sy_tot) / float(n_tot)
             best = None
             for f in (0, 1):
-                marg = [[0, 0, 0] for _ in range(_TREE_BINS)]
+                marg = [[0, 0] for _ in range(_TREE_BINS)]
                 for r in cells:
                     m = marg[r[f"b{f}"]]
-                    m[0] += r["n"]; m[1] += int(r["sy"]); m[2] += int(r["syy"])
-                cn = cs = cq = 0
+                    m[0] += r["n"]; m[1] += int(r["sy"])
+                cn = cs = 0
                 for s in range(_TREE_BINS - 1):
-                    cn += marg[s][0]; cs += marg[s][1]; cq += marg[s][2]
-                    rn, rs, rq = n_tot - cn, sy_tot - cs, syy_tot - cq
+                    cn += marg[s][0]; cs += marg[s][1]
+                    rn, rs = n_tot - cn, sy_tot - cs
                     if cn < _TREE_MIN_LEAF or rn < _TREE_MIN_LEAF:
                         continue
-                    obj = (cq - cs * cs / cn) + (rq - rs * rs / rn)
-                    cand = (obj, f, s)
+                    gain = float(cs) * float(cs) / float(cn) + float(rs) * float(
+                        rs
+                    ) / float(rn)
+                    cand = (-gain, f, s)
                     if best is None or cand < best:
                         best = cand
-            if best is not None and best[0] < sse_parent:
+            if best is not None and -best[0] > gain_parent:
                 splits[nid] = (best[1], best[2])
                 nodes[nid]["feature"] = best[1]
                 nodes[nid]["split_bin"] = best[2]
@@ -2122,15 +2145,146 @@ def _grow_hist_tree(df):
     return nodes, df
 
 
-@op("ml_decision_tree_hist", sql=None)  # driver-side argmax over exact moments
+def _tree_bin_ctes(src_rows: str = "lineitem") -> str:
+    """Shared binning CTEs for the hist-tree oracles: centi-unit integer
+    target + 16 fixed-width bins, replicating ``_binned_lineitem`` stage
+    by stage (same min/max, same ``(mx-mn)/16 or 1.0`` width fallback as
+    COALESCE(NULLIF(..,0),1.0), same floor-divide binning — identical
+    IEEE sequences, so bins match exactly). Scale-0 round() agrees
+    cross-engine everywhere off exact .5 boundaries (both round ties
+    away from zero; verified 0 boundary rows at every test SF)."""
+    B = _TREE_BINS
+    return f"""
+src AS (SELECT CAST(l_quantity AS DOUBLE) AS x0, CAST(l_discount AS DOUBLE) AS x1,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM {src_rows}),
+mm AS (SELECT min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1, max(x1) AS mx1 FROM src),
+ed AS (SELECT mn0, COALESCE(NULLIF((mx0 - mn0) / {B}.0, 0.0), 1.0) AS w0,
+              mn1, COALESCE(NULLIF((mx1 - mn1) / {B}.0, 0.0), 1.0) AS w1 FROM mm),
+b0src AS MATERIALIZED (
+  SELECT y,
+         LEAST({B - 1}, CAST(FLOOR((x0 - e.mn0) / e.w0) AS INT)) AS b0,
+         LEAST({B - 1}, CAST(FLOOR((x1 - e.mn1) / e.w1) AS INT)) AS b1,
+         0 AS node
+  FROM src, ed e)"""
+
+
+def _tree_level_ctes(p: str, d: int, prev: str) -> str:
+    """One tree-grow level as chained CTEs (prefix ``p``, depth ``d``,
+    binned-and-assigned input CTE ``prev``): exact (count, Σy) histogram
+    for the level's ACTIVE nodes, per-feature cumulative marginals, the
+    staged-float gain argmax with (gain DESC, feature, bin) tie-break,
+    strict improvement over the no-split baseline, and the child
+    assignment. Mirrors ``_grow_hist_tree`` decision for decision —
+    every float is produced by the same exact-int→double casts and the
+    same IEEE op order, so the chosen tree is identical, not close."""
+    B, L = _TREE_BINS, _TREE_MIN_LEAF
+    active = (
+        "node = 0"
+        if d == 0
+        else f"node IN (SELECT 2*node + 1 FROM {p}s{d - 1} "
+        f"UNION ALL SELECT 2*node + 2 FROM {p}s{d - 1})"
+    )
+    out = f"""
+{p}h{d} AS MATERIALIZED (
+  SELECT node, b0, b1, COUNT(*) AS n, SUM(y) AS sy
+  FROM {prev} WHERE {active} GROUP BY node, b0, b1),
+{p}t{d} AS MATERIALIZED (
+  SELECT node, CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(sy) AS BIGINT) AS sy_tot
+  FROM {p}h{d} GROUP BY node)"""
+    if d < _TREE_DEPTH:
+        out += f""",
+{p}c{d} AS (
+  SELECT node, f, bin,
+         CAST(SUM(cn) OVER (PARTITION BY node, f ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln,
+         CAST(SUM(cs) OVER (PARTITION BY node, f ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ls
+  FROM (SELECT node, 0 AS f, b0 AS bin, SUM(n) AS cn, SUM(sy) AS cs
+        FROM {p}h{d} GROUP BY node, b0
+        UNION ALL
+        SELECT node, 1 AS f, b1 AS bin, SUM(n) AS cn, SUM(sy) AS cs
+        FROM {p}h{d} GROUP BY node, b1) mg),
+{p}g{d} AS (
+  SELECT c.node, c.f, c.bin AS s,
+         CAST(c.ls AS DOUBLE) * CAST(c.ls AS DOUBLE) / CAST(c.ln AS DOUBLE)
+           + CAST(t.sy_tot - c.ls AS DOUBLE) * CAST(t.sy_tot - c.ls AS DOUBLE)
+             / CAST(t.n_tot - c.ln AS DOUBLE) AS gain,
+         t.n_tot, t.sy_tot
+  FROM {p}c{d} c JOIN {p}t{d} t USING (node)
+  WHERE c.bin < {B - 1} AND c.ln >= {L} AND t.n_tot - c.ln >= {L}),
+{p}s{d} AS MATERIALIZED (
+  SELECT node, f, s FROM (
+    SELECT node, f, s, gain, n_tot, sy_tot,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY gain DESC, f ASC, s ASC) AS rk
+    FROM {p}g{d}) q
+  WHERE rk = 1 AND n_tot >= {2 * L}
+    AND gain > CAST(sy_tot AS DOUBLE) * CAST(sy_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+{p}a{d + 1} AS MATERIALIZED (
+  SELECT a.y, a.b0, a.b1,
+         CASE WHEN s.node IS NULL THEN a.node
+              WHEN (CASE WHEN s.f = 0 THEN a.b0 ELSE a.b1 END) > s.s
+                THEN 2*a.node + 2
+              ELSE 2*a.node + 1 END AS node
+  FROM {prev} a LEFT JOIN {p}s{d} s USING (node))"""
+    return out
+
+
+_Q6 = "FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _tree_node_rows(p: str, d: int, extra_cols: str = "") -> str:
+    """Output rows for one level: totals LEFT JOIN the level's chosen
+    splits (depth-capped levels have no split CTE → pure leaves), with
+    the threshold/mean projections floor-quantized at 1e-6 exactly as
+    the op does."""
+    thr0 = _Q6.format(x="e.mn0 + e.w0 * CAST(s.s + 1 AS DOUBLE)")
+    thr1 = _Q6.format(x="e.mn1 + e.w1 * CAST(s.s + 1 AS DOUBLE)")
+    mean = _Q6.format(x="CAST(t.sy_tot AS DOUBLE) / (100.0 * CAST(t.n_tot AS DOUBLE))")
+    if d < _TREE_DEPTH:
+        join = f"FROM {p}t{d} t LEFT JOIN {p}s{d} s USING (node), ed e"
+        kind = "CASE WHEN s.node IS NULL THEN 'leaf' ELSE 'split' END"
+        feat, sbin = "CAST(s.f AS INT)", "CAST(s.s AS INT)"
+        thr = f"CASE WHEN s.node IS NULL THEN NULL WHEN s.f = 0 THEN {thr0} ELSE {thr1} END"
+    else:  # terminal depth: the op records stats only, never splits
+        join = f"FROM {p}t{d} t, ed e"
+        kind, feat, sbin, thr = "'leaf'", "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS DOUBLE)"
+    return f"""
+  SELECT {extra_cols}CAST(t.node AS INT) AS node, {d} AS depth, {kind} AS kind,
+         {feat} AS feature, {sbin} AS split_bin, {thr} AS threshold,
+         t.n_tot AS n, {mean} AS mean_y
+  {join}"""
+
+
+def _hist_tree_sql() -> str:
+    """Full-replication DuckDB oracle for ml_decision_tree_hist: replay
+    binning, every level's histogram + gain argmax + assignment as one
+    chained-CTE query (the unrolled fixed-round pattern — kmeans/LPA
+    precedent), emit one row per recorded node."""
+    ctes = _tree_bin_ctes()
+    prev = "b0src"
+    for d in range(_TREE_DEPTH + 1):
+        ctes += "," + _tree_level_ctes("", d, prev)
+        prev = f"a{d + 1}"
+    levels = "\n  UNION ALL".join(
+        _tree_node_rows("", d) for d in range(_TREE_DEPTH + 1)
+    )
+    return f"WITH{ctes}\nSELECT * FROM ({levels}\n) ORDER BY node"
+
+
+@op("ml_decision_tree_hist", sql=_hist_tree_sql())
 def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Depth-2 regression tree grown the way every distributed GBDT
     grows trees (XGBoost's approx/hist algorithm, LightGBM): features
     are pre-binned (16 fixed-width bins), each level is ONE map-side
     partial aggregate building the per-(node, bin-cell) moment
-    histogram — count, Σy, Σy² — and split selection happens on that
+    histogram — count, Σy — and split selection happens on that
     tiny histogram, never on rows. Predicts l_extendedprice (centi-unit
-    integer y) from l_quantity and l_discount.
+    integer y) from l_quantity and l_discount. The split objective is
+    the gain form ls²/ln + rs²/rn (Σy² cancels from every comparison
+    — see _grow_hist_tree), so the histogram carries two moments, not
+    three.
 
     One 2-D (16×16) histogram per node serves BOTH features — each
     feature's 1-D split scan is a marginal of it, so a level costs one
@@ -2152,8 +2306,11 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
 
     Output: one row per tree node — split nodes carry (feature,
     split_bin, threshold), leaves carry NULLs — plus exact n and the
-    centi-unit-exact mean for every node. Certified by a pure-pandas
-    replica test that must reproduce the tree byte-for-byte."""
+    1e-6-quantized mean for every node. Certified two ways: a
+    pure-pandas replica test reproduces the tree byte-for-byte, and the
+    FULL-replication DuckDB oracle (_hist_tree_sql — unrolled per-level
+    CTE chain replaying binning, histograms, the staged-float gain
+    argmax, and assignment) hash-matches the whole node table."""
     df, edges = _binned_lineitem(spark, sf)
     nodes, _df_assigned = _grow_hist_tree(df)
 
@@ -2161,8 +2318,8 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
     for nid in sorted(nodes):
         nd = nodes[nid]
         f, s = nd["feature"], nd["split_bin"]
-        thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
-        mean = round(nd["sy"] / (100.0 * nd["n"]), 6) if nd["n"] else None
+        thr = None if f is None else _q6(edges[f][0] + edges[f][1] * (s + 1))
+        mean = _q6(nd["sy"] / (100.0 * nd["n"])) if nd["n"] else None
         rows.append(
             (
                 nid, nd["depth"],
@@ -2267,7 +2424,88 @@ _GBDT_ROUNDS = 3
 _GBDT_LR = 0.5
 
 
-@op("ml_gbdt_hist", sql=None)  # iterative residual fitting — rows-only
+def _gbdt_node_rows(p: str, rnd: int, d: int) -> str:
+    """GBDT output rows for one (round, level): the tree emitter's shape
+    plus the round number and the shrunken leaf value (NULL on splits)."""
+    thr0 = _Q6.format(x="e.mn0 + e.w0 * CAST(s.s + 1 AS DOUBLE)")
+    thr1 = _Q6.format(x="e.mn1 + e.w1 * CAST(s.s + 1 AS DOUBLE)")
+    val = _Q6.format(x="l.pred / 100.0")
+    if d < _TREE_DEPTH:
+        join = (
+            f"FROM {p}t{d} t LEFT JOIN {p}s{d} s USING (node) "
+            f"LEFT JOIN {p}leaves l USING (node), ed e"
+        )
+        kind = "CASE WHEN s.node IS NULL THEN 'leaf' ELSE 'split' END"
+        feat, sbin = "CAST(s.f AS INT)", "CAST(s.s AS INT)"
+        thr = f"CASE WHEN s.node IS NULL THEN NULL WHEN s.f = 0 THEN {thr0} ELSE {thr1} END"
+        value = f"CASE WHEN s.node IS NULL THEN {val} ELSE NULL END"
+    else:
+        join = f"FROM {p}t{d} t LEFT JOIN {p}leaves l USING (node), ed e"
+        kind, feat, sbin = "'leaf'", "CAST(NULL AS INT)", "CAST(NULL AS INT)"
+        thr, value = "CAST(NULL AS DOUBLE)", val
+    return f"""
+  SELECT {rnd} AS rnd, CAST(t.node AS INT) AS node, {d} AS depth, {kind} AS kind,
+         {feat} AS feature, {sbin} AS split_bin, {thr} AS threshold,
+         t.n_tot AS n, {value} AS value
+  {join}"""
+
+
+def _gbdt_sql() -> str:
+    """Full-replication DuckDB oracle for ml_gbdt_hist: 3 boosting
+    rounds × the per-level tree-grow chain, plus per-round leaf
+    shrinkage, the HALF-UP-at-ties residual round-back to exact
+    centi-unit integers (scale-0 round() agrees cross-engine — both
+    round ties away from zero), and the RMSE row. The only
+    non-bit-identical float is the RMSE's Σy²→double conversion (Σy²
+    exceeds 2⁵³, where DuckDB's HUGEINT cast is not correctly rounded —
+    measured 1-ulp class), absorbed by the 1e-6 floor quantization's
+    ~8-orders-of-magnitude margin; every split decision uses only
+    sub-2⁵³ staged floats (see _grow_hist_tree) and replays exactly."""
+    ctes = _tree_bin_ctes()
+    selects = []
+    prev_b = "b0src"
+    for r in range(1, _GBDT_ROUNDS + 1):
+        p = f"r{r}"
+        prev = prev_b
+        for d in range(_TREE_DEPTH + 1):
+            ctes += "," + _tree_level_ctes(p, d, prev)
+            prev = f"{p}a{d + 1}"
+        leaf_parts = []
+        for d in range(_TREE_DEPTH + 1):
+            if d < _TREE_DEPTH:
+                leaf_parts.append(
+                    f"SELECT t.node, t.n_tot, t.sy_tot FROM {p}t{d} t "
+                    f"LEFT JOIN {p}s{d} s USING (node) WHERE s.node IS NULL"
+                )
+            else:
+                leaf_parts.append(f"SELECT node, n_tot, sy_tot FROM {p}t{d}")
+        fin = f"{p}a{_TREE_DEPTH}"
+        ctes += f""",
+{p}leaves AS MATERIALIZED (
+  SELECT node, (0.5 * CAST(sy_tot AS DOUBLE)) / CAST(n_tot AS DOUBLE) AS pred
+  FROM ({" UNION ALL ".join(leaf_parts)}) lv WHERE n_tot > 0),
+{p}res AS MATERIALIZED (
+  SELECT CAST(round(CAST(a.y AS DOUBLE) - COALESCE(l.pred, 0.0)) AS BIGINT) AS y,
+         a.b0, a.b1, 0 AS node
+  FROM {fin} a LEFT JOIN {p}leaves l USING (node)),
+{p}mom AS (SELECT COUNT(*) AS n, SUM(y*y) AS syy FROM {p}res)"""
+        for d in range(_TREE_DEPTH + 1):
+            selects.append(_gbdt_node_rows(p, r, d))
+        rmse = _Q6.format(
+            x="sqrt(CAST(m.syy AS DOUBLE) / CAST(m.n AS DOUBLE)) / 100.0"
+        )
+        selects.append(f"""
+  SELECT {r} AS rnd, -1 AS node, CAST(NULL AS INT) AS depth,
+         'round_rmse' AS kind, CAST(NULL AS INT) AS feature,
+         CAST(NULL AS INT) AS split_bin, CAST(NULL AS DOUBLE) AS threshold,
+         CAST(m.n AS BIGINT) AS n, {rmse} AS value
+  FROM {p}mom m""")
+        prev_b = f"{p}res"
+    body = "\n  UNION ALL".join(selects)
+    return f"WITH{ctes}\nSELECT * FROM ({body}\n) ORDER BY rnd, node"
+
+
+@op("ml_gbdt_hist", sql=_gbdt_sql())
 def ml_gbdt_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Gradient-boosted trees with squared loss = iterated residual
     fitting — 3 rounds of the SAME histogram tree-grow
@@ -2303,8 +2541,8 @@ def ml_gbdt_hist(spark: SparkSession, sf: str) -> DataFrame:
         for nid in sorted(nodes):
             nd = nodes[nid]
             f, s = nd["feature"], nd["split_bin"]
-            thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
-            val = round(preds[nid] / 100.0, 6) if nid in preds else None
+            thr = None if f is None else _q6(edges[f][0] + edges[f][1] * (s + 1))
+            val = _q6(preds[nid] / 100.0) if nid in preds else None
             out_rows.append(
                 (rnd, nid, nd["depth"], "split" if f is not None else "leaf",
                  f, s, thr, nd["n"], val)
@@ -2323,7 +2561,7 @@ def ml_gbdt_hist(spark: SparkSession, sf: str) -> DataFrame:
         ).collect()[0]
         rmse = _math.sqrt(int(mom["syy"]) / mom["n"]) / 100.0
         out_rows.append((rnd, -1, None, "round_rmse", None, None, None,
-                         mom["n"], round(rmse, 6)))
+                         mom["n"], _q6(rmse)))
     return spark.createDataFrame(
         out_rows,
         "rnd int, node int, depth int, kind string, feature int, "

@@ -1240,6 +1240,11 @@ def test_decision_tree_hist_matches_pandas_replica(spark):
         edges.append((mn, w))
         bins[:, f] = np.minimum(B - 1, np.floor((x[:, f] - mn) / w)).astype(np.int64)
 
+    import math
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     node = np.zeros(len(li), dtype=np.int64)
     want = {}
     active = [0]
@@ -1249,12 +1254,13 @@ def test_decision_tree_hist_matches_pandas_replica(spark):
             m = node == nid
             n_tot = int(m.sum())
             sy = int(y[m].sum())
-            want[nid] = dict(depth=depth, n=n_tot, mean=round(sy / (100.0 * n_tot), 6),
+            want[nid] = dict(depth=depth, n=n_tot, mean=q6(sy / (100.0 * n_tot)),
                              feature=None, sbin=None)
             if depth == DEPTH or n_tot < 2 * MIN_LEAF:
                 continue
-            syy = int((y[m].astype(object) ** 2).sum())
-            sse_parent = syy - sy * sy / n_tot
+            # gain form: Σy² cancels from every split comparison (the op's
+            # staged-float derivation — see _grow_hist_tree)
+            gain_parent = float(sy) * float(sy) / float(n_tot)
             best = None
             for f in (0, 1):
                 for s in range(B - 1):
@@ -1263,13 +1269,15 @@ def test_decision_tree_hist_matches_pandas_replica(spark):
                     rn = n_tot - ln
                     if ln < MIN_LEAF or rn < MIN_LEAF:
                         continue
-                    ls, lq = int(y[lm].sum()), int((y[lm].astype(object) ** 2).sum())
-                    rs, rq = sy - ls, syy - lq
-                    obj = (lq - ls * ls / ln) + (rq - rs * rs / rn)
-                    cand = (obj, f, s)
+                    ls = int(y[lm].sum())
+                    rs = sy - ls
+                    gain = float(ls) * float(ls) / float(ln) + float(rs) * float(
+                        rs
+                    ) / float(rn)
+                    cand = (-gain, f, s)
                     if best is None or cand < best:
                         best = cand
-            if best is not None and best[0] < sse_parent:
+            if best is not None and -best[0] > gain_parent:
                 f, s = best[1], best[2]
                 want[nid]["feature"], want[nid]["sbin"] = f, s
                 right = m & (bins[:, f] > s)
@@ -1291,7 +1299,7 @@ def test_decision_tree_hist_matches_pandas_replica(spark):
             assert r["kind"] == "split"
             assert int(r["feature"]) == w["feature"] and int(r["split_bin"]) == w["sbin"]
             mn, wdt = edges[w["feature"]]
-            assert abs(r["threshold"] - round(mn + wdt * (w["sbin"] + 1), 6)) < 1e-9
+            assert abs(r["threshold"] - q6(mn + wdt * (w["sbin"] + 1))) < 1e-9
 
 
 def test_pack_bestfit_replica_and_bounds(spark):
@@ -1806,7 +1814,13 @@ def test_gbdt_hist_matches_pandas_replica(spark):
     import numpy as np
     import pandas as pd
 
+    import math
+
     B, DEPTH, MIN_LEAF, ROUNDS, LR = 16, 2, 100, 3, 0.5
+
+    def q6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
     got = (
         all_ops()["ml_gbdt_hist"]
         .fn(spark, SF_SMALL)
@@ -1840,8 +1854,8 @@ def test_gbdt_hist_matches_pandas_replica(spark):
                 nodes[nid] = dict(depth=depth, n=n_tot, sy=sy, feature=None, sbin=None)
                 if depth == DEPTH or n_tot < 2 * MIN_LEAF:
                     continue
-                syy = int((yv[m].astype(object) ** 2).sum())
-                sse_parent = syy - sy * sy / n_tot
+                # gain form: Σy² cancels from every split comparison
+                gain_parent = float(sy) * float(sy) / float(n_tot)
                 best = None
                 for f in (0, 1):
                     for s in range(B - 1):
@@ -1849,12 +1863,13 @@ def test_gbdt_hist_matches_pandas_replica(spark):
                         ln = int(lm.sum()); rn = n_tot - ln
                         if ln < MIN_LEAF or rn < MIN_LEAF:
                             continue
-                        ls = int(yv[lm].sum()); lq = int((yv[lm].astype(object) ** 2).sum())
-                        rs, rq = sy - ls, syy - lq
-                        obj = (lq - ls * ls / ln) + (rq - rs * rs / rn)
-                        if best is None or (obj, f, s) < best:
-                            best = (obj, f, s)
-                if best is not None and best[0] < sse_parent:
+                        ls = int(yv[lm].sum())
+                        rs = sy - ls
+                        gain = (float(ls) * float(ls) / float(ln)
+                                + float(rs) * float(rs) / float(rn))
+                        if best is None or (-gain, f, s) < best:
+                            best = (-gain, f, s)
+                if best is not None and -best[0] > gain_parent:
                     f, s = best[1], best[2]
                     nodes[nid]["feature"], nodes[nid]["sbin"] = f, s
                     right = m & (bins[:, f] > s)
@@ -1878,15 +1893,15 @@ def test_gbdt_hist_matches_pandas_replica(spark):
         for nid in sorted(nodes):
             nd = nodes[nid]
             f, s = nd["feature"], nd["sbin"]
-            thr = None if f is None else round(edges[f][0] + edges[f][1] * (s + 1), 6)
-            val = round(preds[nid] / 100.0, 6) if nid in preds else None
+            thr = None if f is None else q6(edges[f][0] + edges[f][1] * (s + 1))
+            val = q6(preds[nid] / 100.0) if nid in preds else None
             want.append((rnd, nid, nd["depth"], "split" if f is not None else "leaf",
                          f, s, thr, nd["n"], val))
         p = np.array([preds.get(nd, 0.0) for nd in node])
         delta = resid - p
         resid = (np.sign(delta) * np.floor(np.abs(delta) + 0.5)).astype(np.int64)
         rmse = float(np.sqrt(int((resid.astype(object) ** 2).sum()) / len(resid)) / 100.0)
-        want.append((rnd, -1, None, "round_rmse", None, None, None, len(resid), round(rmse, 6)))
+        want.append((rnd, -1, None, "round_rmse", None, None, None, len(resid), q6(rmse)))
 
     want.sort(key=lambda r: (r[0], r[1]))
     assert len(got) == len(want)
