@@ -96,11 +96,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 STATE_VERSION = "v3"  # r3: fixed-k IVF quantizer changes persisted index content
 
 
+def _file_print(full: str, rel: str) -> str:
+    """One file's fingerprint line: (relpath, size, mtime_ns) plus a
+    64-byte head/tail content sample (ADVICE r11: a same-size corpus
+    regeneration on a filesystem with coarse mtime granularity could
+    slip past a pure stat fingerprint; parquet head/tail cover the
+    magic + footer metadata, which change with any rewrite)."""
+    import hashlib
+    import os
+
+    st = os.stat(full)
+    with open(full, "rb") as fh:
+        head = fh.read(64)
+        fh.seek(max(0, st.st_size - 64))
+        tail = fh.read(64)
+    sample = hashlib.md5(head + tail).hexdigest()[:8]
+    return f"{rel}:{st.st_size}:{st.st_mtime_ns}:{sample}"
+
+
 def _sf_data_fingerprint(sf_dir: str) -> str:
     """Cheap filesystem fingerprint of every parquet table under
-    ``sf_dir`` — (relative path, size, mtime_ns) per file, md5-folded.
-    The _corpus_fingerprint idea (llm_ops, ADVICE r9) applied to the
-    whole dataset: it changes whenever ANY table is rewritten."""
+    ``sf_dir`` — (relative path, size, mtime_ns, 128-byte content
+    sample) per file, md5-folded. The _corpus_fingerprint idea
+    (llm_ops, ADVICE r9) applied to the whole dataset: it changes
+    whenever ANY table is rewritten."""
     import glob
     import hashlib
     import os
@@ -113,12 +132,9 @@ def _sf_data_fingerprint(sf_dir: str) -> str:
                     dirs.sort()
                     for f in sorted(files):
                         full = os.path.join(root, f)
-                        st = os.stat(full)
-                        rel = os.path.relpath(full, sf_dir)
-                        parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+                        parts.append(_file_print(full, os.path.relpath(full, sf_dir)))
             else:
-                st = os.stat(p)
-                parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+                parts.append(_file_print(p, os.path.basename(p)))
         except OSError:
             continue
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:10]
@@ -141,25 +157,42 @@ def state_dir(tag: str, sf_dir: str) -> str:
     )
 
 
-def cleanup_stale_state(dry_run: bool = False) -> list[str]:
+def cleanup_stale_state(
+    dry_run: bool = False, sf_dirs: list[str] | None = None
+) -> list[str]:
     """Delete state dirs written under OLDER STATE_VERSIONs — the garbage
     the version bump necessarily leaves behind (a bump orphans every
     ``bpspark_{tag}_{old}_{sf}`` tree; /tmp outlives rounds, so without
-    this they accumulate one generation per bump). Current-version dirs
-    are never touched. Returns the removed (or, with ``dry_run``,
-    would-be-removed) paths. Invoked manually or from session setup —
-    never from inside an op (ops must not mutate global state)."""
+    this they accumulate one generation per bump). With ``sf_dirs``,
+    additionally prune SUPERSEDED-FINGERPRINT dirs at the current
+    version (ADVICE r11): for each given dataset path, any
+    ``bpspark_{tag}_{cur}_{base}_{fp}`` whose basename matches but whose
+    fingerprint differs from the dataset's LIVE fingerprint was written
+    against a previous generation of the data and can never be read
+    again. Current-version, current-fingerprint dirs are never touched.
+    Returns the removed (or, with ``dry_run``, would-be-removed) paths.
+    Invoked manually or from session setup — never from inside an op
+    (ops must not mutate global state)."""
     import glob
     import os
     import re
     import shutil
     import tempfile
 
-    pat = re.compile(r"^bpspark_[A-Za-z0-9]+_(v\d+)_")
+    live_fp = {
+        os.path.basename(d.rstrip("/")): _sf_data_fingerprint(d)
+        for d in (sf_dirs or [])
+    }
+    pat = re.compile(r"^bpspark_[A-Za-z0-9]+_(v\d+)_(.+)_([0-9a-f]{10})$")
     removed: list[str] = []
     for path in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_*_v*_*")):
         m = pat.match(os.path.basename(path))
-        if m and m.group(1) != STATE_VERSION and os.path.isdir(path):
+        if not (m and os.path.isdir(path)):
+            continue
+        ver, base, fp = m.group(1), m.group(2), m.group(3)
+        stale_version = ver != STATE_VERSION
+        superseded = ver == STATE_VERSION and base in live_fp and fp != live_fp[base]
+        if stale_version or superseded:
             removed.append(path)
             if not dry_run:
                 shutil.rmtree(path, ignore_errors=True)

@@ -245,7 +245,17 @@ def sink_quarantine_table(quarantine: DataFrame, quarantine_dir: str) -> None:
     r10): foreachBatch is at-least-once, so a bare append would duplicate
     quarantine rows on a batch retry or a harness re-run over an existing
     stage dir. Anti-join on ``path`` — the arrival's unique identity —
-    against the existing table, so a replayed batch adds zero rows."""
+    against the existing table, so a replayed batch adds zero rows.
+
+    ``path`` is deliberately the arrival's PERMANENT identity, matching
+    the arrivals ledger (ADVICE r11): a file fixed and re-dropped at the
+    same path is the same arrival to the whole pipeline — the ledger
+    would not re-ingest it either — so it must not produce a second
+    quarantine record; the reference's drop-folder contract likewise
+    treats a path as consumed once (MetadataIngestionServiceImpl.java:
+    93-248 moves each file out of the folder exactly once). Duplicate
+    paths WITHIN one batch cannot occur: the stream source lists each
+    file once per run and the stage dir is keyed by path."""
     import glob
     import os
 

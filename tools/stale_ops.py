@@ -251,7 +251,15 @@ def op_closure_source(fn) -> str:
                 continue
             try:
                 mod = importlib.import_module(modname)
-            except ImportError:
+            except Exception as exc:  # noqa: BLE001 — ADVICE r11: an
+                # import that raises ANYTHING (env-dependent side
+                # effects, not just ImportError) must surface as a
+                # visible skip, not silently narrow the closure hash
+                print(
+                    f"warn: closure import {modname} failed ({exc!r}) — "
+                    "its helpers are NOT in the staleness hash",
+                    file=sys.stderr,
+                )
                 continue
             for alias in node.names:
                 v = getattr(mod, alias.name, None)
