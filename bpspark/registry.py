@@ -43,12 +43,57 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the ROUND-11 driver window (50 ops; the grading sweep
-    # covers exactly this front). Manifest rebuilt with
-    # CORRECTNESS_r01..r10 (r10 artifact rev 42999e6) under the
-    # local-import-aware closure scheme (ADVICE r10 medium, fixed this
-    # round: function-local `from bpspark.X import h` now joins the
-    # closure hash). Composition:
+    # --- tier A: the ROUND-12 driver window (50 ops; the grading sweep
+    # covers exactly this front). Manifest rebuilt this round with
+    # CORRECTNESS_r01..r11 at their snapshot revs under the
+    # path-independent closure scheme (VERDICT r11 What's-wrong 1:
+    # __file__-class module dunders no longer leak checkout paths into
+    # the hash; FRESH 382 / STALE 0 reproducible from a second
+    # checkout). Composition:
+    #  * slots 1-4: the round's stale set — the two hist-tree ML ops
+    #    (rows-only -> FULL-REPLICATION ORACLE upgrade via the gain-form
+    #    objective, same-round row), stream_ingest_pipeline (staled by
+    #    the quarantine-identity doc), rag_retrieval_eval (query-side
+    #    collect id-capped at O(500) — the VERDICT r11 'weak' fix);
+    "ml_decision_tree_hist", "ml_gbdt_hist",
+    "stream_ingest_pipeline", "rag_retrieval_eval",
+    #  * slots 5-16: rows-only rotation, the 12 oldest rows-only driver
+    #    rows in the repo (r4 multimodal-stub quartet +
+    #    hll_intersection, r6 image-phash/pq pair/adc, r8 sketch pair +
+    #    pca + deterministic sampler) per VERDICT r11 item 3;
+    "agg_sketch_hll_intersection", "multimodal_decode_stub",
+    "multimodal_frame_sample", "multimodal_resize_stub",
+    "multimodal_video_frames", "dedup_image_phash",
+    "embedding_pq_encode", "sim_pq_adc_search",
+    "agg_approx_percentile", "agg_sketch_hll",
+    "ml_pca_top_component", "sample_deterministic",
+    #  * slot 17: scan_python_datasource — fresh row under the FIXED
+    #    closure scheme (it was the op whose manifest hash could never
+    #    reproduce; VERDICT r11 item 1's re-cert);
+    "scan_python_datasource",
+    #  * slots 18-50: oracle re-cert fillers, oldest rows first — the
+    #    remaining r1 relational/function core, then the r2 text/dedup/
+    #    stream block (includes headline sim_cosine_topk).
+    "filter_like_regex", "filter_null_required", "fn_bitwise",
+    "fn_date_arith", "fn_hash_encode", "gen_calendar_dim",
+    "join_cross_small", "join_full_outer", "join_left_outer",
+    "join_semi_validate", "join_theta_range", "limit_n",
+    "project_map_keys", "set_intersect_all", "set_union_all",
+    "set_union_distinct", "win_lag_lead", "win_ntile_first_last",
+    "win_rank_dense", "win_running_sum",
+    "cdc_snapshot_diff", "dedup_cluster_cc", "dedup_exact_hash",
+    "dedup_exact_normalized", "dedup_incremental_exact",
+    "dedup_token_sorted", "dq_expectations", "join_bloom_prefilter",
+    "sim_cosine_topk", "sink_zorder_clustered",
+    "stream_session_dynamic_gap", "stream_session_window",
+    "stream_tumbling_count",
+    # --- (former tier A) the ROUND-11 driver window, kept in r11 order
+    # for deterministic re-cert priority (names already listed above
+    # keep their tier-A slot — first occurrence wins in _ordered).
+    # Historical r11 notes: manifest rebuilt with CORRECTNESS_r01..r10
+    # (r10 artifact rev 42999e6) under the local-import-aware closure
+    # scheme (ADVICE r10 medium: function-local `from bpspark.X import
+    # h` joined the closure hash). Composition was:
     #  * slots 1-4: the 4 ops the closure fix newly exposed as STALE —
     #    their function-locally-imported IVF/datasource helpers were
     #    edited r6-r9 AFTER their rows, invisible to the old
