@@ -227,6 +227,10 @@ def _ingest_throughput(spark) -> tuple[int, int]:
         parsed.count()
         dt = time.perf_counter() - t0
         floor = dt if floor is None else min(floor, dt)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)  # r12 hunt: 1000 staged
+    # zips per bench run accumulated in /tmp forever
     return int(n / best), int(n / floor)
 
 

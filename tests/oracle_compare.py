@@ -18,7 +18,10 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\x00NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
+        # math.isfinite guard (r12 harness hunt): int(inf) raises
+        # OverflowError, which would crash the comparator instead of
+        # reporting the cell — an op emitting ±inf must FAIL, not ERROR
+        if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
             return f"f:{int(v)}"
         return f"f:{v!r}"
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":

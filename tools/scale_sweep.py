@@ -45,7 +45,7 @@ def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
 
-    from oracle_compare import compare_frames
+    from oracle_compare import compare_frames, register_views
 
     spark = (
         SparkSession.builder.master("local[16]")
@@ -58,11 +58,9 @@ def main() -> None:
 
     q, o = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # shared view list (r12 harness hunt: this tool still carried its own
+    # inline copy of the table list — the r8 drift class)
+    register_views(con, sf_dir)
 
     res: dict[str, dict] = {}
     bad: list[str] = []
