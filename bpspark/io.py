@@ -183,7 +183,9 @@ def cleanup_stale_state(
         os.path.basename(d.rstrip("/")): _sf_data_fingerprint(d)
         for d in (sf_dirs or [])
     }
-    pat = re.compile(r"^bpspark_[A-Za-z0-9]+_(v\d+)_(.+)_([0-9a-f]{10})$")
+    # fingerprint suffix OPTIONAL: dirs written by pre-fingerprint code
+    # generations have none — the version GC must still remove them
+    pat = re.compile(r"^bpspark_[A-Za-z0-9]+_(v\d+)_(.+?)(?:_([0-9a-f]{10}))?$")
     removed: list[str] = []
     for path in glob.glob(os.path.join(tempfile.gettempdir(), "bpspark_*_v*_*")):
         m = pat.match(os.path.basename(path))
@@ -191,7 +193,12 @@ def cleanup_stale_state(
             continue
         ver, base, fp = m.group(1), m.group(2), m.group(3)
         stale_version = ver != STATE_VERSION
-        superseded = ver == STATE_VERSION and base in live_fp and fp != live_fp[base]
+        superseded = (
+            ver == STATE_VERSION
+            and fp is not None
+            and base in live_fp
+            and fp != live_fp[base]
+        )
         if stale_version or superseded:
             removed.append(path)
             if not dry_run:
