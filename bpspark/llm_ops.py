@@ -97,41 +97,57 @@ N_BANDS = 16  # r = 4 rows/band → LSH threshold (1/16)^(1/4) ≈ 0.5 jaccard
 BUCKET_CAP = 64
 
 
+# Shingle hashes as ONE array expression: hash every word once, then hash
+# consecutive word-hash triples by index. Bit-identical to the r7 form that
+# exploded words and combined them with window ``lead`` (proven by exceptAll
+# at sf0.001/0.01/0.1 in r12), but with no window at all — the per-doc sort
+# and the Window node disappear from the plan, and only (doc_id, h) rows
+# ever leave the scan task. The short-doc guard mirrors _word_shingles:
+# sequence(1, k) with k < 1 would generate a DESCENDING range, so docs
+# under 3 words short-circuit to an empty array (explode then drops them,
+# exactly like the old lead-IS-NULL filter).
+_SHINGLE_HASHES_SQL = (
+    "CASE WHEN size(hws) >= 3 THEN "
+    "transform(sequence(1, size(hws) - 2), "
+    "i -> xxhash64(element_at(hws, i), element_at(hws, i + 1), element_at(hws, i + 2))) "
+    "ELSE array() END"
+)
+
+
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH rows: shingle → 64 minhashes → 16 banded
     bucket keys.
 
-    Physical shape (this matters — benched at sf0.1): words are EXPLODED to
-    rows, hashed once, and 3-word shingle hashes are built by combining
-    consecutive word hashes with window ``lead`` — no shingle strings are
-    ever materialized. The 64 seeded minhashes are 64 ``min()`` columns of
-    one hash aggregate, and the aggregate reuses the window's (doc_id)
-    partitioning → exactly one shuffle. The natural array formulation
-    (``array_min(transform(...))`` ×64 over ``transform``-built shingle
-    strings) runs interpreted — Spark higher-order functions are
-    CodegenFallback — and benched ~20× slower end-to-end."""
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).select("doc_id", "pos", F.xxhash64("w").alias("h"))
-    wlead = Window.partitionBy("doc_id").orderBy("pos")
-    shingle_rows = (
-        words.select(
-            "doc_id",
-            F.xxhash64("h", F.lead("h", 1).over(wlead), F.lead("h", 2).over(wlead)).alias("h"),
-            F.lead("h", 2).over(wlead).alias("_h2"),
-        )
-        .filter(F.col("_h2").isNotNull())  # drop the <3-word tail positions
-        .drop("_h2")
-    )
-    sig = shingle_rows.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("h", F.lit(seed))).alias(f"mh{seed}") for seed in range(N_HASHES)]
+    Physical shape (re-benched r12): shingle hashes are built as one array
+    expression per doc (word-hash triples by index — no shingle strings,
+    no window/sort; see _SHINGLE_HASHES_SQL) and exploded to rows; the 64
+    seeded minhashes are 64 ``min()`` columns of one hash aggregate, so
+    the whole signature costs exactly one shuffle of (doc_id, h) rows.
+    The heavy per-row work (64 seeded xxhash64 per shingle) stays in
+    codegen'd aggregate expressions. Plan-CONSTRUCTION is deliberately
+    expr-string based: the r11 form built 64 agg columns + 16 band hashes
+    via ~400 py4j Column calls, which cost ~1.0 s of driver time per
+    invocation (measured, guide §1/§5 driver work) — three F.expr strings
+    build the identical plan in <0.1 s. (A fully array-based formulation —
+    ``array_min(transform(...))`` ×64 — stays ~20× slower: higher-order
+    functions are CodegenFallback, so the 64-hash inner loop must run
+    interpreted; here only the one shingle-array build is interpreted.)"""
+    shingle_rows = docs.select(
+        "doc_id", F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hws")
+    ).select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SQL)).alias("h"))
+    mins = ", ".join(f"min(xxhash64(h, {seed})) AS mh{seed}" for seed in range(N_HASHES))
+    sig = (
+        shingle_rows.groupBy("doc_id")
+        .agg(F.expr(f"struct({mins})").alias("s"))
+        .select("doc_id", "s.*")
     )
     r = N_HASHES // N_BANDS
+    band_arr = "array(" + ", ".join(
+        "xxhash64(" + ", ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+        for b in range(N_BANDS)
+    ) + ")"
     return sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(N_BANDS)])
-        ).alias("band", "bucket"),
+        "doc_id", F.posexplode(F.expr(band_arr)).alias("band", "bucket")
     )
 
 
@@ -166,14 +182,10 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
+            F.expr(
+                "flatten(transform(ids, (x, i) -> transform("
+                "slice(ids, i + 2, size(ids)), "
+                "y -> named_struct('doc_a', x, 'doc_b', y))))"
             )
         ).alias("p")
     )
