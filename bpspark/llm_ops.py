@@ -578,7 +578,25 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+# Sequential left-fold dot product (bit-identical to DuckDB's list_reduce
+# replay — the fold order IS the contract; see TOPK_SQL). The SQL-string
+# template parses to the exact same expression tree as the old
+# F.zip_with/F.aggregate lambda form (0.0D ≡ F.lit(0.0): DoubleType), but
+# one F.expr call replaces ~15 py4j round-trips per dot — plan-construction
+# time, which the r12 profiling showed dominating the similarity ops'
+# wall-clock at bench scale (guide §1/§5: driver-side work).
+_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
 def _dot(a, b):
+    """Fold dot product. Pass COLUMN NAMES (strings) where possible — the
+    expr-string path is ~15× cheaper to construct; Column objects take the
+    legacy lambda path (identical expression tree, more py4j chatter)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_DOT_SQL.format(a=a, b=b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -587,7 +605,7 @@ def _dot(a, b):
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    return df.withColumn("norm", F.expr("sqrt(" + _DOT_SQL.format(a="embedding", b="embedding") + ")"))
 
 
 def _with_norm_guarded(df: DataFrame) -> DataFrame:
@@ -597,8 +615,11 @@ def _with_norm_guarded(df: DataFrame) -> DataFrame:
     DuckDB's NULLS-LAST default. Used by the portable (oracle-replicated)
     IVF pair; mirrored in _ivf_portable_cte_sql's ``e`` CTE as
     coalesce(nullif(norm, 0), 1.0)."""
-    n = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    return df.withColumn("norm", F.when(n == 0.0, F.lit(1.0)).otherwise(n))
+    dot = _DOT_SQL.format(a="embedding", b="embedding")
+    return df.withColumn(
+        "norm",
+        F.expr(f"CASE WHEN sqrt({dot}) = 0.0D THEN 1.0D ELSE sqrt({dot}) END"),
+    )
 
 
 TOPK_SQL = """
@@ -646,7 +667,7 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -693,7 +714,7 @@ def sim_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
         return side.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
 
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
@@ -741,7 +762,7 @@ def sim_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
             F.col("norm").alias("c_norm"),
         )
     )
-    sim_to_cent = (_dot(F.col("embedding"), F.col("c_emb")) / (F.col("norm") * F.col("c_norm")))
+    sim_to_cent = (_dot("embedding", "c_emb") / (F.col("norm") * F.col("c_norm")))
     ranked = (
         e.join(F.broadcast(cents))
         .select("vec_id", "embedding", "norm", "cent_id", sim_to_cent.alias("csim"))
@@ -767,7 +788,7 @@ def sim_cosine_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -811,7 +832,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
                  F.col("embedding").alias("ea"), F.col("norm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
                  F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
-    cos = (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+    cos = (_dot("ea", "eb") / (F.col("na") * F.col("nb")))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine", cos)
@@ -1785,7 +1806,7 @@ def sim_cosine_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
         .distinct()  # a neighbor can match on several probed buckets
     )
@@ -2015,7 +2036,7 @@ def _ivf_knn_graph(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_norm") * F.col("norm"))
             ).alias("cosine"),
         )
@@ -2258,7 +2279,7 @@ def sim_ivf_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_norm") * F.col("norm"))
             ).alias("cosine"),
         )
@@ -4886,7 +4907,7 @@ def _ivf_index_query(spark: SparkSession, sf: str, query_ids: list, nprobe: int 
         F.col("norm").alias("q_norm"),
     )
     # rank clusters per query against the sidecar (tiny broadcast)
-    csim = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    csim = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     probe = (
         queries.join(F.broadcast(quant))
         .select("query_id", "q_emb", "q_norm", "cent_id", csim.alias("csim"))
@@ -4913,7 +4934,7 @@ def _ivf_index_query(spark: SparkSession, sf: str, query_ids: list, nprobe: int 
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -5370,7 +5391,7 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
             "norm",
             (
                 F.floor(
-                    (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm")))
+                    (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm")))
                     * 1e6
                     + 0.5
                 )
@@ -5520,7 +5541,7 @@ def _adaptive_route_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
     corpus = _assign_home(e, cent_lit).select(
         "vec_id", "embedding", "norm", F.col("home_cent").alias("cent_id")
     )
-    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
     ivf_scored = (
         corpus.join(
             F.broadcast(
@@ -6944,7 +6965,7 @@ def sim_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
             "query_id",
             F.col("q_label").alias("label"),
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+            (_dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -7053,7 +7074,7 @@ def sim_binary_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("hrn", F.row_number().over(wh))
         .filter(F.col("hrn") <= _BQ_RERANK)
     )
-    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))
+    cos = _dot("q_emb", "embedding") / (F.col("q_norm") * F.col("norm"))
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cand.select(

@@ -401,7 +401,7 @@ def dedup_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     dup_pairs = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cosine", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= SEMDEDUP_COS_THRESHOLD)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     ).localCheckpoint()
