@@ -114,6 +114,28 @@ _SHINGLE_HASHES_SQL = (
 )
 
 
+def _spread_if_scan_starved(rows: DataFrame, src: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``rows`` by ``keys`` ONLY when ``src``'s scan cannot
+    feed the session's cores (guide §2.5: one huge/tiny unsplittable input →
+    repartition immediately after the read). The testdata tables are single
+    small parquet files — one input split — so without this every map-side
+    partial aggregate downstream of the scan runs on ONE core regardless of
+    master size. At 100 TB the source is thousands of splits, the guard is
+    false, and no extra shuffle is ever added (a blanket repartition would
+    shuffle the full pre-aggregation row stream — a mild pessimization at
+    scale, which is why this is gated, not unconditional). The 4× margin
+    treats a splittable-multi-split single file as "not starved"."""
+    sc = rows.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        nfiles = len(src.inputFiles())
+    except Exception:  # non-file source (memory stream, etc.) — leave as is
+        return rows
+    if nfiles and nfiles * 4 < par:
+        return rows.repartition(par, *keys)
+    return rows
+
+
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH rows: shingle → 64 minhashes → 16 banded
     bucket keys.
@@ -135,6 +157,9 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     shingle_rows = docs.select(
         "doc_id", F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hws")
     ).select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SQL)).alias("h"))
+    # The 64 seeded hashes per shingle run inside the map-side partial min —
+    # on a split-starved scan that is ONE task; spread first (no-op at scale).
+    shingle_rows = _spread_if_scan_starved(shingle_rows, docs, "doc_id")
     mins = ", ".join(f"min(xxhash64(h, {seed})) AS mh{seed}" for seed in range(N_HASHES))
     sig = (
         shingle_rows.groupBy("doc_id")
