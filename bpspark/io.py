@@ -26,7 +26,7 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     needs it, so batch and stream stay consistent by construction.
     """
     try:
-        return spark.read.parquet(path)
+        return _read_parquet_cached_schema(spark, path)
     except Exception as ex:
         # Only the NANOS-rejection case warrants the legacy conf — a
         # transient failure (missing file, permissions) must re-raise
@@ -72,12 +72,52 @@ def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+# Schema-by-path cache for table(): spark.read.parquet() re-infers the
+# schema from parquet footers on EVERY call (~90-120 ms of driver time per
+# table measured on this host — the single largest plan-construction cost
+# in the r12 profile; guide §5, the driver should do almost no data work).
+# Passing the schema explicitly skips inference. This caches METADATA only
+# (never data or results) and is invalidated by a stat fingerprint
+# (size + mtime_ns of the file, or of every file in a directory table), so
+# a regenerated table re-infers. Same class as Spark's own FileIndex cache.
+_SCHEMA_CACHE: dict = {}
+
+
+def _path_stat_key(path: str):
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_size, st.st_mtime_ns)
+    parts = []
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            s = os.stat(os.path.join(root, f))
+            parts.append((f, s.st_size, s.st_mtime_ns))
+    return tuple(parts)
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        stat_key = _path_stat_key(path)
+    except OSError:
+        return spark.read.parquet(path)  # globs / remote paths: plain read
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None and cached[0] == stat_key:
+        return spark.read.schema(cached[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (stat_key, df.schema)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table; filters/pruning push into the parquet read.
 
     ``events`` goes through the version-adaptive raw read + ts
     normalization above; everything else is a plain columnar scan with
-    pushdown.
+    pushdown (schema resolved once per file fingerprint — see
+    _SCHEMA_CACHE).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -85,7 +125,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = read_events_raw(spark, f"{sf_dir}/{name}.parquet")
         return normalize_events_ts(spark, df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
 
 
 # Version tag for cross-process state directories under /tmp. These dirs

@@ -373,22 +373,33 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    acc = hs.groupBy("doc_id").agg(
-        *[
-            F.sum(F.expr(f"2 * (({half} div {1 << i}) % 2) - 1")).alias(f"a{half}{i}")
-            for half in ("lo", "hi")
-            for i in range(32)
-        ]
+    # the 64 bit-vote sums run in the map-side partial agg — spread a
+    # split-starved scan first (no-op at scale; see _spread_if_scan_starved)
+    hs = _spread_if_scan_starved(hs, docs, "doc_id")
+    # 64 sums + two 32-term assembly chains as THREE expr strings (r12: the
+    # per-column py4j form cost ~0.4 s of plan construction per call; the
+    # expression trees and value semantics are unchanged — int literal
+    # adds, bigint literal at bit 31, final cast — so the full-replication
+    # oracle is untouched).
+    sums = ", ".join(
+        f"sum(2 * (({half} div {1 << i}) % 2) - 1) AS a{half}{i}"
+        for half in ("lo", "hi")
+        for i in range(32)
+    )
+    acc = hs.groupBy("doc_id").agg(F.expr(f"struct({sums})").alias("s")).select(
+        "doc_id", "s.*"
     )
 
-    def _assemble(half: str):
-        e = F.lit(0)
-        for i in range(32):
-            e = e + F.when(F.col(f"a{half}{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return e.cast("long")
+    def _assemble(half: str) -> str:
+        chain = " + ".join(
+            f"(CASE WHEN a{half}{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+        )
+        return f"cast(0 + {chain} as bigint)"
 
     sig = acc.select(
-        "doc_id", _assemble("lo").alias("sig_lo"), _assemble("hi").alias("sig_hi")
+        "doc_id",
+        F.expr(_assemble("lo")).alias("sig_lo"),
+        F.expr(_assemble("hi")).alias("sig_hi"),
     )
     return docs.select("doc_id").join(sig, "doc_id", "left").select(
         "doc_id",
@@ -680,9 +691,13 @@ def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     by construction); the corpus streams through unshuffled, and the top-k
     is a per-query window. Dot products are sequential double folds —
     bit-identical with the DuckDB oracle, so ranking is deterministic.
-    For corpus×corpus scale use sim_cosine_ivf."""
-    e = _with_norm(table(spark, sf, "embeddings"))
-    q = e.filter(F.col("vec_id") < 10).select(
+    For corpus×corpus scale use sim_cosine_ivf. The corpus side is spread
+    across cores when its scan is split-starved (r12; no-op at scale) so
+    the 10×|corpus| fold evaluation parallelizes; the broadcast query side
+    reads the raw scan, not the repartitioned corpus."""
+    raw = table(spark, sf, "embeddings")
+    e = _with_norm(_spread_if_scan_starved(raw, raw, "vec_id"))
+    q = _with_norm(raw).filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
