@@ -154,12 +154,16 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     ``array_min(transform(...))`` ×64 — stays ~20× slower: higher-order
     functions are CodegenFallback, so the 64-hash inner loop must run
     interpreted; here only the one shingle-array build is interpreted.)"""
+    # Spread the RAW docs when the scan is split-starved (no-op at scale):
+    # the interpreted shingle transforms AND the 64-seeded-hash partial min
+    # then all run post-exchange on every core, and the exchange carries
+    # (doc_id, text) — fewer bytes than the exploded shingle-hash rows
+    # (~300 B vs ~830 B per doc). groupBy(doc_id) reuses the partitioning,
+    # so the plan still has exactly one exchange before the signature agg.
+    docs = _spread_if_scan_starved(docs, docs, "doc_id")
     shingle_rows = docs.select(
         "doc_id", F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hws")
     ).select("doc_id", F.explode(F.expr(_SHINGLE_HASHES_SQL)).alias("h"))
-    # The 64 seeded hashes per shingle run inside the map-side partial min —
-    # on a split-starved scan that is ONE task; spread first (no-op at scale).
-    shingle_rows = _spread_if_scan_starved(shingle_rows, docs, "doc_id")
     mins = ", ".join(f"min(xxhash64(h, {seed})) AS mh{seed}" for seed in range(N_HASHES))
     sig = (
         shingle_rows.groupBy("doc_id")
@@ -360,7 +364,11 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
     overflow anywhere). Every operation is engine-portable arithmetic —
     the oracle replays the identical computation. Tokenless docs get the
     zero signature (the old Python branch's contract)."""
-    toks = docs.select(
+    # spread the raw docs on a split-starved scan (no-op at scale) so the
+    # token explode, md5, and the 64 bit-vote partial sums all parallelize;
+    # groupBy(doc_id) reuses the same partitioning — still one exchange
+    spread = _spread_if_scan_starved(docs, docs, "doc_id")
+    toks = spread.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -373,9 +381,6 @@ def _simhash_signatures(docs: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    # the 64 bit-vote sums run in the map-side partial agg — spread a
-    # split-starved scan first (no-op at scale; see _spread_if_scan_starved)
-    hs = _spread_if_scan_starved(hs, docs, "doc_id")
     # 64 sums + two 32-term assembly chains as THREE expr strings (r12: the
     # per-column py4j form cost ~0.4 s of plan construction per call; the
     # expression trees and value semantics are unchanged — int literal
@@ -582,8 +587,12 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 7)
     )
-    # exact-jaccard re-rank of the hamming survivors (hashed shingle sets)
-    sh = docs.select(
+    # exact-jaccard re-rank of the hamming survivors (hashed shingle sets).
+    # The interpreted shingle-array build is the broadcast build side of two
+    # joins — spread a split-starved scan first (measured 4.5 s -> 1.0 s at
+    # sf0.1 on one partition; no-op at scale), or both broadcasts build on
+    # ONE core.
+    sh = _spread_if_scan_starved(docs, docs, "doc_id").select(
         "doc_id",
         F.array_distinct(
             F.transform(_word_shingles(F.col("text")), lambda s: F.xxhash64(s))
