@@ -370,7 +370,11 @@ def join_asof_latest_prior(spark: SparkSession, sf: str) -> DataFrame:
 
     All three produce identical results (oracle hash-checked)."""
     o = table(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    both = o.withColumn("side", F.lit(0)).unionByName(o.withColumn("side", F.lit(1)))
+    # r12: the tagged union is built by EXPLODING a [0, 1] side array —
+    # one scan of the fact table instead of the union's two (at 100 TB the
+    # probe/build duplication halves the input read; results identical,
+    # proven by exceptAll + oracle hash)
+    both = o.select("*", F.explode(F.array(F.lit(0), F.lit(1))).alias("side"))
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey", "side")

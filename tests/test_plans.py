@@ -83,7 +83,12 @@ def test_asof_join_is_joinless_single_exchange(spark):
     ]
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(o_custkey" in plan
-    assert "Window" in plan and "Union" in plan
+    # r12: the tagged union is an exploded [0,1] side array — ONE scan of
+    # the fact table (a Generate node), not a Union of two scans
+    assert "Window" in plan and "Generate" in plan
+    assert "Union" not in plan
+    # one scan node = two mentions in explain("formatted"): tree + details
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_topk_uses_take_ordered(spark):
