@@ -1888,19 +1888,23 @@ IVF_KNN_NPROBE = 4
 
 
 def _centroid_literal_from_rows(cents: list[tuple[int, list[float]]]):
-    """(cent_id, vector) rows → literal array<struct<cent_id,c_emb,c_norm>>."""
+    """(cent_id, vector) rows → literal array<struct<cent_id,c_emb,c_norm>>.
+
+    ONE parsed expr (r12): the per-struct F.lit/F.struct form cost ~5 py4j
+    calls per centroid — ~0.25 s of driver time per build at k=44, and the
+    Lloyd loop rebuilds the literal every round. Literal types unchanged
+    (bare int ≡ F.lit(int) IntegerType, ``…D`` ≡ F.lit(float) DoubleType),
+    so every certified IVF-ladder plan computes identical values."""
     import math
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cent_id"),
-                _lit_double_array(emb).alias("c_emb"),
-                F.lit(math.sqrt(sum(float(x) * float(x) for x in emb)) or 1.0).alias("c_norm"),
-            )
-            for cid, emb in cents
-        ]
-    )
+    parts = []
+    for cid, emb in cents:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in emb) + ")"
+        nrm = math.sqrt(sum(float(x) * float(x) for x in emb)) or 1.0
+        parts.append(
+            f"named_struct('cent_id', {int(cid)}, 'c_emb', {arr}, 'c_norm', {nrm!r}D)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def _assign_home(e: DataFrame, cent_lit) -> DataFrame:
