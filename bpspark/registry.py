@@ -101,6 +101,11 @@ _PRIORITY: tuple[str, ...] = (
     #    first. The ~30 r1/r2-core fillers the pre-optimization window
     #    carried were evicted by the stale set per the standing rule
     #    (staleness is non-negotiable; fillers queue for r13).
+    # Window cost, measured from the r12 replica double artifact
+    # (764 runs FAILS []): ~185 s cold / ~111 s warm at sf0.01 — above
+    # the ~120 s envelope because the stale set carries the streaming/
+    # corpus/IVF harnesses; needing ops occupy the front, so a driver
+    # budget cut can only cost tail re-certs (same stance as r10).
     "filter_like_regex", "filter_null_required", "fn_bitwise",
     "fn_date_arith",
     # --- (former tier A) the ROUND-11 driver window, kept in r11 order
