@@ -87,22 +87,19 @@ def _path_stat_key(path: str):
     import os
 
     st = os.stat(path)
-    if not os.path.isdir(path):
-        return (st.st_size, st.st_mtime_ns)
-    parts = []
-    for root, dirs, files in os.walk(path):
-        dirs.sort()
-        for f in sorted(files):
-            s = os.stat(os.path.join(root, f))
-            parts.append((f, s.st_size, s.st_mtime_ns))
-    return tuple(parts)
+    if os.path.isdir(path):
+        # Directory tables: a full os.walk per plan build could cost more
+        # than the footer inference it avoids at production file counts —
+        # don't cache those (raise → caller takes the plain-read path).
+        raise OSError("directory table — schema cache skipped")
+    return (st.st_size, st.st_mtime_ns)
 
 
 def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     try:
         stat_key = _path_stat_key(path)
     except OSError:
-        return spark.read.parquet(path)  # globs / remote paths: plain read
+        return spark.read.parquet(path)  # dirs / globs / remote: plain read
     cached = _SCHEMA_CACHE.get(path)
     if cached is not None and cached[0] == stat_key:
         return spark.read.schema(cached[1]).parquet(path)
