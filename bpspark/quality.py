@@ -77,6 +77,12 @@ def text_perplexity_ngram(spark: SparkSession, sf: str) -> DataFrame:
     Float stability vs the oracle: ROUND(SUM,6)/COUNT, same convention as
     embedding_centroid_per_label."""
     d = table(spark, sf, "documents")
+    # the interpreted bigram explode feeds three consumers (c2, c1, scoring)
+    # and re-evaluates per consumer — spread a split-starved scan so each
+    # evaluation parallelizes (no-op at scale; see _spread_if_scan_starved)
+    from bpspark.llm_ops import _spread_if_scan_starved
+
+    d = _spread_if_scan_starved(d, d, "doc_id")
     big = d.select(
         "doc_id", F.explode(_word_shingles(F.col("text"), 2)).alias("bigram")
     )

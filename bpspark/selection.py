@@ -232,7 +232,10 @@ def sample_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     hist = scored.groupBy(F.col("avg_nll").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    # n = Σ cnt over the (already vocabulary-of-scores-sized) histogram —
+    # the old scored.agg(count(*)) re-evaluated the ENTIRE bigram-LM
+    # scoring plan a third time for one scalar (r12; identical value)
+    n = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     cum = _ordered_cumsum(hist, "v", "cnt").crossJoin(F.broadcast(n))
     bounds = cum.agg(
         F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias("b1"),
