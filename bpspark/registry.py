@@ -76,6 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semdedup", "dedup_recall_eval", "dedup_incremental_minhash",
     "stream_minhash_dedup", "split_leakage_safe", "split_incremental_assign",
     "pipeline_web_corpus", "pipeline_llm_corpus",
+    # (late-round additions: the perplexity pair staled by the bigram-
+    # source spread + histogram-n rewrite — evicted the last two r1
+    # fillers, oracle-for-oracle, the >=30 gate holds at 30):
+    "text_perplexity_ngram", "sample_perplexity_buckets",
     #  * slots 28-34: optimization-staled rows-only ops (the IVF index
     #    lifecycle — all consume the rewritten quantizer literal):
     "sim_cosine_ivf", "sim_ivfpq_search", "sim_adaptive_route",
@@ -106,8 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     # the ~120 s envelope because the stale set carries the streaming/
     # corpus/IVF harnesses; needing ops occupy the front, so a driver
     # budget cut can only cost tail re-certs (same stance as r10).
-    "filter_like_regex", "filter_null_required", "fn_bitwise",
-    "fn_date_arith",
+    "filter_like_regex", "filter_null_required",
     # --- (former tier A) the ROUND-11 driver window, kept in r11 order
     # for deterministic re-cert priority (names already listed above
     # keep their tier-A slot — first occurrence wins in _ordered).
