@@ -324,7 +324,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     candidate pairs pay the set comparison — the LSH prune keeps this
     linear-ish at scale."""
     docs = _docs_with_planted_neardups(spark, sf)
-    cands = minhash_candidate_pairs(docs)
+    # localCheckpoint the (tiny) candidate-pair set: the final plan embeds
+    # this subtree FIVE times (the pair join + two endpoint unions + the two
+    # semi-join broadcasts inside a/b), and each embedding re-runs the whole
+    # corpus-wide minhash pipeline (r12; win_ntile/_ordered_cumsum
+    # precedent — pairs are O(near-dup pairs), bounded by the LSH cap)
+    cands = minhash_candidate_pairs(docs).localCheckpoint()
     # exact shingle sets only for docs that appear in a candidate pair — the
     # expensive string shingling never touches the rest of the corpus
     cand_ids = (
@@ -3495,20 +3500,21 @@ def pipeline_llm_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # near-dedup: LSH candidate pairs; survivor = smaller doc_id
     pairs = minhash_candidate_pairs(exact.select("doc_id", "text"))
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    near = exact.join(losers, "doc_id", "left_anti")
+    # spread before the persist (no-op at scale): everything downstream —
+    # the decontamination gram transforms, chunking, packing — reads the
+    # PERSISTED partitioning, which on a one-split scan would be one core
+    near = _spread_if_scan_starved(
+        exact.join(losers, "doc_id", "left_anti"), docs, "doc_id"
+    )
 
-    # decontamination: drop docs sharing a 3-gram with the benchmark slice
-    words = near.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        words.select(
-            "doc_id",
-            F.col("w").alias("w0"),
-            F.lead("w", 1).over(w).alias("w1"),
-            F.lead("w", 2).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("g"))
+    # decontamination: drop docs sharing a 3-gram with the benchmark slice.
+    # r12: grams come from the _word_shingles array expression (identical
+    # "w0 w1 w2" strings, same <3-word guard) instead of posexplode +
+    # window lead — the per-doc Exchange+Sort disappears, and the frame is
+    # evaluated twice downstream (bench side + corpus side), so the saving
+    # doubles.
+    grams = near.select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), 3)).alias("g")
     )
     bench_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     contaminated = (
