@@ -592,6 +592,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 7)
     )
+    # The surviving pair set is SMALL IN BYTES (~24 B/pair) but feeds a
+    # CPU-heavy per-row stage (two hash-set ops over ~50-element shingle
+    # arrays), so AQE's byte-based coalescing funnels it onto 1-2 tasks at
+    # any scale where the pair volume is modest. Repartition to the
+    # session's parallelism on the deterministic pair key (guide §2.5 —
+    # the r12 A/B: 9.5 s → 7.6 s at sf0.1, results identical).
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     # exact-jaccard re-rank of the hamming survivors (hashed shingle sets).
     # The interpreted shingle-array build is the broadcast build side of two
     # joins — spread a split-starved scan first (measured 4.5 s -> 1.0 s at
