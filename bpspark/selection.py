@@ -901,8 +901,15 @@ def pipeline_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # persisted: the funnel counts each downstream stage with its own
     # action, and stages 2-4 all sit on top of this groupBy+semi-join
     # shuffle — without the persist it would re-execute per count
-    url_stage = docs.join(
-        url_keep.select("doc_id"), "doc_id", "left_semi"
+    # spread before the persist (no-op at scale): stages 2-6 — including
+    # the 3×-evaluated bigram-LM subtree — read the PERSISTED partitioning,
+    # which on a one-split scan would otherwise be a single cached partition
+    from bpspark.llm_ops import _spread_if_scan_starved
+
+    url_stage = _spread_if_scan_starved(
+        docs.join(url_keep.select("doc_id"), "doc_id", "left_semi"),
+        docs,
+        "doc_id",
     ).persist()
 
     # 2. language gate
