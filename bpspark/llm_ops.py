@@ -6852,7 +6852,9 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # persisted: BOTH the feature branch and the phash branch read the
     # payloads — without this the payload build re-runs for the dedup
     # stage's decode pass
-    payloads = ppm_image_payloads(docs.select("doc_id", "text")).persist()
+    payloads = _spread_if_scan_starved(
+        ppm_image_payloads(docs.select("doc_id", "text")), docs, "doc_id"
+    ).persist()  # spread: the Python decode reads the persisted partitioning
     feats = payloads.mapInPandas(_decode_image_batches, MM_FEATURE_SCHEMA)
     decoded = feats.filter((F.col("width") > 0) & (F.col("height") > 0))
 
@@ -6938,7 +6940,9 @@ def pipeline_audio_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
     bpspark.ensure_worker_imports(spark)
     docs = table(spark, sf, "documents").select("doc_id", "text", "source")
-    payloads = wav_audio_payloads(docs.select("doc_id", "text")).persist()
+    payloads = _spread_if_scan_starved(
+        wav_audio_payloads(docs.select("doc_id", "text")), docs, "doc_id"
+    ).persist()  # spread: the Python decode reads the persisted partitioning
     feats = payloads.mapInPandas(_decode_audio_batches, _AUDIO_SCHEMA)
     decoded = feats.filter(F.col("n_samples") > 0)
 
