@@ -85,6 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_ivf", "sim_ivfpq_search", "sim_adaptive_route",
     "sim_ivf_index_persist", "sim_ivf_index_compact",
     "stream_ivf_index_append", "sim_ivf_index_retrain",
+    # (late: the multimodal corpus funnels staled by the payload spread —
+    # evicted the two YOUNGEST rotation members (r8 sketch pair), rotation
+    # stays >=9 per the VERDICT r11 item-3 order):
+    "pipeline_multimodal_corpus", "pipeline_audio_corpus",
     #  * slots 35-45: rows-only rotation, the 11 oldest rows-only driver
     #    rows in the repo (r4 multimodal-stub quartet +
     #    hll_intersection, r6 image-phash/pq pair/adc, r8 sketch pair +
@@ -95,7 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample", "multimodal_resize_stub",
     "multimodal_video_frames", "dedup_image_phash",
     "embedding_pq_encode", "sim_pq_adc_search",
-    "agg_approx_percentile", "agg_sketch_hll",
     "ml_pca_top_component",
     #  * slot 46: scan_python_datasource — fresh row under the FIXED
     #    closure scheme (it was the op whose manifest hash could never
