@@ -494,6 +494,48 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _tri_band_pairs(bands: DataFrame, n_parts: int, k: int = 8) -> DataFrame:
+    """Unique co-(band, chunk) ordered pairs (doc_a < doc_b, hamming ≤ 7)
+    from a (doc_id, sig_hi, sig_lo, band, chunk) frame, via the triangular
+    skew decomposition (guide §2.5): both sides sliced by the deterministic
+    pmod(xxhash64(doc_id), k) and replicated k ways on the other side's
+    slice id, so each pair meets exactly once — at (band, chunk, slice(a),
+    slice(b)) — and one hot bucket's B² expansion spreads over k² tasks
+    instead of one. The pair-key repartition BEFORE the distinct satisfies
+    the distinct's clustering (hash(doc_a, doc_b) ⊆ (doc_a, doc_b, hamming)),
+    so the distinct adds no exchange and cannot be AQE-coalesced onto 1-2
+    tasks. Identical pair set to the plain (band, chunk) self-join — pinned
+    by tests/test_llm_ops.py::test_tri_band_pairs_equals_plain_self_join."""
+    la = bands.selectExpr("*", f"pmod(xxhash64(doc_id), {k}) as sa").selectExpr(
+        "*", f"explode(sequence(0, {k - 1})) as sb"
+    )
+    rb = bands.selectExpr("*", f"pmod(xxhash64(doc_id), {k}) as sb").selectExpr(
+        "*", f"explode(sequence(0, {k - 1})) as sa"
+    )
+    a, b = la.alias("a"), rb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.sa") == F.col("b.sa"))
+            & (F.col("a.sb") == F.col("b.sb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+                + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+            ).cast("long").alias("hamming"),
+        )
+        .repartition(n_parts, "doc_a", "doc_b")
+        .distinct()
+        .filter(F.col("hamming") <= 7)
+    )
+
+
 @op("dedup_simhash", sql=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 64-bit md5-majority-vote signature per doc,
@@ -569,58 +611,70 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # Pair emission via codegen'd self-join on (band, chunk). On corpora
     # where same-band buckets grow large (this synthetic same-vocabulary
     # corpus is the worst case), the interpreted in-bucket combination
-    # emission benches SLOWER than the join even though the join recomputes
-    # the signature job for both sides — the join stays in whole-stage
+    # emission benches SLOWER than the join — the join stays in whole-stage
     # codegen. (Contrast minhash_candidate_pairs, whose buckets are tiny:
-    # there the grouped emission wins.)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (
-                F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
-                + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
-            ).cast("long").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 7)
-    )
-    # The surviving pair set is SMALL IN BYTES (~24 B/pair) but feeds a
-    # CPU-heavy per-row stage (two hash-set ops over ~50-element shingle
-    # arrays), so AQE's byte-based coalescing funnels it onto 1-2 tasks at
-    # any scale where the pair volume is modest. Repartition to the
-    # session's parallelism on the deterministic pair key (guide §2.5 —
-    # the r12 A/B: 9.5 s → 7.6 s at sf0.1, results identical).
-    pairs = pairs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
-    )
+    # there the grouped emission wins.) Three r13 restructures of this
+    # stage, every one result-proven (exceptAll both ways = 0 at all SFs +
+    # the full-replication oracle):
+    #  1. bands is localCheckpointed: it is |text-reps|×8 rows (~40 k at
+    #     sf0.1, ~40 B/row — bounded, within the timed query), and WITHOUT
+    #     the materialization the self-join embeds the ENTIRE signature
+    #     pipeline twice (12 parquet scans in the r12 plan; guide §3.3
+    #     "materialize an intermediate to truncate the plan").
+    #  2. triangular skew decomposition (guide §2.5 — a window/agg-style
+    #     salt cannot split a JOIN's hot key, but slicing BOTH sides can):
+    #     the bucket membership is ~power-law (sf0.1: top bucket 3071 of
+    #     40 k rows ⇒ 4.7 M of the 16.3 M in-bucket pairs in ONE task).
+    #     Each side is sliced by the deterministic pmod(xxhash64(doc_id), K)
+    #     and replicated K ways on the OTHER side's slice id, so every
+    #     (a, b) co-bucket pair meets exactly once — at key (band, chunk,
+    #     slice(a), slice(b)) — and the hot bucket's B² work spreads over
+    #     K² tasks. Replication costs K× of the tiny band rows, nothing of
+    #     the corpus. Identical pair set by construction (slice ids are a
+    #     function of the pair), proven by exceptAll at all three SFs.
+    #  3. the pair-key repartition moved BEFORE the distinct (was after the
+    #     hamming filter): hash(doc_a, doc_b) partitioning satisfies the
+    #     distinct's (doc_a, doc_b, hamming) clustering, so the distinct
+    #     runs WITHOUT its own exchange at the session's parallelism —
+    #     AQE's byte-based coalescing had been funnelling the 1.4 M-row
+    #     distinct onto 1-2 tasks (~24 B/row; the same §2.5 class as the
+    #     r12 fix, which only covered the stage AFTER the distinct).
+    #     (r12 A/B for the old placement: 9.5 s → 7.6 s; r13 A/B for the
+    #     whole stage: 3.8 s → 1.5 s isolated, op 7.3 s → ~4 s.)
+    bands = bands.localCheckpoint()
+    pairs = _tri_band_pairs(bands, spark.sparkContext.defaultParallelism)
     # exact-jaccard re-rank of the hamming survivors (hashed shingle sets).
     # The interpreted shingle-array build is the broadcast build side of two
     # joins — spread a split-starved scan first (measured 4.5 s -> 1.0 s at
-    # sf0.1 on one partition; no-op at scale), or both broadcasts build on
-    # ONE core.
+    # sf0.1 on one partition; no-op at scale), and localCheckpoint it so the
+    # two broadcast builds read ONE materialization (bounded: one ~50-long
+    # array per doc) instead of each re-running the shingle transform.
     sh = _spread_if_scan_starved(docs, docs, "doc_id").select(
         "doc_id",
         F.array_distinct(
             F.transform(_word_shingles(F.col("text")), lambda s: F.xxhash64(s))
         ).alias("sh"),
-    )
+    ).localCheckpoint()
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
             sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
             "doc_b",
         )
+        # necessary-size prescreen (exact, no false negatives): jaccard of
+        # DISTINCT sets is ≤ min(|a|,|b|)/max(|a|,|b|), so a pair can only
+        # reach 0.5 when 2·min ≥ max — drops the intersect/union work for
+        # size-mismatched pairs before it runs (r13 A/B: identical rows)
+        .filter(
+            2 * F.least(F.size("sh"), F.size("sh_b"))
+            >= F.greatest(F.size("sh"), F.size("sh_b"))
+        )
     )
     inter = F.size(F.array_intersect("sh", "sh_b"))
-    union = F.size(F.array_union("sh", "sh_b"))
+    # |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct arrays — integer
+    # arithmetic on the intersect size replaces materializing the union
+    # array just to take its size (r13: halves the per-pair set work)
+    union = F.size("sh") + F.size("sh_b") - inter
     return (
         joined.select(
             "doc_a", "doc_b", "hamming",

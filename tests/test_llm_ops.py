@@ -141,6 +141,47 @@ def test_simhash_finds_planted_neardups(spark):
     assert all(r.jaccard >= 0.5 and r.hamming <= 7 for r in rows)
 
 
+def test_tri_band_pairs_equals_plain_self_join(spark):
+    """The r13 triangular skew decomposition of the simhash band self-join
+    must emit EXACTLY the plain self-join's pair set — including on a hot
+    bucket much bigger than the slice count k (the skew case it exists
+    for) and across several k values (pair coverage must not depend on
+    how doc_ids hash into slices)."""
+    from bpspark.llm_ops import _tri_band_pairs
+
+    # synthetic bands: one hot (band, chunk) bucket of 60 docs, a few
+    # small buckets, plus sig bits so hamming varies around the <=7 gate
+    rows = [(d, (d * 37) % 256, d % 16, 0, 7) for d in range(60)]
+    rows += [(100 + d, d, d, 1, 11) for d in range(10)]
+    rows += [(200 + d, 5, 5, 2, 40 + d) for d in range(4)]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, sig_hi long, sig_lo long, band int, chunk long"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    plain = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+                + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 7)
+    )
+    for k in (1, 3, 8):
+        tri = _tri_band_pairs(bands, 4, k=k)
+        assert tri.exceptAll(plain).count() == 0, f"k={k}: extra pairs"
+        assert plain.exceptAll(tri).count() == 0, f"k={k}: missing pairs"
+
+
 def test_ivf_recall_vs_brute_force(spark):
     brute = OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()
     ivf = OPS["sim_cosine_ivf"].fn(spark, SF_SMALL).collect()
