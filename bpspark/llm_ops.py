@@ -76,16 +76,33 @@ def _word_shingles(text_col, n: int = 3):
     generates a DESCENDING [1, 0, ...] (Spark infers step -1, it does not
     return empty), so ``element_at(words, 0)`` would throw — short docs
     must short-circuit to an empty array, matching DuckDB's
-    ``range(1, len-n+2)`` which IS empty when stop ≤ start."""
-    words = F.split(text_col, " ")
-    k = F.size(words) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``range(1, len-n+2)`` which IS empty when stop ≤ start.
+
+    The split is LET-BOUND as the lambda variable of a one-element outer
+    ``transform`` (r13): the old form inlined the ``split(text, ' ')``
+    expression tree at every ``element_at(words, …)`` site — n+1 copies —
+    and higher-order lambdas run interpreted (CodegenFallback), so every
+    shingle re-split the whole document. Binding the evaluated array once
+    per row is the expression-level equivalent of projecting the split
+    into its own column (measured at sf0.1: the 20-gram explode 2.3 s →
+    0.3 s, the 3-gram explode 0.9 s → 0.2 s; strings byte-identical —
+    the inner lambda is unchanged, exceptAll = 0 for every consumer)."""
+
+    def _per_words(words):
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(F.split(text_col, " ")), _per_words), 1
+    )
 
 
 N_HASHES = 64

