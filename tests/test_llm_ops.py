@@ -182,6 +182,42 @@ def test_tri_band_pairs_equals_plain_self_join(spark):
         assert plain.exceptAll(tri).count() == 0, f"k={k}: missing pairs"
 
 
+def test_spread_guard_counts_splits_not_files(spark, tmp_path):
+    """_spread_if_scan_starved must judge starvation on ESTIMATED SPLITS
+    (bytes / maxPartitionBytes), not file count (VERDICT r12 item 2): a
+    single big SPLITTABLE parquet file is many input splits, and adding a
+    spread there would insert the very full-row shuffle the guard exists
+    to avoid. Emulated by shrinking maxPartitionBytes so the one test file
+    counts as >= parallelism/4 splits."""
+    import os
+
+    from bpspark.llm_ops import _spread_if_scan_starved
+
+    p = str(tmp_path / "one_file")
+    spark.range(5000).selectExpr(
+        "id as doc_id", "repeat('x', 64) as text"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    par = spark.sparkContext.defaultParallelism
+    # one tiny file at the default 128 MB split size = one split -> starved
+    out = _spread_if_scan_starved(df, df, "doc_id")
+    if par > 4:
+        assert out is not df, "single-split scan must be spread"
+    # the SAME one file with a small split size = many estimated splits ->
+    # NOT starved, no repartition added (this is the case the old
+    # file-count gate got wrong)
+    part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+    size = os.path.getsize(os.path.join(p, part))
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, f"{max(1, size * 4 // max(par, 1))}b")
+    try:
+        assert _spread_if_scan_starved(df, df, "doc_id") is df
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     brute = OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()
     ivf = OPS["sim_cosine_ivf"].fn(spark, SF_SMALL).collect()
