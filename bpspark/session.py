@@ -41,6 +41,17 @@ def build(app_name: str = "bpspark", master: str | None = None,
         master = os.environ.get("BPSPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    # Harness-ephemeral scratch (shuffle/block-manager files via
+    # spark.local.dir, checkpoint/sink/staging dirs via the tempfile
+    # default) on RAM-backed storage when available — see
+    # config.fast_scratch_dir for the contract and the env override.
+    # Static conf: only effective when this call CREATES the session.
+    from bpspark.config import enable_fast_scratch, fast_scratch_dir
+
+    scratch = fast_scratch_dir()
+    if scratch is not None:
+        conf.setdefault("spark.local.dir", os.path.join(scratch, "local"))
+        enable_fast_scratch()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -77,6 +77,30 @@ def test_window_ops_all_need_a_row():
     )
 
 
+def test_plumbing_hash_is_tracked():
+    """VERDICT r12 item 7: the closure hash deliberately excludes the
+    io/session/registry/config/errors plumbing, so an edit there stales
+    nothing mechanically. The manifest must therefore carry a plumbing
+    hash (taken at the newest swept rev) for `stale` to compare against —
+    when it moves, the tool demands the replica-double battery. This test
+    pins that the gate is armed and the hash scheme is computable."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stale_ops import _PLUMBING_FILES, plumbing_hash
+
+    manifest = json.load(open(MANIFEST))
+    entry = manifest.get("__plumbing__")
+    assert entry is not None, "manifest missing __plumbing__ — rebuild it"
+    assert entry.get("files") == list(_PLUMBING_FILES)
+    assert len(entry["source_hash"]) == 64
+    live = plumbing_hash()
+    assert len(live) == 64
+    # NOT asserting live == manifest hash: a plumbing edit mid-round is
+    # legal — the gate's job is to FLAG it (stale_ops prints the
+    # replica-double demand), not to forbid it.
+
+
 def test_window_is_mostly_hash_certifiable():
     # r8 amendment: the original >=40 gate assumed a backlog of
     # oracle-backed candidates. The coverage-finishing window must hold

@@ -132,6 +132,29 @@ def _module_assign_sources(mod) -> dict:
 # edit stale the entire registry at once (see module docstring).
 _CLOSURE_PLUMBING = frozenset({"io", "session", "registry", "config", "errors"})
 
+# The plumbing blind spot, made MECHANICAL (VERDICT r12 item 7: the r12
+# io.table schema cache rewired all 382 ops' read path with zero STALE
+# flags): these files are hashed as one "plumbing hash" stored in the
+# manifest. When `stale` sees it moved, it demands the compensating
+# full-registry replica-double battery instead of relying on the builder
+# remembering the discipline.
+_PLUMBING_FILES = ("config.py", "errors.py", "io.py", "registry.py", "session.py")
+
+
+def plumbing_hash(repo_dir: str = REPO) -> str:
+    """sha256 over the plumbing modules' file bytes (sorted, delimited)."""
+    h = hashlib.sha256()
+    for name in _PLUMBING_FILES:
+        p = os.path.join(repo_dir, "bpspark", name)
+        h.update(name.encode() + b"\x00")
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(b"<missing>")
+        h.update(b"\x00")
+    return h.hexdigest()
+
 # Import-machinery module attributes EXCLUDED from the constant hash
 # (VERDICT r11 What's-wrong 1): ``__file__`` is an ABSOLUTE path, so a
 # body that references it (e.g. the addPyFile zip helper in
@@ -365,9 +388,30 @@ def cmd_build_manifest(rounds: list[tuple[int, str, str]]) -> None:
     manifest["__ingested_correctness__"] = {
         "round": -1, "rev": "", "source_hash": "", "files": sorted(ingested),
     }
+    # Plumbing hash AT THE NEWEST SWEPT REV (VERDICT r12 item 7): the
+    # io/session/registry/config/errors modules the closure hash excludes.
+    # `stale` compares it to the live tree and, when moved, demands the
+    # replica-double battery.
+    last_round, last_rev, _ = max(rounds)
+    wt = tempfile.mkdtemp(prefix="bpspark_plumbhash_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, last_rev],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    try:
+        ph = plumbing_hash(wt)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    manifest["__plumbing__"] = {
+        "round": last_round, "rev": last_rev, "source_hash": ph,
+        "files": list(_PLUMBING_FILES),
+    }
     with open(MANIFEST, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    print(f"wrote {MANIFEST}: {len(manifest) - 1} ops with valid driver rows")
+    print(f"wrote {MANIFEST}: {len(manifest) - 2} ops with valid driver rows")
 
 
 def cmd_stale() -> None:
@@ -382,6 +426,7 @@ def cmd_stale() -> None:
     ingested = set(
         manifest.pop("__ingested_correctness__", {}).get("files", [])
     )
+    plumbing = manifest.pop("__plumbing__", None)
     import glob
 
     present = {os.path.basename(p) for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))}
@@ -392,6 +437,27 @@ def cmd_stale() -> None:
             + ", ".join(missing)
             + "\nrun build-manifest with every CORRECTNESS_r*.json (plus its"
             " snapshot rev) before generating a window"
+        )
+    # Plumbing gate (VERDICT r12 item 7): FRESH below is only trustworthy
+    # while the closure-excluded plumbing is byte-identical to what the
+    # manifest's newest sweep certified. A moved hash does not stale any
+    # specific op (that is the point of the exclusion) — it demands the
+    # full-registry replica-double battery, recorded in the round doc.
+    if plumbing is None:
+        print(
+            "WARNING: manifest predates the plumbing hash — rebuild the "
+            "manifest (build-manifest) to arm the plumbing gate."
+        )
+    elif plumbing["source_hash"] != plumbing_hash(REPO):
+        print(
+            "PLUMBING CHANGED since its last sweep "
+            f"(r{plumbing['round']} @ {plumbing['rev']}): "
+            f"{', '.join(plumbing.get('files', _PLUMBING_FILES))} are "
+            "EXCLUDED from the closure hash, so no op below flags STALE "
+            "for this change. REQUIRED compensation: run "
+            "`python tools/driver_replica.py --double` (plus the sf0.1 "
+            "scale sweep) and record it in the round's OPTIMIZATION/ "
+            "round doc before trusting any FRESH row."
         )
     current = hash_ops_at(REPO)
     stale = [
