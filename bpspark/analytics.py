@@ -2312,7 +2312,13 @@ def ml_decision_tree_hist(spark: SparkSession, sf: str) -> DataFrame:
     CTE chain replaying binning, histograms, the staged-float gain
     argmax, and assignment) hash-matches the whole node table."""
     df, edges = _binned_lineitem(spark, sf)
-    nodes, _df_assigned = _grow_hist_tree(df)
+    # r13 (VERDICT r12 item 6): materialize the binned frame once before
+    # the level loop — each level's histogram job otherwise re-reads the
+    # scan and re-derives the bin expressions (depth+1 passes). The frame
+    # is 3 narrow ints per row (~20 B), the same posture ml_gbdt_hist has
+    # always taken; at extreme scale re-scanning the column-pruned parquet
+    # can beat materializing — revisit with cluster storage in hand.
+    nodes, _df_assigned = _grow_hist_tree(df.localCheckpoint())
 
     rows = []
     for nid in sorted(nodes):

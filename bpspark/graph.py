@@ -90,17 +90,37 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
         )
         .distinct()
+        # r13: the symmetrization + degree + weight build below consumes
+        # this join+distinct subtree twice — materialize it once (bounded:
+        # the distinct trade-pair set, smaller than the ew frame the op
+        # already caches; on a real cluster: checkpoint() or rely on the
+        # ew cache alone)
+        .localCheckpoint()
     )
-    edges = cs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        cs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # r13: symmetrize via one explode instead of unionAll of two selects —
+    # ONE evaluation of the pair subtree in the plan (join_asof's
+    # single-scan tagged-union pattern; results identical, order-free)
+    edges = cs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # loop-invariant: (src, dst, deg(src)), hash-partitioned on src once
     ew = edges.join(out_deg, "src").repartition("src").cache()
     ranks = out_deg.select("src", F.lit(1.0).alias("rank")).localCheckpoint()
     for i in range(_ITERATIONS):
         contribs = (
-            ew.join(ranks, "src")
+            # shuffle_hash hint (r13): the planner otherwise sort-merges,
+            # re-SORTING the |E|-row cached frame EVERY round; the hash
+            # join builds from the |nodes|-row ranks side per partition
+            # instead — no per-round sort, and unlike a broadcast it stays
+            # safe when |nodes| is huge (guide §3.1). Exchange on ew is
+            # still reused from the cache's src partitioning.
+            ew.join(ranks.hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("src"),
                 (F.col("rank") / F.col("deg")).alias("contrib"),
@@ -536,10 +556,22 @@ def graph_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     hash joins over |E| plus |communities|-row aggregates, the standard
     distributed modularity evaluation (and the scoring loop a Louvain
     implementation would call per pass)."""
-    e = _knn_supplier_edges(spark, sf)
-    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # r13: the final plan embedded the knn-edges subtree (os self-join +
+    # per-node top-k window) SIX times — sym (twice via the union), deg,
+    # m, and lc's two label maps all re-derived it (the r12 plan dump
+    # shows 98 Exchanges / 152 HashAggregates from the duplication). The
+    # edge list is degree-bounded (≤ 2k·|suppliers| rows, k=8) —
+    # materialize it once; symmetrize via one explode instead of the
+    # two-select union (join_asof's tagged-union pattern).
+    e = _knn_supplier_edges(spark, sf).localCheckpoint()
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
     labels = _label_propagation(sym, _LPA_ROUNDS)
     deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     nc = labels.join(deg, "node")

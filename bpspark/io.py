@@ -78,8 +78,16 @@ def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
 # in the r12 profile; guide §5, the driver should do almost no data work).
 # Passing the schema explicitly skips inference. This caches METADATA only
 # (never data or results) and is invalidated by a stat fingerprint
-# (size + mtime_ns of the file, or of every file in a directory table), so
-# a regenerated table re-infers. Same class as Spark's own FileIndex cache.
+# (size + mtime_ns of the SINGLE file — directory tables are never cached:
+# _path_stat_key raises for them, so they always take the plain-read
+# path), so a regenerated table re-infers. Same class as Spark's own
+# FileIndex cache. Keyed by path alone, which assumes one set of
+# schema-affecting parquet confs per process (ADVICE r12): a second
+# SparkSession in the same process with different inference confs (e.g.
+# nanosAsLong, NTZ inference) would reuse schemas inferred under the
+# first's — every harness in this repo builds sessions with identical
+# parquet confs, and the events table (the one conf-sensitive reader)
+# goes through read_events_raw, which handles the NANOS fork itself.
 _SCHEMA_CACHE: dict = {}
 
 

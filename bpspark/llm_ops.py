@@ -2025,13 +2025,31 @@ def _centroid_literal_from_rows(cents: list[tuple[int, list[float]]]):
     calls per centroid — ~0.25 s of driver time per build at k=44, and the
     Lloyd loop rebuilds the literal every round. Literal types unchanged
     (bare int ≡ F.lit(int) IntegerType, ``…D`` ≡ F.lit(float) DoubleType),
-    so every certified IVF-ladder plan computes identical values."""
+    so every certified IVF-ladder plan computes identical values.
+
+    Non-finite guard (ADVICE r12): ``repr(float('nan')) + 'D'`` is
+    unparseable SQL ('nanD'), unlike the old F.lit path — any non-finite
+    component falls back to the literal-object build (identical
+    expression tree, just more py4j calls). Unreachable from finite
+    embeddings (means of finite values are finite) — pure robustness."""
     import math
 
     parts = []
     for cid, emb in cents:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in emb) + ")"
-        nrm = math.sqrt(sum(float(x) * float(x) for x in emb)) or 1.0
+        fs = [float(x) for x in emb]
+        nrm = math.sqrt(sum(x * x for x in fs)) or 1.0
+        if not all(map(math.isfinite, fs + [nrm])):
+            return F.array(*[
+                F.struct(
+                    F.lit(int(c)).alias("cent_id"),
+                    F.array(*[F.lit(float(x)) for x in e]).alias("c_emb"),
+                    F.lit(
+                        math.sqrt(sum(float(x) * float(x) for x in e)) or 1.0
+                    ).alias("c_norm"),
+                )
+                for c, e in cents
+            ])
+        arr = "array(" + ",".join(f"{x!r}D" for x in fs) + ")"
         parts.append(
             f"named_struct('cent_id', {int(cid)}, 'c_emb', {arr}, 'c_norm', {nrm!r}D)"
         )

@@ -419,7 +419,14 @@ def text_boilerplate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
 
 def boilerplate_frame(d: DataFrame) -> DataFrame:
     """Core plan over any (doc_id, source, text) frame — split out so tests
-    can plant template docs and assert the flagging rules directly."""
+    can plant template docs and assert the flagging rules directly.
+
+    Contract (ADVICE r12): ``doc_id`` is assumed unique across the frame
+    (in particular, never repeated under multiple sources). Since r12 the
+    per-doc totals aggregate on (doc_id, source); a doc_id planted under
+    two sources would get one output row PER source, where the pre-r12
+    join-on-doc_id form attached the doc-wide total to each row. Both
+    testdata and every planting test satisfy uniqueness."""
     # r12 restructure (same class as dedup_substring_spans' 35 s -> 2 s
     # fix): one gram pass, both per-doc counts in one aggregate.
     # r13 de-skew (VERDICT r12 item 1, same change as substring_spans):

@@ -61,6 +61,9 @@ def main() -> None:
     ap.add_argument("--plans-dir", default="plans/r12")
     ap.add_argument("--no-plans", action="store_true")
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (ADVICE r12: reps=0 leaves best at "
+                 "inf, which serializes as non-standard JSON Infinity)")
 
     names = [n for n in args.ops.split(",") if n] or HEADLINE
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
