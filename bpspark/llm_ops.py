@@ -409,7 +409,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         cands.join(a, "doc_a").join(b.withColumnRenamed("sh", "sh_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("sh", "sh_b"))
-    union = F.size(F.array_union("sh", "sh_b"))
+    # |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct shingle arrays —
+    # same integers as materializing array_union just for its size (r13,
+    # the dedup_simhash re-rank trick)
+    union = F.size("sh") + F.size("sh_b") - inter
     return (
         joined.select(
             "doc_a", "doc_b",
