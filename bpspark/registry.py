@@ -43,76 +43,83 @@ _REGISTRY: dict[str, Op] = {}
 # order with a bounded budget (rounds 1-2 each covered exactly the first 50
 # registered ops), so order = verification priority, not import order.
 _PRIORITY: tuple[str, ...] = (
-    # --- tier A: the ROUND-12 driver window (50 ops; the grading sweep
+    # --- tier A: the ROUND-13 driver window (50 ops; the grading sweep
     # covers exactly this front). Manifest rebuilt this round with
-    # CORRECTNESS_r01..r11 at their snapshot revs under the
-    # path-independent closure scheme (VERDICT r11 What's-wrong 1:
-    # __file__-class module dunders no longer leak checkout paths into
-    # the hash; FRESH 382 / STALE 0 reproducible from a second
-    # checkout). RECOMPOSED mid-round after the r12 OPTIMIZATION pass:
-    # the expr-string plan-construction rewrites, the split-starved
-    # spread guards, the single-gram-pass restructures, the join_asof
-    # single-scan form, and the IVF literal/dot-product helpers staled
-    # 34 ops (tools/stale_ops.py), and with 34 <= 50 every needing op
-    # must hold a slot (tests/test_sweep_window.py). Every rewrite was
-    # result-proven before landing (exceptAll at 3 SFs + DuckDB oracle
-    # MATCH at sf0.01 — see OPTIMIZATION_r12.md), so these rows are
-    # re-certs of identical outputs, not fixes. Composition:
-    #  * slots 1-4: the build-phase stale set — the two hist-tree ML
-    #    ops (rows-only -> FULL-REPLICATION ORACLE upgrade, same-round
-    #    row), stream_ingest_pipeline (quarantine-identity doc +
-    #    optimization-helper staleness), rag_retrieval_eval (query-side
-    #    collect id-capped at O(500) — the VERDICT r11 'weak' fix);
-    "ml_decision_tree_hist", "ml_gbdt_hist",
-    "stream_ingest_pipeline", "rag_retrieval_eval",
-    #  * slots 5-27: optimization-staled ops with ORACLES, headline
+    # CORRECTNESS_r01..r12 at their snapshot revs (r12 @ e6b6080), and
+    # the new PLUMBING HASH armed (tools/stale_ops.py — VERDICT r12
+    # item 7): this round's io/session/config edits (schema-cache
+    # comment, tmpfs scratch) trip it by design, compensated by the
+    # replica-double + sf0.1 scale-sweep battery recorded in
+    # OPTIMIZATION_r13.md. The r13 OPTIMIZATION pass staled exactly 32
+    # ops (the de-skewed gram windows, the _word_shingles let-binding,
+    # the simhash triangular join, the spread-guard split estimation,
+    # the perplexity-funnel checkpoints, the graph/ml restructures, and
+    # the IVF literal isfinite guard); every rewrite was result-proven
+    # before landing (exceptAll + DuckDB oracle PASS at 3 SFs — see
+    # OPTIMIZATION_r13.md), so these rows are re-certs of identical
+    # outputs, not fixes. Composition:
+    #  * slots 1-24: the optimization-staled ops WITH oracles, headline
     #    queries first (their hash rows double as the equivalence proof
     #    for the round's plan rewrites):
-    "dedup_near_minhash", "sim_cosine_topk", "join_asof_latest_prior",
+    "ml_decision_tree_hist", "dedup_near_minhash", "sim_cosine_topk",
     "dedup_simhash", "dedup_substring_spans", "text_boilerplate_ngrams",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "sim_incremental_topk",
-    "sim_cosine_lsh", "sim_mmr_rerank", "sim_filtered_topk",
-    "sim_binary_quantized_topk", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
+    "dedup_ngram_jaccard", "sim_knn_graph_ivf", "sim_ivf_recall_eval",
     "dedup_semdedup", "dedup_recall_eval", "dedup_incremental_minhash",
     "stream_minhash_dedup", "split_leakage_safe", "split_incremental_assign",
-    "pipeline_web_corpus", "pipeline_llm_corpus",
-    # (late-round additions: the perplexity pair staled by the bigram-
-    # source spread + histogram-n rewrite — evicted the last two r1
-    # fillers, oracle-for-oracle, the >=30 gate holds at 30):
-    "text_perplexity_ngram", "sample_perplexity_buckets",
-    #  * slots 28-34: optimization-staled rows-only ops (the IVF index
-    #    lifecycle — all consume the rewritten quantizer literal):
-    "sim_cosine_ivf", "sim_ivfpq_search", "sim_adaptive_route",
-    "sim_ivf_index_persist", "sim_ivf_index_compact",
-    "stream_ivf_index_append", "sim_ivf_index_retrain",
-    # (late: the multimodal corpus funnels staled by the payload spread —
-    # evicted the two YOUNGEST rotation members (r8 sketch pair), rotation
-    # stays >=9 per the VERDICT r11 item-3 order):
-    "pipeline_multimodal_corpus", "pipeline_audio_corpus",
-    #  * slots 35-45: rows-only rotation, the 11 oldest rows-only driver
-    #    rows in the repo (r4 multimodal-stub quartet +
-    #    hll_intersection, r6 image-phash/pq pair/adc, r8 sketch pair +
-    #    pca) per VERDICT r11 item 3 (the 12th, sample_deterministic —
-    #    the youngest, r8 — queues for r13: its slot went to an oracle
-    #    filler to keep the >=30 hash-certifiable gate);
+    "pipeline_web_corpus", "pipeline_llm_corpus", "text_perplexity_ngram",
+    "sample_perplexity_buckets", "scan_python_datasource",
+    "graph_community_modularity", "graph_pagerank",
+    "text_repetition_signals", "text_ngram_freq",
+    #  * slots 25-32: the optimization-staled rows-only ops (the IVF
+    #    index lifecycle — isfinite guard on the shared quantizer
+    #    literal — and the multimodal/audio corpus funnels via the
+    #    spread-guard edit):
+    "sim_ivfpq_search", "sim_adaptive_route", "sim_ivf_index_persist",
+    "sim_ivf_index_compact", "stream_ivf_index_append",
+    "sim_ivf_index_retrain", "pipeline_multimodal_corpus",
+    "pipeline_audio_corpus",
+    #  * slot 33: sample_deterministic — the oldest driver row in the
+    #    repo (r8, rows-only), queued since the r12 recomposition;
+    "sample_deterministic",
+    #  * slots 34-40: rotation debt, streaming-harness ops first (their
+    #    re-cert doubles as direct driver evidence for this round's
+    #    tmpfs-scratch plumbing change — 6 oracle-backed + stream_scd_join
+    #    rows-only; all r11 rows):
+    "stream_er_resolve", "stream_heavy_hitters", "stream_mv_refresh",
+    "stream_state_introspection", "stream_stateful_counter",
+    "stream_scd_join", "udf_sql_registered",
+    #  * slots 41-50: rotation debt, the r1 aggregate core (r11 rows,
+    #    all oracle-backed). Window oracle count: 40/50. The rotation
+    #    debt that did NOT fit (19 ops, all r11 rows: agg_approx_distinct,
+    #    the dedup A/V fingerprints, distinct_rows, kcenter, the er pair,
+    #    the filter trio, fn_struct_field_surgery, maintenance_delete,
+    #    meta_query_profile, multimodal columns/audio_decode, the three
+    #    sinks, win_ntile_bucketize) queues for r14 — with r11 rows they
+    #    stay within the 3-round freshness budget through r14.
+    "agg_count_distinct", "agg_cube", "agg_global", "agg_grouping_sets",
+    "agg_having", "agg_min_by_max_by", "agg_percentile_exact", "agg_pivot",
+    "agg_stddev_stable", "agg_string_concat_ordered",
+    # --- (former tier A) the ROUND-12 driver window in r12 order; names
+    # already listed above keep their tier-A slot (first occurrence wins
+    # in _ordered — later duplicates are inert). Historical r12 notes:
+    # recomposed mid-round after the r12 optimization pass staled 34 ops
+    # (expr-string rewrites, spread guards, single-gram-pass, join_asof
+    # single-scan, IVF literal/dot helpers); slots 1-4 build-phase stale
+    # set, 5-27 optimization-staled oracle ops, 28-34 rows-only IVF
+    # lifecycle + multimodal pair, 35-45 rows-only rotation, 46
+    # scan_python_datasource re-cert, 47-50 oracle fillers.
+    "ml_gbdt_hist",
+    "stream_ingest_pipeline", "rag_retrieval_eval",
+    "join_asof_latest_prior",
+    "dedup_embedding_cosine", "sim_incremental_topk",
+    "sim_cosine_lsh", "sim_mmr_rerank", "sim_filtered_topk",
+    "sim_binary_quantized_topk",
+    "sim_cosine_ivf",
     "agg_sketch_hll_intersection", "multimodal_decode_stub",
     "multimodal_frame_sample", "multimodal_resize_stub",
     "multimodal_video_frames", "dedup_image_phash",
     "embedding_pq_encode", "sim_pq_adc_search",
     "ml_pca_top_component",
-    #  * slot 46: scan_python_datasource — fresh row under the FIXED
-    #    closure scheme (it was the op whose manifest hash could never
-    #    reproduce; VERDICT r11 item 1's re-cert);
-    "scan_python_datasource",
-    #  * slots 47-50: cheap oracle re-cert fillers, oldest (r1) rows
-    #    first. The ~30 r1/r2-core fillers the pre-optimization window
-    #    carried were evicted by the stale set per the standing rule
-    #    (staleness is non-negotiable; fillers queue for r13).
-    # Window cost, measured from the r12 replica double artifact
-    # (764 runs FAILS []): ~185 s cold / ~111 s warm at sf0.01 — above
-    # the ~120 s envelope because the stale set carries the streaming/
-    # corpus/IVF harnesses; needing ops occupy the front, so a driver
-    # budget cut can only cost tail re-certs (same stance as r10).
     "filter_like_regex", "filter_null_required",
     # --- (former tier A) the ROUND-11 driver window, kept in r11 order
     # for deterministic re-cert priority (names already listed above
